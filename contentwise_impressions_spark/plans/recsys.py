@@ -1,0 +1,223 @@
+"""Recommender-system operator suite (SURVEY.md §2.6-2.9) as registered queries.
+
+The harness `events` table plays the interaction log; the implicit URM is
+its distinct (user, item) projection (sources/interactions.py).  Every query
+below re-derives the URM inline in the oracle SQL via the shared CTE so both
+engines compute from identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.splits import deterministic_split, leave_last_out, min_activity_filter
+from ..operators.topk import top_k_per_group
+from ..sources.interactions import events_as_interactions, implicit_urm
+from ..sources.tables import load_table
+from .registry import QuerySpec, register, utc
+
+#: shared oracle CTE body: the implicit URM (distinct interacted pairs).
+URM_CTE = """
+    urm AS (
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+               CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    )
+"""
+
+
+def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return implicit_urm(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# TopPop (Base/NonPersonalizedRecommender.py:18-47)
+# ---------------------------------------------------------------------------
+def q_toppop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item popularity ranking — the TopPop model 'fit' is this one agg."""
+    urm = _urm(spark, sf_dir)
+    pop = urm.groupBy("item_id").agg(F.count("*").alias("popularity"))
+    w = Window.orderBy(F.col("popularity").desc(), F.col("item_id").asc())
+    return (
+        pop.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+register(
+    QuerySpec(
+        "toppop",
+        q_toppop,
+        f"""
+        WITH {URM_CTE}
+        SELECT item_id, CAST(COUNT(*) AS BIGINT) AS popularity,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item_id ASC) AS INT) AS rank
+        FROM urm GROUP BY item_id
+        QUALIFY rank <= 20
+        """,
+        doc="TopPop fit (NonPersonalizedRecommender.py:18-47)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic 70/10/20 split (dataset.py:322-325, engine-portable variant)
+# ---------------------------------------------------------------------------
+def q_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup → deterministic 70/10/20 split → per-split sizes + disjointness.
+
+    Reference: drop_duplicates([user,item]) + random_split([.7,.1,.2], 42)
+    (dataset.py:322-325).  Hash-deterministic so the oracle reproduces exact
+    membership, not just proportions.
+    """
+    urm = _urm(spark, sf_dir)
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+    )
+
+
+register(
+    QuerySpec(
+        "split_sizes",
+        q_split_sizes,
+        f"""
+        WITH {URM_CTE},
+        tagged AS (
+            SELECT *, CASE
+                WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 698 THEN 0
+                WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 798 THEN 1
+                ELSE 2 END AS split
+            FROM urm
+        )
+        SELECT split, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
+        FROM tagged GROUP BY split
+        """,
+        doc="dedup + deterministic 70/10/20 split (dataset.py:322-325)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# leave-latest-out timestamp split (split_data_on_timestamp.py:16-92)
+# ---------------------------------------------------------------------------
+def q_leave_last_out_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest interaction per user → test, 2nd → validation, rest train."""
+    utc(spark)
+    inter = events_as_interactions(load_table(spark, sf_dir, "events"))
+    tagged = leave_last_out(
+        inter, "user_id", "ts", min_interactions=3, tiebreak=["item_id"]
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    QuerySpec(
+        "leave_last_out_sizes",
+        q_leave_last_out_sizes,
+        """
+        WITH inter AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id,
+                   ts
+            FROM events
+        ),
+        tagged AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, item_id DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS cnt
+            FROM inter
+        )
+        SELECT CASE WHEN cnt < 3 THEN 0
+                    WHEN rn = 1 THEN 2
+                    WHEN rn = 2 THEN 1
+                    ELSE 0 END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tagged GROUP BY 1
+        """,
+        doc="leave-latest-out split (split_data_on_timestamp.py:16-92)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# min-activity (k-core) filter (Data_manager/Utility.py:11-22)
+# ---------------------------------------------------------------------------
+def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URM restricted to users with >= 30 interactions; summary counts."""
+    urm = _urm(spark, sf_dir)
+    kept = min_activity_filter(urm, "user_id", 30)
+    return kept.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+    )
+
+
+register(
+    QuerySpec(
+        "kcore_filter",
+        q_kcore_filter,
+        f"""
+        WITH {URM_CTE},
+        kept AS (
+            SELECT * FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM urm
+            ) WHERE cnt >= 30
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items
+        FROM kept
+        """,
+        doc="min-activity k-core filter (Data_manager/Utility.py:11-22)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# density / sparsity statistic (dataset.py:987-988,1129-1136)
+# ---------------------------------------------------------------------------
+def q_urm_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urm = _urm(spark, sf_dir)
+    return urm.agg(
+        F.count("*").alias("nnz"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+    ).select(
+        "nnz",
+        "n_users",
+        "n_items",
+        (
+            F.col("nnz").cast("double")
+            / (F.col("n_users") * F.col("n_items")).cast("double")
+        ).alias("density"),
+    )
+
+
+register(
+    QuerySpec(
+        "urm_density",
+        q_urm_density,
+        f"""
+        WITH {URM_CTE}
+        SELECT CAST(COUNT(*) AS BIGINT) AS nnz,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items,
+               CAST(COUNT(*) AS DOUBLE)
+                 / (COUNT(DISTINCT user_id) * COUNT(DISTINCT item_id)) AS density
+        FROM urm
+        """,
+        doc="URM density (dataset.py:987-988)",
+    )
+)

@@ -1,0 +1,722 @@
+"""Relational operator suite (SURVEY.md §2.1-2.5) as registered queries.
+
+Each query exercises one operator family from the reference on the harness
+star schema, with a DuckDB oracle.  Reference citations are on each spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import gini_coefficient, herfindahl_index, shannon_entropy
+from ..operators.dedup import keep_last_by_timestamp
+from ..operators.topk import top_k_global, top_k_per_group
+from ..sources.interactions import events_as_interactions
+from ..sources.tables import load_table
+from .registry import QuerySpec, register, utc
+
+
+# ---------------------------------------------------------------------------
+# scan + wide aggregate (fused multi-aggregate compute — dataset.py:835-880)
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → groupBy → 8 shared-scan aggs.
+
+    Reference idiom: dozens of lazy aggregates fused into one compute
+    (Utils/dataset.py:835-880); Catalyst shares the scan + partial-aggregates
+    map-side, so this is one shuffle of |groups| rows regardless of input TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    QuerySpec(
+        "pricing_summary",
+        q_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity)                                            AS sum_qty,
+               SUM(l_extendedprice)                                       AS sum_base_price,
+               SUM(l_extendedprice * (1 - l_discount))                    AS sum_disc_price,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))      AS sum_charge,
+               AVG(l_quantity)                                            AS avg_qty,
+               AVG(l_extendedprice)                                       AS avg_price,
+               AVG(l_discount)                                            AS avg_disc,
+               CAST(COUNT(*) AS BIGINT)                                   AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        doc="fused multi-aggregate over one scan (dataset.py:835-880)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# projection + sentinel/enum predicate filters (dataset.py:737,1423-1445)
+# ---------------------------------------------------------------------------
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum filter + projection on the interaction log.
+
+    Reference: `interactions[interactions.interaction_type == 0]` and the
+    sentinel filter `recommendation_id >= 0` (Utils/dataset.py:737,1423-1445).
+    Both predicates + the 3-column projection push down to the parquet scan.
+    """
+    ev = events_as_interactions(load_table(spark, sf_dir, "events"))
+    return ev.filter(
+        (F.col("event_type") == "click") & (F.col("item_id") >= 0)
+    ).select("user_id", "item_id", "value")
+
+
+register(
+    QuerySpec(
+        "filter_project",
+        q_filter_project,
+        """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id,
+               value
+        FROM events
+        WHERE event_type = 'click'
+          AND CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) >= 0
+        """,
+        doc="sentinel/enum predicate + projection (dataset.py:737,1423-1445)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# broadcast join chain (dataset.py:412-417 impression×map join)
+# ---------------------------------------------------------------------------
+def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region rollup; both dims broadcast.
+
+    Reference: small-dimension merge at Utils/dataset.py:412-417,464-468 —
+    the item↔series map join.  nation/region are tiny → broadcast hash join,
+    zero shuffle of the fact side.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.avg("c_acctbal").alias("avg_acctbal"),
+            F.sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "region_customer_rollup",
+        q_region_customer_rollup,
+        """
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               AVG(c_acctbal)           AS avg_acctbal,
+               SUM(c_acctbal)           AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """,
+        doc="broadcast dim-join chain (dataset.py:412-417)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# fact-fact shuffle join + agg + global top-k (dataset.py:428-433; §2.5)
+# ---------------------------------------------------------------------------
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem revenue per order, global top-10.
+
+    Reference: the (user,rec_id)×impression fact join (dataset.py:428-433)
+    plus nlargest (dataset.py:1186-1187).  Lowers to shuffle join + hash agg
+    + TakeOrderedAndProject (per-partition heaps — the argpartition analog,
+    BaseRecommender.py:193-200).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return top_k_global(
+        rev, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10
+    )
+
+
+register(
+    QuerySpec(
+        "top_orders_by_revenue",
+        q_top_orders_by_revenue,
+        """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+        doc="fact join + agg + global top-k (dataset.py:428-433, §2.5)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# group-count threshold / HAVING (dataset.py:1593-1603)
+# ---------------------------------------------------------------------------
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with >= 60 events (threshold filter on group counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 60)
+    )
+
+
+register(
+    QuerySpec(
+        "active_users",
+        q_active_users,
+        """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 60
+        """,
+        doc="threshold filter on group counts (dataset.py:1593-1603)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# count-distinct corpus cardinalities (dataset.py:979-985)
+# ---------------------------------------------------------------------------
+def q_corpus_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts + global min/max — the metadata.json numbers.
+
+    Reference: `.unique()` over six columns + first/last timestamp
+    (dataset.py:976-985).  One wide agg, one scan.
+    """
+    utc(spark)
+    ev = events_as_interactions(load_table(spark, sf_dir, "events"))
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_cardinalities",
+        q_corpus_cardinalities,
+        """
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+               MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+        FROM events
+        """,
+        doc="corpus cardinalities (dataset.py:976-985)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# keep-last-by-timestamp dedup (DataReader_utils.py:134-150)
+# ---------------------------------------------------------------------------
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user most recent event (keep='last' dedup as a window)."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return keep_last_by_timestamp(
+        ev, ["user_id"], "ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+register(
+    QuerySpec(
+        "latest_event_per_user",
+        q_latest_event_per_user,
+        """
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        """,
+        doc="keep-last-by-ts dedup (DataReader_utils.py:134-150)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# gini / entropy / herfindahl (gini.py:8-28, metrics.py:472-530)
+# ---------------------------------------------------------------------------
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return gini_coefficient(counts, "cnt", out_col="gini")
+
+
+register(
+    QuerySpec(
+        "user_activity_gini",
+        q_user_activity_gini,
+        """
+        WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY user_id),
+             r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC) AS i FROM c)
+        SELECT (SUM(2.0 * i * x) - (COUNT(*) + 1) * SUM(x)) / (COUNT(*) * SUM(x)) AS gini
+        FROM r
+        """,
+        doc="Gini of interaction counts (Utils/gini.py:8-28)",
+    )
+)
+
+
+def q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return shannon_entropy(counts, "cnt", out_col="entropy")
+
+
+register(
+    QuerySpec(
+        "event_type_entropy",
+        q_event_type_entropy,
+        """
+        WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY event_type)
+        SELECT LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt) AS entropy FROM c
+        """,
+        doc="Shannon entropy (metrics.py:515-530)",
+    )
+)
+
+
+def q_event_type_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return herfindahl_index(counts, "cnt", out_col="herfindahl")
+
+
+register(
+    QuerySpec(
+        "event_type_herfindahl",
+        q_event_type_herfindahl,
+        """
+        WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY event_type)
+        SELECT 1.0 - SUM(cnt * cnt) / (SUM(cnt) * SUM(cnt)) AS herfindahl FROM c
+        """,
+        doc="Herfindahl index (metrics.py:472-479)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# histogram / binning (dataset.py:1265-1289,2053-2074)
+# ---------------------------------------------------------------------------
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning of event values (reference frequency plots)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / F.lit(10.0)).cast("bigint"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+register(
+    QuerySpec(
+        "value_histogram",
+        q_value_histogram,
+        """
+        SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+        """,
+        doc="fixed-width histogram (dataset.py:1265-1289)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# cumulative-sum percentile cut (dataset.py:1201-1260)
+# ---------------------------------------------------------------------------
+def q_users_covering_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many top users cover 50% / 80% of all events.
+
+    Reference: cumulative-share cuts at 20..80% of interactions
+    (dataset.py:1201-1260): sort counts desc, prefix-sum window, count rows
+    below the cut.  Integer cumsums → engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    j = with_cum.crossJoin(total)
+    return j.agg(
+        F.sum(F.when(j.cum - j.cnt < 0.5 * j.total, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_for_50pct"),
+        F.sum(F.when(j.cum - j.cnt < 0.8 * j.total, 1).otherwise(0))
+        .cast("bigint")
+        .alias("users_for_80pct"),
+    )
+
+
+register(
+    QuerySpec(
+        "users_covering_traffic",
+        q_users_covering_traffic,
+        """
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+             r AS (SELECT cnt,
+                          SUM(cnt) OVER (ORDER BY cnt DESC, user_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM c),
+             t AS (SELECT SUM(cnt) AS total FROM c)
+        SELECT CAST(SUM(CASE WHEN cum - cnt < 0.5 * total THEN 1 ELSE 0 END) AS BIGINT) AS users_for_50pct,
+               CAST(SUM(CASE WHEN cum - cnt < 0.8 * total THEN 1 ELSE 0 END) AS BIGINT) AS users_for_80pct
+        FROM r CROSS JOIN t
+        """,
+        doc="cumulative coverage cut (dataset.py:1201-1260)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# pivot (dataset.py:2076-2142)
+# ---------------------------------------------------------------------------
+def q_hourly_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour-of-day × event_type count matrix (row_position × rec_index analog).
+
+    Expressed as conditional aggregation (not .pivot()) so the output schema
+    is static — required for the oracle and for stable streaming/ML
+    consumers; same physical plan as pivot (single hash agg).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.withColumn("hour", F.hour("ts"))
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{t}")
+        for t in types
+    ]
+    return hours.groupBy("hour").agg(*aggs)
+
+
+register(
+    QuerySpec(
+        "hourly_event_type_pivot",
+        q_hourly_event_type_pivot,
+        """
+        SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        FROM events GROUP BY 1
+        """,
+        doc="pivot as conditional agg (dataset.py:2076-2142)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# anti join / semi join (dataset.py:1999-2015; test_dataset_consistency.py:469-486)
+# ---------------------------------------------------------------------------
+def q_clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked but never purchased — the residual anti-join.
+
+    Reference: impressions-minus-interactions residual via matrix
+    subtraction (dataset.py:1999-2015) → relational left_anti.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    return clickers.join(purchasers, "user_id", "left_anti")
+
+
+register(
+    QuerySpec(
+        "clickers_never_purchased",
+        q_clickers_never_purchased,
+        """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        doc="anti-join residual (dataset.py:1999-2015)",
+    )
+)
+
+
+def q_events_of_known_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: event count for users that exist in the customer dim.
+
+    Reference: shared-user referential check
+    (test_dataset_consistency.py:469-486) → left_semi join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(
+            cust.select(F.col("c_custkey").alias("user_id")), "user_id", "left_semi"
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+register(
+    QuerySpec(
+        "events_of_known_customers",
+        q_events_of_known_customers,
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IN (SELECT c_custkey FROM customer)
+        GROUP BY event_type
+        """,
+        doc="semi-join shared users (test_dataset_consistency.py:469-486)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# explode / array ops (dataset.py:404-409; §2.2 array ops)
+# ---------------------------------------------------------------------------
+def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize p_name and count token frequency — explode-as-UDTF.
+
+    Reference: unnesting recommended_series_list (dataset.py:404-409).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+register(
+    QuerySpec(
+        "part_name_tokens",
+        q_part_name_tokens,
+        """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST(string_split(p_name, ' ')) AS token FROM part)
+        WHERE token <> '' GROUP BY token
+        """,
+        doc="explode array column (dataset.py:404-409)",
+    )
+)
+
+
+def q_token_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_position/size over tokenized doc text.
+
+    Reference: position-of-series-in-list row op (dataset.py:1905-1923) and
+    declared-vs-actual length check (test_dataset_consistency.py:319-332).
+    0 ⇒ absent (mirrors the reference's -1 sentinel, shifted: they use
+    np.where → -1; array_position is 1-based with 0 = not found).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", F.split(F.col("text"), " "))
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_position(F.col("tokens"), "spark").cast("bigint").alias("spark_pos"),
+    )
+
+
+register(
+    QuerySpec(
+        "token_position",
+        q_token_position,
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(list_position(string_split(text, ' '), 'spark'), 0) AS BIGINT) AS spark_pos
+        FROM documents
+        """,
+        doc="array_position + size (dataset.py:1905-1923)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# calendar decode + period filter (dataset.py:1481-1571)
+# ---------------------------------------------------------------------------
+def q_weekday_hour_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar histogram: events by ISO weekday and hour."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("isodow", (F.weekday("ts") + F.lit(1)).cast("int"))
+        .withColumn("hour", F.hour("ts"))
+        .groupBy("isodow", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+register(
+    QuerySpec(
+        "weekday_hour_traffic",
+        q_weekday_hour_traffic,
+        """
+        SELECT CAST(isodow(ts) AS INT) AS isodow,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+        """,
+        doc="timestamp decode histogram (dataset.py:1481-1526)",
+    )
+)
+
+
+def q_january_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-range filter (dataset.py:1528-1550): one calendar month."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-02-01").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "january_traffic",
+        q_january_traffic,
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(value) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        GROUP BY event_type
+        """,
+        doc="period range filter (dataset.py:1528-1550)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# per-group window top-k (§2.5 batch top-K ranking)
+# ---------------------------------------------------------------------------
+def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-value events per event_type with rank attached."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_k_per_group(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        3,
+        rank_col="rank",
+    ).select("event_type", "event_id", "value", F.col("rank").cast("int").alias("rank"))
+
+
+register(
+    QuerySpec(
+        "top_events_per_type",
+        q_top_events_per_type,
+        """
+        SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id ASC) AS rank
+            FROM events
+        ) WHERE rank <= 3
+        """,
+        doc="per-group top-k window (BaseRecommender.py:175-213)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# grouped min/max functional-dependency check (test_dataset_consistency.py:196-249)
+# ---------------------------------------------------------------------------
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose lineitems disagree on shipdate bounds — grouped min/max.
+
+    Reference shape: FD tests item→series via groupBy(min,max) equality
+    (test_dataset_consistency.py:196-249).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("min_ship") != F.col("max_ship"))
+        .agg(F.count("*").cast("bigint").alias("n_orders_with_spread"))
+    )
+
+
+register(
+    QuerySpec(
+        "fd_violations",
+        q_fd_violations,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_with_spread FROM (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING MIN(l_shipdate) <> MAX(l_shipdate)
+        )
+        """,
+        doc="grouped min/max FD check (test_dataset_consistency.py:196-249)",
+    )
+)

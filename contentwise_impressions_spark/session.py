@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hand-configures a Dask LocalCluster (4 procs x 4 threads,
+100 MiB partitions — /root/reference/Utils/config.py:9-32).  Under Spark the
+equivalent knobs are the master thread count, shuffle partitioning, and AQE;
+everything else (scan sharing, pushdown, partial aggregation) is Catalyst's
+job, not ours.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "contentwise-impressions-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized for the test harness.
+
+    On a real cluster the master / memory settings come from spark-submit;
+    only the sql.* settings below matter and they are scale-safe defaults:
+    AQE coalesces the shuffle partitions we over-provision, and skew-join
+    handling splits hot keys (user/item popularity is Zipf-ish in this
+    domain — SURVEY.md §1).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,34 @@
+"""Differential test: every registered query vs its DuckDB oracle at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from contentwise_impressions_spark.plans import all_oracle_sql, all_queries
+
+from .diffcheck import assert_frames_match, duckdb_conn
+
+QUERIES = all_queries()
+ORACLES = all_oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = con.execute(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_every_query_has_oracle_or_is_declared():
+    # queries without oracles are allowed (weaker rows-only check) but must
+    # be intentional; keep the list explicit here.
+    allowed_no_oracle: set[str] = set()
+    missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
+    assert not missing, f"queries missing oracle SQL: {sorted(missing)}"
