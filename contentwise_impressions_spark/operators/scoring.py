@@ -1,0 +1,99 @@
+"""Scoring + ranking operators: URM × W joins, remove-seen, top-K recommend.
+
+Reference:
+- item-based scoring  scores = URM[users]·W   — Base/BaseSimilarityMatrixRecommender.py:77-96
+- user-based scoring  scores = W[users]·URM   — :99-120
+- remove-seen (−inf mask on train items)      — Base/BaseRecommender.py:114-121,172-173
+- batch top-K ranking (argpartition + sort)   — Base/BaseRecommender.py:175-213
+
+The reference materializes dense user×item score blocks and masks seen items
+with −inf; relationally we never materialize the dense matrix: scores exist
+only for (user, item) pairs reachable through the similarity join, and
+remove-seen is a left_anti join — the plan the reference's blocking was
+emulating by hand (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_based_scores(train: DataFrame, w_sparse: DataFrame) -> DataFrame:
+    """scores[u, j] = Σ_i URM[u, i] · W[i, j].
+
+    `train` is (user_id, item_id, value); `w_sparse` is (item_i, item_j, sim)
+    — typically already top-K'd, which bounds the join fan-out to K per
+    train row (the reference applies topK to W for the same reason).
+    """
+    return (
+        train.join(w_sparse, train.item_id == w_sparse.item_i)
+        .groupBy("user_id", "item_j")
+        .agg(F.sum(F.col("value") * F.col("sim")).alias("score"))
+        .select("user_id", F.col("item_j").alias("item_id"), "score")
+    )
+
+
+def user_based_scores(train: DataFrame, w_users: DataFrame) -> DataFrame:
+    """scores[u, j] = Σ_v W[u, v] · URM[v, j] (W over user pairs)."""
+    return (
+        w_users.join(train, w_users.user_j == train.user_id)
+        .groupBy(w_users.user_i, train.item_id)
+        .agg(F.sum(F.col("sim") * F.col("value")).alias("score"))
+        .select(F.col("user_i").alias("user_id"), "item_id", "score")
+    )
+
+
+def remove_seen(scores: DataFrame, train: DataFrame) -> DataFrame:
+    """Drop (user, item) pairs present in train — the −inf mask, relationally."""
+    return scores.join(
+        train.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    )
+
+
+def recommend_top_k(
+    scores: DataFrame,
+    k: int,
+    train: DataFrame | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Per-user top-K ranking: (user_id, item_id, score, rank).
+
+    Reference: BaseRecommender.recommend() = remove-seen + argpartition
+    top-K + exact sort of the K survivors (:175-213).  One window, ties
+    broken by item_id for engine portability.
+
+    `round_digits`: when scores are float SUMS (whose last-ulp value depends
+    on accumulation order), rank on round(score, d) so independent engines
+    produce identical orderings; exact ties fall to the item_id tiebreak.
+    """
+    if train is not None:
+        scores = remove_seen(scores, train)
+    order_score = (
+        F.round(F.col("score"), round_digits)
+        if round_digits is not None
+        else F.col("score")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        order_score.desc(), F.col("item_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def toppop_scores(train: DataFrame, users: DataFrame) -> DataFrame:
+    """Popularity score for every (eval user × item) candidate.
+
+    Reference: TopPop fit = item nnz vector (NonPersonalizedRecommender
+    .py:18-47); recommend broadcasts the same score row to every user.
+    The popularity table is |items| rows → broadcast; the crossJoin emits
+    |users|·|items| candidates, which the subsequent top-K window reduces —
+    at scale, pre-truncate the popularity table to the max cutoff + max
+    profile length to bound the fan-out.
+    """
+    pop = train.groupBy("item_id").agg(
+        F.count("*").cast("double").alias("score")
+    )
+    return users.select("user_id").crossJoin(F.broadcast(pop))

@@ -1,7 +1,564 @@
-"""Similarity / model-fit operator suite (SURVEY.md §2.6-2.7).
+"""Similarity / model-fit / evaluation operator suite (SURVEY.md §2.6-2.9).
 
-Grows over rounds: cosine-family similarity kernel first, then scoring,
-P3alpha/RP3beta, ALS, SLIM, EASE_R.
+Engine-portability notes baked into these queries:
+- rankings are computed from sqrt/division expressions (bitwise-identical
+  across engines) or from float sums ROUNDED to 9 digits before ranking,
+  with an item-id tiebreak — so Spark and DuckDB produce identical top-K
+  membership, not just close scores;
+- pow() with non-half-integer exponents is never used in a ranking key
+  (libm implementations differ in the last ulp across engines).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..evaluation.metrics import ranking_metrics
+from ..operators.scoring import item_based_scores, recommend_top_k, toppop_scores
+from ..operators.similarity import (
+    column_norms,
+    mean_centered,
+    pair_dots,
+    similarity_scores,
+    similarity_top_k,
+)
+from ..operators.splits import deterministic_split
+from ..recommenders.graph import p3alpha_similarity, rp3beta_similarity
+from ..recommenders.nonpersonalized import global_effects
+from ..sources.interactions import events_as_interactions, implicit_urm
+from ..sources.tables import load_table
+from .recsys import URM_CTE
+from .registry import QuerySpec, register
+
+#: oracle CTE: explicit ratings = mean event value per (user, item)
+RATED_CTE = """
+    rated AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id,
+               AVG(value) AS rating
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return implicit_urm(load_table(spark, sf_dir, "events"))
+
+
+def _rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = events_as_interactions(load_table(spark, sf_dir, "events"))
+    return (
+        inter.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("value").alias("rating"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity family: cosine/jaccard/dice/tversky/asymmetric/euclidean
+# (Compute_Similarity_Python.py:213-388, Compute_Similarity_Euclidean.py)
+# ---------------------------------------------------------------------------
+def q_item_similarity_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All similarity variants from ONE pair-dots pass (shared scan+join)."""
+    urm = _urm(spark, sf_dir)
+    dots = pair_dots(urm)
+    norms = column_norms(urm)
+    ni = norms.select(
+        F.col("item").alias("item_i"), F.col("nnz").alias("ni")
+    )
+    nj = norms.select(
+        F.col("item").alias("item_j"), F.col("nnz").alias("nj")
+    )
+    d = dots.join(F.broadcast(ni), "item_i").join(F.broadcast(nj), "item_j")
+    dot, eps = F.col("dot"), F.lit(1e-6)
+    n_i, n_j = F.col("ni"), F.col("nj")
+    return d.select(
+        "item_i",
+        "item_j",
+        dot.cast("bigint").alias("cooc"),
+        (dot / (F.sqrt(n_i) * F.sqrt(n_j) + eps)).alias("cosine"),
+        (dot / (n_i + n_j - dot + eps)).alias("jaccard"),
+        (dot / (n_i + n_j + eps)).alias("dice"),
+        (dot / (dot + 0.8 * (n_i - dot) + 0.2 * (n_j - dot) + eps)).alias(
+            "tversky"
+        ),
+        (dot / (F.pow(n_i, 0.3) * F.pow(n_j, 0.7) + eps)).alias("asym_cosine"),
+        (
+            1.0
+            / (F.sqrt(F.greatest(n_i + n_j - 2.0 * dot, F.lit(0.0))) + 1.0 + eps)
+        ).alias("euclid_sim"),
+    )
+
+
+register(
+    QuerySpec(
+        "item_similarity_family",
+        q_item_similarity_family,
+        f"""
+        WITH {URM_CTE},
+        n AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS n FROM urm GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM urm a JOIN urm b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        )
+        SELECT item_i, item_j, CAST(dot AS BIGINT) AS cooc,
+               dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6)                          AS cosine,
+               dot / (ni.n + nj.n - dot + 1e-6)                                AS jaccard,
+               dot / (ni.n + nj.n + 1e-6)                                      AS dice,
+               dot / (dot + 0.8 * (ni.n - dot) + 0.2 * (nj.n - dot) + 1e-6)    AS tversky,
+               dot / (pow(ni.n, 0.3) * pow(nj.n, 0.7) + 1e-6)                  AS asym_cosine,
+               1.0 / (sqrt(greatest(ni.n + nj.n - 2 * dot, 0)) + 1.0 + 1e-6)   AS euclid_sim
+        FROM d
+        JOIN n ni ON d.item_i = ni.item_id
+        JOIN n nj ON d.item_j = nj.item_id
+        """,
+        doc="cosine/jaccard/dice/tversky/asym/euclidean kernel "
+        "(Compute_Similarity_Python.py:213-388)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# per-column top-K similarity (similarityMatrixTopK, Recommender_utils.py:55-122)
+# ---------------------------------------------------------------------------
+def q_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urm = _urm(spark, sf_dir)
+    sims = similarity_scores(urm, "cosine")
+    return similarity_top_k(sims, 10)
+
+
+register(
+    QuerySpec(
+        "item_cosine_topk",
+        q_item_cosine_topk,
+        f"""
+        WITH {URM_CTE},
+        n AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS n FROM urm GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM urm a JOIN urm b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT item_i, item_j,
+                   dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) AS sim
+            FROM d JOIN n ni ON d.item_i = ni.item_id
+                   JOIN n nj ON d.item_j = nj.item_id
+        )
+        SELECT item_i, item_j, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_j
+                                       ORDER BY sim DESC, item_i ASC) AS INT) AS rank
+        FROM s QUALIFY rank <= 10
+        """,
+        doc="similarityMatrixTopK (Recommender_utils.py:55-122)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# adjusted cosine + pearson (Compute_Similarity_Python.py:121-190)
+# ---------------------------------------------------------------------------
+def q_centered_similarities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted-cosine (user-mean-centered) and Pearson (item-mean-centered)
+    similarities over the explicit rating matrix, one row per item pair."""
+    rated = _rated(spark, sf_dir).withColumnRenamed("rating", "value")
+    adj = similarity_scores(
+        mean_centered(rated, by="user_id"), "cosine"
+    ).withColumnRenamed("sim", "adjusted_cosine")
+    prs = similarity_scores(
+        mean_centered(rated, by="item_id"), "cosine"
+    ).withColumnRenamed("sim", "pearson")
+    return adj.join(prs, ["item_i", "item_j"], "inner")
+
+
+register(
+    QuerySpec(
+        "centered_similarities",
+        q_centered_similarities,
+        f"""
+        WITH {RATED_CTE},
+        um AS (SELECT user_id, AVG(rating) AS m FROM rated GROUP BY 1),
+        im AS (SELECT item_id, AVG(rating) AS m FROM rated GROUP BY 1),
+        adj AS (SELECT r.user_id, r.item_id, r.rating - um.m AS v
+                FROM rated r JOIN um USING (user_id)),
+        prs AS (SELECT r.user_id, r.item_id, r.rating - im.m AS v
+                FROM rated r JOIN im USING (item_id)),
+        adjn AS (SELECT item_id, SUM(v * v) AS sq FROM adj GROUP BY 1),
+        prsn AS (SELECT item_id, SUM(v * v) AS sq FROM prs GROUP BY 1),
+        adjd AS (SELECT a.item_id AS item_i, b.item_id AS item_j, SUM(a.v * b.v) AS dot
+                 FROM adj a JOIN adj b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+                 GROUP BY 1, 2),
+        prsd AS (SELECT a.item_id AS item_i, b.item_id AS item_j, SUM(a.v * b.v) AS dot
+                 FROM prs a JOIN prs b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+                 GROUP BY 1, 2)
+        SELECT adjd.item_i, adjd.item_j,
+               adjd.dot / (sqrt(ai.sq) * sqrt(aj.sq) + 1e-6) AS adjusted_cosine,
+               prsd.dot / (sqrt(pi.sq) * sqrt(pj.sq) + 1e-6) AS pearson
+        FROM adjd
+        JOIN prsd ON adjd.item_i = prsd.item_i AND adjd.item_j = prsd.item_j
+        JOIN adjn ai ON adjd.item_i = ai.item_id
+        JOIN adjn aj ON adjd.item_j = aj.item_id
+        JOIN prsn pi ON adjd.item_i = pi.item_id
+        JOIN prsn pj ON adjd.item_j = pj.item_id
+        """,
+        doc="adjusted cosine + pearson (Compute_Similarity_Python.py:121-190)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# P3alpha / RP3beta random-walk similarities (GraphBased/*.py)
+# ---------------------------------------------------------------------------
+def q_p3alpha_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urm = _urm(spark, sf_dir)
+    return p3alpha_similarity(urm, alpha=1.0, top_k=10)
+
+
+register(
+    QuerySpec(
+        "p3alpha_topk",
+        q_p3alpha_topk,
+        f"""
+        WITH {URM_CTE},
+        du AS (SELECT user_id, CAST(SUM(1.0) AS DOUBLE) AS deg FROM urm GROUP BY 1),
+        di AS (SELECT item_id, CAST(SUM(1.0) AS DOUBLE) AS deg FROM urm GROUP BY 1),
+        w AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   SUM(pow(1.0 / di.deg, 1.0) * pow(1.0 / du.deg, 1.0)) AS sim
+            FROM urm a
+            JOIN urm b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            JOIN di ON a.item_id = di.item_id
+            JOIN du ON a.user_id = du.user_id
+            GROUP BY 1, 2
+        )
+        SELECT item_i, item_j, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_j
+                    ORDER BY round(sim, 9) DESC, item_i ASC) AS INT) AS rank
+        FROM w QUALIFY rank <= 10
+        """,
+        doc="P3alpha random walk (P3alphaRecommender.py:33-141)",
+    )
+)
+
+
+def q_rp3beta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urm = _urm(spark, sf_dir)
+    return rp3beta_similarity(urm, alpha=1.0, beta=0.5, top_k=10)
+
+
+register(
+    QuerySpec(
+        "rp3beta_topk",
+        q_rp3beta_topk,
+        f"""
+        WITH {URM_CTE},
+        du AS (SELECT user_id, CAST(SUM(1.0) AS DOUBLE) AS deg FROM urm GROUP BY 1),
+        di AS (SELECT item_id, CAST(SUM(1.0) AS DOUBLE) AS deg FROM urm GROUP BY 1),
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS pop FROM urm GROUP BY 1),
+        w AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   SUM(pow(1.0 / di.deg, 1.0) * pow(1.0 / du.deg, 1.0)) AS sim
+            FROM urm a
+            JOIN urm b ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            JOIN di ON a.item_id = di.item_id
+            JOIN du ON a.user_id = du.user_id
+            GROUP BY 1, 2
+        ),
+        wb AS (
+            SELECT item_i, w.item_j, sim / sqrt(pop.pop) AS sim
+            FROM w JOIN pop ON w.item_j = pop.item_id
+        )
+        SELECT item_i, item_j, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_j
+                    ORDER BY round(sim, 9) DESC, item_i ASC) AS INT) AS rank
+        FROM wb QUALIFY rank <= 10
+        """,
+        doc="RP3beta popularity-penalized walk (RP3betaRecommender.py:32-153)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# GlobalEffects biases (NonPersonalizedRecommender.py:66-136)
+# ---------------------------------------------------------------------------
+def q_global_effects_item_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rated = _rated(spark, sf_dir)
+    _, item_bias, _ = global_effects(rated, lambda_item=25.0, lambda_user=10.0)
+    return item_bias
+
+
+register(
+    QuerySpec(
+        "global_effects_item_bias",
+        q_global_effects_item_bias,
+        f"""
+        WITH {RATED_CTE},
+        mu AS (SELECT AVG(rating) AS mu FROM rated)
+        SELECT item_id,
+               SUM(rating - mu) / (COUNT(*) + 25.0) AS item_bias
+        FROM rated CROSS JOIN mu GROUP BY item_id
+        """,
+        doc="GlobalEffects shrunk item bias (NonPersonalizedRecommender.py:75-120)",
+    )
+)
+
+
+def q_global_effects_user_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rated = _rated(spark, sf_dir)
+    _, _, user_bias = global_effects(rated, lambda_item=25.0, lambda_user=10.0)
+    return user_bias
+
+
+register(
+    QuerySpec(
+        "global_effects_user_bias",
+        q_global_effects_user_bias,
+        f"""
+        WITH {RATED_CTE},
+        mu AS (SELECT AVG(rating) AS mu FROM rated),
+        ib AS (
+            SELECT item_id, SUM(rating - mu) / (COUNT(*) + 25.0) AS item_bias
+            FROM rated CROSS JOIN mu GROUP BY item_id
+        )
+        SELECT user_id,
+               SUM(rating - mu - item_bias) / (COUNT(*) + 10.0) AS user_bias
+        FROM rated CROSS JOIN mu JOIN ib USING (item_id)
+        GROUP BY user_id
+        """,
+        doc="GlobalEffects shrunk user bias (NonPersonalizedRecommender.py:75-120)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end recommendation pipelines
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = """
+    tagged AS (
+        SELECT *, CASE
+            WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 698 THEN 0
+            WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 798 THEN 1
+            ELSE 2 END AS split
+        FROM urm
+    ),
+    train AS (SELECT user_id, item_id FROM tagged WHERE split = 0),
+    test  AS (SELECT user_id, item_id FROM tagged WHERE split = 2)
+"""
+
+
+def _train_test(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    urm = _urm(spark, sf_dir)
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id")
+    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
+    return train, test
+
+
+def q_toppop_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopPop top-10 for every test user, seen items removed.
+
+    The full reference recommend() path (BaseRecommender.py:135-213) on the
+    simplest model: popularity scores → remove-seen anti-join → per-user
+    window top-K.  Integer scores ⇒ exact cross-engine ordering.
+    """
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    return recommend_top_k(cand, 10, train=train)
+
+
+register(
+    QuerySpec(
+        "toppop_recommendations",
+        q_toppop_recommendations,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        cand AS (SELECT eu.user_id, pop.item_id, pop.score FROM eu CROSS JOIN pop),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY score DESC, item_id ASC) AS INT) AS rank
+        FROM unseen QUALIFY rank <= 10
+        """,
+        doc="TopPop recommend pipeline (BaseRecommender.py:135-213)",
+    )
+)
+
+
+def q_itemknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItemKNN-CF top-10: cosine W (topK=10) → URM·W scores → remove seen.
+
+    The reference's core serving query (BaseSimilarityMatrixRecommender
+    .py:77-96 + BaseRecommender.py:175-213).  Scores are float sums →
+    ranked on round(score, 9) for engine portability.
+    """
+    train, test = _train_test(spark, sf_dir)
+    train_v = train.withColumn("value", F.lit(1.0))
+    w = similarity_top_k(similarity_scores(train_v, "cosine"), 10).select(
+        "item_i", "item_j", "sim"
+    )
+    scores = item_based_scores(train_v, w)
+    users = test.select("user_id").distinct()
+    scores = scores.join(users, "user_id", "left_semi")
+    return recommend_top_k(scores, 10, train=train, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "itemknn_recommendations",
+        q_itemknn_recommendations,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        n AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS n FROM train GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM train a JOIN train b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT item_i, item_j, dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY item_j
+                        ORDER BY dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) DESC,
+                                 item_i ASC) AS rnk
+            FROM d JOIN n ni ON d.item_i = ni.item_id
+                   JOIN n nj ON d.item_j = nj.item_id
+            QUALIFY rnk <= 10
+        ),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        scores AS (
+            SELECT t.user_id, s.item_j AS item_id, SUM(s.sim) AS score
+            FROM train t JOIN s ON t.item_id = s.item_i
+            WHERE t.user_id IN (SELECT user_id FROM eu)
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT sc.* FROM scores sc
+            LEFT JOIN train t ON sc.user_id = t.user_id AND sc.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY round(score, 9) DESC, item_id ASC) AS INT) AS rank
+        FROM unseen QUALIFY rank <= 10
+        """,
+        doc="ItemKNN-CF serving (BaseSimilarityMatrixRecommender.py:77-96)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# evaluation harness: all accuracy metrics in one aggregation
+# (Base/Evaluation/Evaluator.py + metrics.py, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+def q_toppop_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    recs = recommend_top_k(cand, 10, train=train).select(
+        "user_id", "item_id", "rank"
+    )
+    return ranking_metrics(recs, test, cutoff=10)
+
+
+register(
+    QuerySpec(
+        "toppop_eval_metrics",
+        q_toppop_eval_metrics,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        cand AS (SELECT eu.user_id, pop.item_id, pop.score FROM eu CROSS JOIN pop),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY score DESC, item_id ASC) AS rank
+            FROM unseen QUALIFY rank <= 10
+        ),
+        ntest AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+        lab AS (
+            SELECT r.user_id, r.rank, n.n_test,
+                   CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+            FROM recs r
+            JOIN ntest n USING (user_id)
+            LEFT JOIN test t ON r.user_id = t.user_id AND r.item_id = t.item_id
+        ),
+        cum AS (
+            SELECT *, SUM(is_hit) OVER (PARTITION BY user_id ORDER BY rank
+                                        ROWS UNBOUNDED PRECEDING) AS cum_hits
+            FROM lab
+        ),
+        pu AS (
+            SELECT user_id, ANY_VALUE(n_test) AS n_test,
+                   SUM(is_hit) AS n_hits,
+                   SUM(is_hit * cum_hits * 1.0 / rank) AS ap_num,
+                   MIN(CASE WHEN is_hit = 1 THEN rank END) AS fhr,
+                   SUM(is_hit * 1.0 / rank) AS arhr,
+                   SUM(is_hit / log2(rank + 1.0)) AS dcg
+            FROM cum GROUP BY user_id
+        ),
+        idcg AS (
+            SELECT i AS n, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS idcg
+            FROM range(1, 11) t(i)
+        ),
+        per_user AS (
+            SELECT nt.user_id,
+                   COALESCE(p.n_hits / 10.0, 0.0)                    AS precision,
+                   COALESCE(p.n_hits * 1.0 / LEAST(nt.n_test, 10), 0.0) AS precision_min_den,
+                   COALESCE(p.n_hits * 1.0 / nt.n_test, 0.0)         AS recall,
+                   COALESCE(p.ap_num / LEAST(nt.n_test, 10), 0.0)    AS ap,
+                   COALESCE(1.0 / p.fhr, 0.0)                        AS rr,
+                   COALESCE(p.dcg / i.idcg, 0.0)                     AS ndcg,
+                   COALESCE(p.arhr, 0.0)                             AS arhr,
+                   COALESCE(CAST(p.n_hits AS DOUBLE), 0.0)           AS hits
+            FROM ntest nt
+            LEFT JOIN pu p ON nt.user_id = p.user_id
+            LEFT JOIN idcg i ON LEAST(nt.n_test, 10) = i.n
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+                   AVG(precision)         AS precision,
+                   AVG(precision_min_den) AS precision_min_den,
+                   AVG(recall)            AS recall,
+                   AVG(ap)                AS map,
+                   AVG(rr)                AS mrr,
+                   AVG(ndcg)              AS ndcg,
+                   AVG(arhr)              AS arhr,
+                   AVG(hits)              AS hit_rate
+            FROM per_user
+        )
+        SELECT *, CASE WHEN precision + recall > 0
+                       THEN 2.0 * precision * recall / (precision + recall)
+                       ELSE 0.0 END AS f1
+        FROM agg
+        """,
+        doc="full accuracy-metric evaluation at cutoff 10 (Evaluator.py:284-364)",
+    )
+)

@@ -1,0 +1,66 @@
+"""Non-personalized recommenders: TopPop, GlobalEffects, Random.
+
+Reference: Base/NonPersonalizedRecommender.py —
+- TopPop (:18-47): item popularity = column nnz of the URM.
+- GlobalEffects (:66-136): shrunk global/item/user biases:
+    mu     = mean of all ratings
+    b_item = Σ_u (r_ui − mu) / (nnz_i + λ_item)
+    b_user = Σ_i (r_ui − mu − b_item) / (nnz_u + λ_user)
+- Random (:155-180): uniform seeded scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_popularity(urm: DataFrame) -> DataFrame:
+    """TopPop fit: (item_id, popularity)."""
+    return urm.groupBy("item_id").agg(F.count("*").cast("bigint").alias("popularity"))
+
+
+def global_effects(
+    ratings: DataFrame,
+    lambda_item: float = 25.0,
+    lambda_user: float = 10.0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shrunk biases over an explicit (user_id, item_id, rating) table.
+
+    Returns (mu_df, item_bias_df, user_bias_df); mu_df is a 1-row frame.
+    Three cheap aggs + one broadcast join — the reference's exact math
+    (NonPersonalizedRecommender.py:75-120) without the CSC/CSR format
+    gymnastics.
+    """
+    mu_df = ratings.agg(F.avg("rating").alias("mu"))
+    with_mu = ratings.crossJoin(F.broadcast(mu_df))
+    item_bias = with_mu.groupBy("item_id").agg(
+        (
+            F.sum(F.col("rating") - F.col("mu"))
+            / (F.count("*") + F.lit(lambda_item))
+        ).alias("item_bias")
+    )
+    user_bias = (
+        with_mu.join(F.broadcast(item_bias), "item_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("rating") - F.col("mu") - F.col("item_bias"))
+                / (F.count("*") + F.lit(lambda_user))
+            ).alias("user_bias")
+        )
+    )
+    return mu_df, item_bias, user_bias
+
+
+def random_scores(users: DataFrame, items: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded uniform scores per (user, item) candidate.
+
+    Validated distribution-level only — Spark's RNG stream differs from
+    NumPy's (SURVEY.md §4, seeded-reproducibility note).
+    """
+    return (
+        users.select("user_id")
+        .crossJoin(F.broadcast(items.select("item_id")))
+        .withColumn("score", F.rand(seed))
+    )

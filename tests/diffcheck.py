@@ -45,8 +45,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("float64")
         elif pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
-    sort_cols = list(out.columns)
-    return out.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    # sort exact-typed columns first; floats only as rounded tie-breakers so
+    # last-ulp engine differences can't reorder rows
+    exact = [c for c in out.columns if not pd.api.types.is_float_dtype(out[c])]
+    floats = [c for c in out.columns if pd.api.types.is_float_dtype(out[c])]
+    for c in floats:
+        out[f"_r_{c}"] = out[c].round(6)
+    sort_cols = exact + [f"_r_{c}" for c in floats]
+    out = out.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return out.drop(columns=[f"_r_{c}" for c in floats])
 
 
 def assert_frames_match(
