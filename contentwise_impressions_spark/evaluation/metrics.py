@@ -142,14 +142,101 @@ def ranking_metrics(
     )
 
 
-def coverage_metrics(
-    recs: DataFrame, train: DataFrame
+def beyond_accuracy_metrics(
+    recs: DataFrame, train: DataFrame, cutoff: int = 10
 ) -> DataFrame:
-    """Beyond-accuracy coverage: fraction of catalog ever recommended and
-    fraction of train users with >= 1 rec (metrics.py:310-370)."""
-    n_items = train.select("item_id").distinct().count()
-    n_users = train.select("user_id").distinct().count()
-    return recs.agg(
-        (F.countDistinct("item_id") / F.lit(float(n_items))).alias("coverage_item"),
-        (F.countDistinct("user_id") / F.lit(float(n_users))).alias("coverage_user"),
+    """All beyond-accuracy metrics in one pass over the rec lists.
+
+    Reference formulas (Base/Evaluation/metrics.py):
+    - NOVELTY (:538-586): mean self-information —
+      per user Σ_{rec, pop>0} −log2(pop_i / n_interactions) / n_items,
+      averaged over evaluated users (catalog n_items, train interactions).
+    - AVERAGE_POPULARITY (:592-636): per user mean of pop_i / max_pop,
+      averaged over users.
+    - COVERAGE_ITEM (:310-323): distinct recommended / catalog items.
+    - COVERAGE_USER (:348-370): users with >= 1 rec / train users.
+    - DIVERSITY_GINI (:401-442): inverted-range Gini over the distribution
+      of per-item recommendation counts (zero-occurrence items ignored):
+      2·Σ_i ((n+1−i)/(n+1)) · c_i/Σc, c ascending.
+    - SHANNON_ENTROPY (:485-530) and DIVERSITY_HERFINDAHL (:447-479) over
+      the same count distribution.
+    - DIVERSITY_MEAN_INTER_LIST (:702-810) closed form:
+      (U²−U − (Σc² − U·k)/k) / (U²−U).
+    All are aggregates of the per-item rec-count table — one shuffle.
+    """
+    spark = recs.sparkSession
+    pop = train.groupBy("item_id").agg(F.count("*").cast("double").alias("pop"))
+    totals = train.agg(
+        F.count("*").cast("double").alias("n_interactions"),
+        F.countDistinct("item_id").cast("double").alias("n_items"),
+        F.countDistinct("user_id").cast("double").alias("n_train_users"),
+    )
+    max_pop = pop.agg(F.max("pop").alias("max_pop"))
+
+    # per-user novelty / avg-popularity contributions
+    per_user = (
+        recs.join(F.broadcast(pop), "item_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(max_pop))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pop") > 0,
+                    -F.log2(F.col("pop") / F.col("n_interactions"))
+                    / F.col("n_items"),
+                ).otherwise(F.lit(0.0))
+            ).alias("novelty_u"),
+            (F.sum(F.coalesce(F.col("pop"), F.lit(0.0)) / F.col("max_pop"))
+             / F.count("*")).alias("avgpop_u"),
+        )
+    )
+    user_aggs = per_user.agg(
+        F.count("*").cast("double").alias("n_users_evaluated"),
+        F.avg("novelty_u").alias("novelty"),
+        F.avg("avgpop_u").alias("avg_popularity"),
+    )
+
+    # per-item recommendation counts (nonzero only, by construction)
+    counts = recs.groupBy("item_id").agg(F.count("*").cast("double").alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("item_id").asc())
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    count_aggs = ranked.agg(
+        F.count("*").cast("double").alias("n_rec_items"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum(F.col("c") * F.col("i")).alias("sum_ci"),
+        F.sum(F.col("c") * F.log2("c")).alias("sum_clogc"),
+    )
+
+    cov = recs.agg(
+        F.countDistinct("item_id").cast("double").alias("n_distinct_rec_items"),
+        F.countDistinct("user_id").cast("double").alias("n_rec_users"),
+    )
+
+    joined = (
+        user_aggs.crossJoin(count_aggs).crossJoin(cov).crossJoin(totals)
+    )
+    n, sc, sc2, sci = (
+        F.col("n_rec_items"),
+        F.col("sum_c"),
+        F.col("sum_c2"),
+        F.col("sum_ci"),
+    )
+    u, k = F.col("n_users_evaluated"), F.lit(float(cutoff))
+    return joined.select(
+        F.col("n_users_evaluated").cast("bigint").alias("n_users_evaluated"),
+        "novelty",
+        "avg_popularity",
+        (F.col("n_distinct_rec_items") / F.col("n_items")).alias("coverage_item"),
+        (F.col("n_rec_users") / F.col("n_train_users")).alias("coverage_user"),
+        # 2·Σ((n+1−i)/(n+1))·c_i/Σc = 2·((n+1)·Σc − Σc·i)/((n+1)·Σc)
+        (
+            2.0 * ((n + 1.0) * sc - sci) / ((n + 1.0) * sc)
+        ).alias("diversity_gini"),
+        (F.log2(sc) - F.col("sum_clogc") / sc).alias("shannon_entropy"),
+        (1.0 - sc2 / (sc * sc)).alias("herfindahl"),
+        (
+            ((u * u - u) - (sc2 - u * k) / k) / (u * u - u)
+        ).alias("mean_inter_list"),
     )

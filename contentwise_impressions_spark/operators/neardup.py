@@ -1,0 +1,187 @@
+"""Near-duplicate detection: shingling, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extension (BASELINE.json north star) — the reference
+has no text dedup; these follow the standard constructions (Broder '97
+MinHash, Charikar '02 SimHash) expressed as DataFrame programs.
+
+Portability design: MinHash/SimHash need integer token ids and a hash
+family.  For oracle-checkable determinism we use
+  - token/shingle ids from a dense_rank over the sorted distinct corpus
+    (identical in any engine), and
+  - the affine family h_k(x) = (a_k·x + b_k) mod P, P = 2^31−1,
+with constants small enough that products stay < 2^63 (no overflow, no
+engine-specific wraparound).  At 100 TB the dense_rank global sort is the
+bottleneck — swap `shingle_ids_portable` for `shingle_ids_hashed`
+(xxhash64, shuffle-free, same downstream algebra) when cross-engine
+replayability isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: modulus and affine constants for the MinHash family (shared with the
+#: oracle-SQL generators in plans/dedupops.py)
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
+MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012)
+
+#: SimHash bit-hash constants: bit_j(x) = [((x·SA_j + SB_j) mod P) > P/2]
+SIMHASH_BITS = 16
+SIMHASH_A = tuple(15485863 + 2038074743 * j % 1000000007 for j in range(SIMHASH_BITS))
+SIMHASH_B = tuple(97 + 1009 * j for j in range(SIMHASH_BITS))
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tokens array) — whitespace split, empties dropped."""
+    return docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("tokens"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Expressed with transform(sequence(...)) so the whole thing stays in
+    whole-stage codegen — no UDF, no explode-then-window.
+    """
+    toks = tokenize(docs, text_col)
+    ngrams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("tokens", (i + k).cast("int")) for k in range(n)]
+            ),
+        ).alias("shs"),
+    )
+    return (
+        ngrams.select("doc_id", F.explode("shs").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    doc_shingles: DataFrame, top_n: int | None = None
+) -> DataFrame:
+    """Pairwise Jaccard over shingle sets: (doc_i, doc_j, inter, n_i, n_j,
+    jaccard), doc_i < doc_j.
+
+    The candidate join is on the shingle value — only docs SHARING a
+    shingle ever meet, so the cost is Σ_shingle deg² not |docs|²; hot
+    shingles (stopword runs) are the skew risk, capped upstream by using
+    n >= 3.
+    """
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = doc_shingles.select(F.col("doc_id").alias("doc_i"), "shingle")
+    b = doc_shingles.select(F.col("doc_id").alias("doc_j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    ni = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n").alias("n_i"))
+    nj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n").alias("n_j"))
+    out = (
+        inter.join(F.broadcast(ni), "doc_i")
+        .join(F.broadcast(nj), "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("n_i").cast("bigint").alias("n_i"),
+            F.col("n_j").cast("bigint").alias("n_j"),
+            (
+                F.col("inter")
+                / (F.col("n_i") + F.col("n_j") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("jaccard").desc(), F.col("doc_i").asc(), F.col("doc_j").asc()
+        ).limit(top_n)
+    return out
+
+
+def shingle_ids_portable(doc_shingles: DataFrame) -> DataFrame:
+    """(doc_id, sid): shingle ids via dense_rank over the sorted corpus.
+
+    Engine-portable (any SQL engine reproduces it) but costs a global sort
+    of distinct shingles — see module docstring for the scale path.
+    """
+    distinct = doc_shingles.select("shingle").distinct()
+    ids = distinct.withColumn(
+        "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
+    )
+    return doc_shingles.join(ids, "shingle").select("doc_id", "sid")
+
+
+def shingle_ids_hashed(doc_shingles: DataFrame) -> DataFrame:
+    """(doc_id, sid) via xxhash64 — shuffle-free, the 100 TB path."""
+    return doc_shingles.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)).alias("sid")
+    )
+
+
+def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7): 8 affine min-hashes per doc — one hash agg."""
+    aggs = [
+        F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return doc_sids.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Candidate pairs sharing >= 1 LSH band: (doc_i, doc_j, n_shared_bands).
+
+    Bands of `rows_per_band` consecutive signature components; docs agreeing
+    on ALL components of a band land in the same bucket.  The join is on the
+    (band, component values) key — never all-pairs.
+    """
+    n_bands = len(MINHASH_A) // rows_per_band
+    bands = None
+    for bidx in range(n_bands):
+        cols = [f"mh{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        band = signatures.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.select(F.col("doc_id").alias("doc_i"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_j"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+
+def simhash_fingerprints(doc_sids: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash from token/shingle ids.
+
+    bit_j = sign of Σ_tokens (±1), +1 when the affine hash of the id sets
+    bit j.  One hash agg with 16 conditional sums — stays in codegen.
+    """
+    half = MINHASH_P // 2
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P) > half,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(zip(SIMHASH_A, SIMHASH_B))
+    ]
+    sums = doc_sids.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,345 @@
+"""Near-dup / similarity-search / IR-weighting queries (training-data
+pipeline extension — first-class per the build brief).
+
+The MinHash/SimHash oracle SQL is GENERATED from the same constants the
+Spark operators use (operators/neardup.py), so the two can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bm25, term_frequencies, tf_idf
+from ..operators.ann import cosine_topk_bruteforce, lsh_bucket_signatures
+from ..operators.ann import N_PLANES, PLANE_A, PLANE_B, PLANE_P
+from ..operators.neardup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    SIMHASH_A,
+    SIMHASH_B,
+    SIMHASH_BITS,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_ids_portable,
+    shingles,
+    simhash_fingerprints,
+)
+from ..sources.tables import load_table
+from .registry import QuerySpec, register
+
+#: oracle CTEs: tokens and distinct 3-gram shingles per doc (1-based list
+#: indexing matches Spark's element_at)
+_SHINGLE_CTE = """
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+        FROM documents
+    ),
+    shing AS (
+        SELECT DISTINCT doc_id,
+               tokens[i.i] || ' ' || tokens[i.i + 1] || ' ' || tokens[i.i + 2] AS shingle
+        FROM toks, range(1, 10001) i(i)
+        WHERE i.i <= len(tokens) - 2
+    )
+"""
+
+_SID_CTE = """
+    sids AS (
+        SELECT s.doc_id, d.sid
+        FROM shing s JOIN (
+            SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
+            FROM (SELECT DISTINCT shingle FROM shing)
+        ) d USING (shingle)
+    )
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 most-similar doc pairs by 3-gram Jaccard."""
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    return ngram_jaccard_pairs(sh, top_n=50)
+
+
+register(
+    QuerySpec(
+        "ngram_jaccard_topn",
+        q_ngram_jaccard_topn,
+        f"""
+        WITH {_SHINGLE_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS inter
+            FROM shing a JOIN shing b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_i, doc_j,
+               CAST(inter AS BIGINT) AS inter,
+               CAST(ni.n AS BIGINT) AS n_i,
+               CAST(nj.n AS BIGINT) AS n_j,
+               inter * 1.0 / (ni.n + nj.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes ni ON inter.doc_i = ni.doc_id
+        JOIN sizes nj ON inter.doc_j = nj.doc_id
+        ORDER BY jaccard DESC, doc_i ASC, doc_j ASC
+        LIMIT 50
+        """,
+        doc="n-gram Jaccard near-dup (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidates
+# ---------------------------------------------------------------------------
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    return minhash_signatures(sids)
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n               ".join(
+        f"MIN((sid * {a} + {b}) % {MINHASH_P}) AS mh{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+register(
+    QuerySpec(
+        "minhash_signatures",
+        q_minhash_signatures,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE}
+        SELECT doc_id,
+               {_minhash_sql_cols()}
+        FROM sids GROUP BY doc_id
+        """,
+        doc="MinHash signatures (Broder-style affine family)",
+    )
+)
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    return minhash_lsh_candidates(minhash_signatures(sids), rows_per_band=2)
+
+
+def _lsh_band_sql() -> str:
+    bands = []
+    for bidx in range(len(MINHASH_A) // 2):
+        c0, c1 = f"mh{2 * bidx}", f"mh{2 * bidx + 1}"
+        bands.append(
+            f"SELECT doc_id, {bidx} AS band, "
+            f"CAST({c0} AS VARCHAR) || '_' || CAST({c1} AS VARCHAR) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(bands)
+
+
+register(
+    QuerySpec(
+        "minhash_lsh_candidates",
+        q_minhash_lsh_candidates,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()})
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """,
+        doc="MinHash-LSH banding candidates",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    return simhash_fingerprints(sids)
+
+
+def _simhash_sql() -> str:
+    half = MINHASH_P // 2
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (sid * {a} + {b}) % {MINHASH_P} > {half} "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j, (a, b) in enumerate(zip(SIMHASH_A, SIMHASH_B))
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        sums AS (
+            SELECT doc_id,
+                   {sums}
+            FROM sids GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+register(
+    QuerySpec(
+        "simhash_fingerprints",
+        q_simhash_fingerprints,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        {_simhash_sql()}
+        """,
+        doc="SimHash 16-bit fingerprints",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity search
+# ---------------------------------------------------------------------------
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, k=5)
+
+
+register(
+    QuerySpec(
+        "ann_cosine_topk",
+        q_ann_cosine_topk,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 1025) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               d.dot / (na.nrm * nb.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY rank <= 5
+        """,
+        doc="brute-force cosine top-k over embeddings (pipeline extension)",
+    )
+)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_signatures(emb)
+
+
+def _lsh_plane_sql() -> str:
+    bits = []
+    for j in range(N_PLANES):
+        bits.append(
+            f"(CASE WHEN SUM(x * (((pos * {PLANE_A} + {j * PLANE_B}) % {PLANE_P})"
+            f" * 1.0 / {PLANE_P} - 0.5)) > 0 THEN {2**j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+register(
+    QuerySpec(
+        "ann_lsh_buckets",
+        q_ann_lsh_buckets,
+        f"""
+        WITH e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 1025) i(i)
+            WHERE i.i <= len(embedding)
+        )
+        SELECT vec_id, CAST({_lsh_plane_sql()} AS BIGINT) AS bucket
+        FROM e GROUP BY vec_id
+        """,
+        doc="random-hyperplane LSH bucket signatures (scale path for ANN)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 feature weighting (IR_feature_weighting.py)
+# ---------------------------------------------------------------------------
+_TF_CTE = """
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY 1, 2
+    )
+"""
+
+
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf(term_frequencies(_docs(spark, sf_dir)))
+
+
+register(
+    QuerySpec(
+        "tfidf_weights",
+        q_tfidf_weights,
+        f"""
+        WITH {_TF_CTE},
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf)
+        SELECT doc_id, token,
+               sqrt(tf) * ln(n_docs / (1.0 + df.df)) AS weight
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        """,
+        doc="TF-IDF weighting (IR_feature_weighting.py:55-78)",
+    )
+)
+
+
+def q_bm25_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25(term_frequencies(_docs(spark, sf_dir)), k1=1.2, b=0.75)
+
+
+register(
+    QuerySpec(
+        "bm25_weights",
+        q_bm25_weights,
+        f"""
+        WITH {_TF_CTE},
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, SUM(tf) AS row_sum FROM tf GROUP BY 1),
+        al AS (SELECT AVG(row_sum) AS avg_len FROM dl),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf)
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (1.2 + 1.0)
+                 / (1.2 * ((1.0 - 0.75) + 0.75 * dl.row_sum / al.avg_len) + tf.tf)
+                 * ln(n.n_docs / (1.0 + df.df)) AS weight
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN al CROSS JOIN n
+        """,
+        doc="okapi BM25 weighting (IR_feature_weighting.py:13-50)",
+    )
+)

@@ -562,3 +562,249 @@ register(
         doc="full accuracy-metric evaluation at cutoff 10 (Evaluator.py:284-364)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# beyond-accuracy metrics (metrics.py:310-810)
+# ---------------------------------------------------------------------------
+def q_toppop_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluation.metrics import beyond_accuracy_metrics
+
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    recs = recommend_top_k(cand, 10, train=train).select(
+        "user_id", "item_id", "rank"
+    )
+    return beyond_accuracy_metrics(recs, train, cutoff=10)
+
+
+register(
+    QuerySpec(
+        "toppop_beyond_accuracy",
+        q_toppop_beyond_accuracy,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS pop FROM train GROUP BY 1),
+        totals AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_interactions,
+                   CAST(COUNT(DISTINCT item_id) AS DOUBLE) AS n_items,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_train_users
+            FROM train
+        ),
+        mp AS (SELECT MAX(pop) AS max_pop FROM pop),
+        cand AS (
+            SELECT eu.user_id, p.item_id, p.pop AS score
+            FROM (SELECT DISTINCT user_id FROM test) eu CROSS JOIN pop p
+        ),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY score DESC, item_id ASC) AS rank
+            FROM unseen QUALIFY rank <= 10
+        ),
+        pu AS (
+            SELECT r.user_id,
+                   SUM(CASE WHEN p.pop > 0
+                       THEN -log2(p.pop / t.n_interactions) / t.n_items
+                       ELSE 0.0 END) AS novelty_u,
+                   SUM(COALESCE(p.pop, 0.0) / mp.max_pop) / COUNT(*) AS avgpop_u
+            FROM recs r
+            LEFT JOIN pop p USING (item_id)
+            CROSS JOIN totals t CROSS JOIN mp
+            GROUP BY r.user_id
+        ),
+        ua AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_users_evaluated,
+                   AVG(novelty_u) AS novelty,
+                   AVG(avgpop_u) AS avg_popularity
+            FROM pu
+        ),
+        cnts AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS c FROM recs GROUP BY 1),
+        rankedc AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, item_id ASC) AS i FROM cnts
+        ),
+        ca AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_rec_items,
+                   SUM(c) AS sum_c, SUM(c * c) AS sum_c2,
+                   SUM(c * i) AS sum_ci, SUM(c * log2(c)) AS sum_clogc
+            FROM rankedc
+        ),
+        cov AS (
+            SELECT CAST(COUNT(DISTINCT item_id) AS DOUBLE) AS n_distinct_rec_items,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_rec_users
+            FROM recs
+        )
+        SELECT CAST(ua.n_users_evaluated AS BIGINT) AS n_users_evaluated,
+               ua.novelty, ua.avg_popularity,
+               cov.n_distinct_rec_items / t.n_items AS coverage_item,
+               cov.n_rec_users / t.n_train_users AS coverage_user,
+               2.0 * ((ca.n_rec_items + 1.0) * ca.sum_c - ca.sum_ci)
+                   / ((ca.n_rec_items + 1.0) * ca.sum_c) AS diversity_gini,
+               log2(ca.sum_c) - ca.sum_clogc / ca.sum_c AS shannon_entropy,
+               1.0 - ca.sum_c2 / (ca.sum_c * ca.sum_c) AS herfindahl,
+               ((ua.n_users_evaluated * ua.n_users_evaluated - ua.n_users_evaluated)
+                 - (ca.sum_c2 - ua.n_users_evaluated * 10.0) / 10.0)
+                 / (ua.n_users_evaluated * ua.n_users_evaluated - ua.n_users_evaluated)
+                 AS mean_inter_list
+        FROM ua CROSS JOIN ca CROSS JOIN cov CROSS JOIN totals t
+        """,
+        doc="novelty/avg-pop/coverage/gini/entropy/herfindahl/MILD "
+        "(metrics.py:310-810)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# user-user similarity (UserKNN, KNN/UserKNNCFRecommender.py:32-54)
+# ---------------------------------------------------------------------------
+def q_user_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kernel with roles swapped: user-user cosine, top-10 per user."""
+    urm = _urm(spark, sf_dir)
+    swapped = urm.select(
+        F.col("item_id").alias("user_id"),
+        F.col("user_id").alias("item_id"),
+        "value",
+    )
+    sims = similarity_scores(swapped, "cosine")
+    return similarity_top_k(sims, 10).select(
+        F.col("item_i").alias("user_i"),
+        F.col("item_j").alias("user_j"),
+        "sim",
+        "rank",
+    )
+
+
+register(
+    QuerySpec(
+        "user_cosine_topk",
+        q_user_cosine_topk,
+        f"""
+        WITH {URM_CTE},
+        n AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n FROM urm GROUP BY 1),
+        d AS (
+            SELECT a.user_id AS user_i, b.user_id AS user_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM urm a JOIN urm b
+              ON a.item_id = b.item_id AND a.user_id <> b.user_id
+            GROUP BY 1, 2
+        )
+        SELECT user_i, user_j,
+               dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) AS sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_j
+                    ORDER BY dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) DESC,
+                             user_i ASC) AS INT) AS rank
+        FROM d JOIN n ni ON d.user_i = ni.user_id
+               JOIN n nj ON d.user_j = nj.user_id
+        QUALIFY rank <= 10
+        """,
+        doc="UserKNN cosine (KNN/UserKNNCFRecommender.py:32-54)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# remove top-popular items (Base/Recommender_utils.py:135-170)
+# ---------------------------------------------------------------------------
+def q_remove_top_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the top-10% most popular items from the URM; summary counts."""
+    urm = _urm(spark, sf_dir)
+    pop = urm.groupBy("item_id").agg(F.count("*").alias("pop"))
+    n_items = pop.count()
+    n_drop = int(n_items * 0.10)
+    w = Window.orderBy(F.col("pop").desc(), F.col("item_id").asc())
+    top = pop.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= n_drop
+    )
+    kept = urm.join(top.select("item_id"), "item_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("item_id").alias("n_items"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+register(
+    QuerySpec(
+        "remove_top_popular",
+        q_remove_top_popular,
+        f"""
+        WITH {URM_CTE},
+        pop AS (SELECT item_id, COUNT(*) AS pop FROM urm GROUP BY 1),
+        nd AS (SELECT CAST(FLOOR(COUNT(*) * 0.10) AS BIGINT) AS n_drop FROM pop),
+        top AS (
+            SELECT item_id FROM (
+                SELECT item_id, ROW_NUMBER() OVER (ORDER BY pop DESC, item_id ASC) AS r
+                FROM pop
+            ) CROSS JOIN nd WHERE r <= n_drop
+        ),
+        kept AS (SELECT * FROM urm WHERE item_id NOT IN (SELECT item_id FROM top))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_items,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM kept
+        """,
+        doc="remove top-popular items (Recommender_utils.py:135-170)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# negative-item sampling (split_train_validation.py:141-260,
+# EvaluatorNegativeItemSample) — deterministic hash-ordered variant
+# ---------------------------------------------------------------------------
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 pseudo-random unobserved items per test user.
+
+    The reference samples uniformly (seeded NumPy); for engine portability
+    the 'random' order is the portable hash of (item, user) — same
+    distributional role, exactly reproducible in SQL.
+    """
+    from ..functions.hashing import bucket_hash
+
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    items = train.select("item_id").distinct()
+    cand = users.crossJoin(F.broadcast(items)).join(
+        train, ["user_id", "item_id"], "left_anti"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= 5)
+    )
+
+
+register(
+    QuerySpec(
+        "negative_samples",
+        q_negative_samples,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        cand AS (
+            SELECT eu.user_id, it.item_id
+            FROM (SELECT DISTINCT user_id FROM test) eu
+            CROSS JOIN (SELECT DISTINCT item_id FROM train) it
+            WHERE NOT EXISTS (
+                SELECT 1 FROM train t
+                WHERE t.user_id = eu.user_id AND t.item_id = it.item_id
+            )
+        )
+        SELECT user_id, item_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
+                             item_id ASC) AS INT) AS neg_rank
+        FROM cand QUALIFY neg_rank <= 5
+        """,
+        doc="negative-item sampling (split_train_validation.py:141-260)",
+    )
+)

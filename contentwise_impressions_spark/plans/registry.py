@@ -42,6 +42,7 @@ def _load_all_modules() -> None:
     from . import recsys  # noqa: F401
     from . import textops  # noqa: F401
     from . import mlops  # noqa: F401
+    from . import dedupops  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -145,3 +145,196 @@ register(
         doc="quality scoring (training-data pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (training-data pipeline extension)
+# ---------------------------------------------------------------------------
+_LANG_WORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "des", "une", "est"),
+}
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language keyword counts.
+
+    Deterministic priority on ties: en > es > fr > unknown.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "tokens", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    )
+    hits = {}
+    for lang, words in _LANG_WORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(
+            F.filter(F.col("tokens"), lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+    out = toks.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["fr"].alias("fr_hits"),
+    )
+    return out.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("es_hits") >= F.col("fr_hits")) & (F.col("es_hits") > 0),
+            F.lit("es"),
+        )
+        .when(F.col("fr_hits") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown")),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_WORDS[lang])
+    return (
+        f"CAST(len(list_filter(tokens, t -> list_contains([{words}], t))) "
+        f"AS BIGINT)"
+    )
+
+
+register(
+    QuerySpec(
+        "langid",
+        q_langid,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   {_lang_hits_sql("en")} AS en_hits,
+                   {_lang_hits_sql("es")} AS es_hits,
+                   {_lang_hits_sql("fr")} AS fr_hits
+            FROM toks
+        )
+        SELECT doc_id, en_hits, es_hits, fr_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                    WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                    WHEN fr_hits > 0 THEN 'fr'
+                    ELSE 'unknown' END AS predicted_lang
+        FROM h
+        """,
+        doc="n-gram/stopword language-ID heuristic (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (order-sensitive positional hash)
+# ---------------------------------------------------------------------------
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint = Σ_pos sid(token) · (1000003 + pos·7919), exact BIGINT.
+
+    Order-sensitive (re-ordered docs fingerprint differently), integer-exact
+    in any engine.  Token ids from a dense_rank over the corpus vocabulary;
+    at scale substitute xxhash64 ids (same algebra, shuffle-free).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("pos0", "token"),
+    ).withColumn("pos", (F.col("pos0") + 1).cast("bigint"))
+    vocab = toks.select("token").distinct()
+    from pyspark.sql import Window as W
+
+    ids = vocab.withColumn(
+        "tid", F.dense_rank().over(W.orderBy("token")).cast("bigint")
+    )
+    return (
+        toks.join(ids, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tid") * (F.lit(1000003) + F.col("pos") * F.lit(7919))
+            ).alias("fingerprint")
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "doc_fingerprints",
+        q_doc_fingerprints,
+        """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i.i AS pos, tokens[i.i] AS token
+            FROM toks, range(1, 10001) i(i)
+            WHERE i.i <= len(tokens)
+        ),
+        ids AS (
+            SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
+            FROM (SELECT DISTINCT token FROM pos)
+        )
+        SELECT doc_id,
+               SUM(tid * (1000003 + pos * 7919)) AS fingerprint
+        FROM pos JOIN ids USING (token)
+        GROUP BY doc_id
+        """,
+        doc="order-sensitive document fingerprint (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# tag tokenize + light stemming (Data_manager/TagPreprocessing.py:20-62)
+# ---------------------------------------------------------------------------
+def q_tag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize p_type as tags: lower, strip punctuation, light suffix-strip.
+
+    The reference Porter-stems with NLTK (TagPreprocessing.py:20-62); we
+    apply a deterministic suffix rule (ses→s, s→ε) — divergence documented,
+    validated by its own oracle rather than reference equality.
+    """
+    part = load_table(spark, sf_dir, "part")
+    toks = part.select(
+        "p_partkey",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("p_type")), r"[^a-z ]", ""), " ")
+        ).alias("tag"),
+    ).filter(F.col("tag") != "")
+    stemmed = toks.withColumn(
+        "stem", F.regexp_replace(F.col("tag"), r"(ses|s)$", "")
+    )
+    return stemmed.groupBy("stem").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("p_partkey").alias("n_parts"),
+    )
+
+
+register(
+    QuerySpec(
+        "tag_tokens",
+        q_tag_tokens,
+        """
+        WITH toks AS (
+            SELECT p_partkey,
+                   UNNEST(string_split(regexp_replace(lower(p_type), '[^a-z ]', '', 'g'), ' ')) AS tag
+            FROM part
+        )
+        SELECT regexp_replace(tag, '(ses|s)$', '') AS stem,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts
+        FROM toks WHERE tag <> ''
+        GROUP BY 1
+        """,
+        doc="tag tokenize + stem (TagPreprocessing.py:20-62)",
+    )
+)
