@@ -13,7 +13,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from contentwise_impressions_spark.plans import all_queries  # noqa: E402
+from contentwise_impressions_spark.plans.registry import bench_queries  # noqa: E402
 from contentwise_impressions_spark.session import get_spark  # noqa: E402
 
 
@@ -22,7 +22,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("cwi-spark-bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    queries = all_queries()
+    # model FITS are excluded: their reference analog is a training budget,
+    # not a query (BASELINE.md) — bench times the query/serving surface
+    queries = bench_queries()
 
     # warm the JVM + parquet footer cache with one tiny job
     spark.range(1).count()

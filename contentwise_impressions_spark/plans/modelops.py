@@ -1,0 +1,292 @@
+"""Model-fit operator suite (SURVEY.md §2.7): ALS/IALS, PureSVD, NMF,
+SLIM-EN, EASE_R, BPR-MF, plus the streaming-shaped windowed aggregation.
+
+Iterative fits have no SQL oracle (the driver records the weaker rows-only
+check); the DETERMINISTIC pieces of those pipelines — the BPR negative
+sampler and the tumbling-window aggregation — do carry oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..recommenders.bpr import bpr_mf_fit, bpr_triplets
+from ..recommenders.factor import (
+    ials_recommend,
+    mf_scores,
+    nmf_factors,
+    pure_svd_item_factors,
+)
+from ..recommenders.slim import ease_r, slim_elasticnet
+from ..sources.interactions import events_as_interactions, implicit_urm
+from ..sources.tables import load_table
+from ..streaming.ingest import tumbling_event_counts
+from .recsys import URM_CTE
+from .registry import QuerySpec, register, utc
+
+
+def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return implicit_urm(load_table(spark, sf_dir, "events"))
+
+
+def _impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impression-shaped pairs: shown-but-not-interaction event types.
+
+    The CW impressions tables have no testdata analog; signup/error events
+    play the 'shown' role for the sampling operators.
+    """
+    inter = events_as_interactions(load_table(spark, sf_dir, "events"))
+    return (
+        inter.filter(F.col("event_type").isin("signup", "error"))
+        .select("user_id", "item_id")
+        .dropDuplicates(["user_id", "item_id"])
+    )
+
+
+IMP_CTE = """
+    imp AS (
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+               CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id
+        FROM events
+        WHERE event_type IN ('signup', 'error')
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPR negative sampler — deterministic, oracle-checked
+# (MatrixFactorizationImpressions_Cython_Epoch.pyx:1010-1084)
+# ---------------------------------------------------------------------------
+def q_bpr_triplets_inside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, pos, neg) with the negative drawn INSIDE the user's
+    impressions minus seen (…Epoch.pyx:1047-1049), hash-ordered."""
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    return bpr_triplets(urm, impressions=_impressions(spark, sf_dir), mode="inside")
+
+
+register(
+    QuerySpec(
+        "bpr_triplets_inside",
+        q_bpr_triplets_inside,
+        f"""
+        WITH {URM_CTE},
+        {IMP_CTE},
+        cand AS (
+            SELECT i.user_id, i.item_id FROM imp i
+            LEFT JOIN urm u ON i.user_id = u.user_id AND i.item_id = u.item_id
+            WHERE u.user_id IS NULL
+        ),
+        neg AS (
+            SELECT user_id, item_id AS neg_item FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
+                              item_id ASC) AS r
+                FROM cand
+            ) WHERE r = 1
+        )
+        SELECT u.user_id, u.item_id AS pos_item, n.neg_item
+        FROM urm u JOIN neg n USING (user_id)
+        """,
+        doc="impression-aware BPR negative sampling, inside mode "
+        "(MatrixFactorizationImpressions_Cython_Epoch.pyx:1047-1049)",
+    )
+)
+
+
+def q_bpr_triplets_outside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative drawn OUTSIDE impressions: catalog minus seen minus
+    impressions (…Epoch.pyx:1069-1079)."""
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    return bpr_triplets(urm, impressions=_impressions(spark, sf_dir), mode="outside")
+
+
+register(
+    QuerySpec(
+        "bpr_triplets_outside",
+        q_bpr_triplets_outside,
+        f"""
+        WITH {URM_CTE},
+        {IMP_CTE},
+        cand AS (
+            SELECT us.user_id, it.item_id
+            FROM (SELECT DISTINCT user_id FROM urm) us
+            CROSS JOIN (SELECT DISTINCT item_id FROM urm) it
+            WHERE NOT EXISTS (SELECT 1 FROM urm u
+                  WHERE u.user_id = us.user_id AND u.item_id = it.item_id)
+              AND NOT EXISTS (SELECT 1 FROM imp m
+                  WHERE m.user_id = us.user_id AND m.item_id = it.item_id)
+        ),
+        neg AS (
+            SELECT user_id, item_id AS neg_item FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
+                              item_id ASC) AS r
+                FROM cand
+            ) WHERE r = 1
+        )
+        SELECT u.user_id, u.item_id AS pos_item, n.neg_item
+        FROM urm u JOIN neg n USING (user_id)
+        """,
+        doc="impression-aware BPR negative sampling, outside mode "
+        "(…Epoch.pyx:1069-1079)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation (streaming extension, batch-checkable)
+# ---------------------------------------------------------------------------
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type event counts via F.window — the SAME transformation
+    streaming/ingest.py applies to readStream with a watermark."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_event_counts(ev, "1 hour")
+
+
+register(
+    QuerySpec(
+        "tumbling_window_counts",
+        q_tumbling_window_counts,
+        """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(value) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        doc="tumbling-window agg shared by the Structured Streaming path",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# iterative model fits — rows-only checks (no SQL equivalent)
+# ---------------------------------------------------------------------------
+def q_ials_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS(implicitPrefs) top-10 per user — IALSRecommender.py:40-211."""
+    urm = _urm(spark, sf_dir)
+    return ials_recommend(urm, k=10, rank=16, max_iter=10, reg=0.1, alpha=20.0)
+
+
+register(
+    QuerySpec(
+        "ials_recommendations",
+        q_ials_recommendations,
+        None,
+        doc="implicit ALS, exact MLlib analog of IALSRecommender.py:111-123",
+        bench=False,
+    )
+)
+
+
+def q_pure_svd_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-SVD item factors (PureSVDRecommender.py:33-45)."""
+    urm = _urm(spark, sf_dir)
+    f_ = pure_svd_item_factors(urm, k=8)
+    # factor VALUES are rotation/sign-indeterminate; expose the invariants
+    return f_.select(
+        "item_id",
+        F.sqrt(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("factor_norm"),
+    )
+
+
+register(
+    QuerySpec(
+        "pure_svd_factors",
+        q_pure_svd_factors,
+        None,
+        doc="PureSVD via distributed randomized SVD "
+        "(PureSVDRecommender.py:33-45); norms exposed (rotation-invariant)",
+        bench=False,
+    )
+)
+
+
+def q_slim_elasticnet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIM-EN per-item ElasticNet via applyInPandas
+    (SLIMElasticNetRecommender.py:41-149)."""
+    urm = _urm(spark, sf_dir)
+    return slim_elasticnet(urm, alpha=1e-4, l1_ratio=0.1, top_k=10)
+
+
+register(
+    QuerySpec(
+        "slim_elasticnet_weights",
+        q_slim_elasticnet_weights,
+        None,
+        doc="SLIM ElasticNet, parallel per-item fit "
+        "(SLIMElasticNetRecommender.py:41-149)",
+        bench=False,
+    )
+)
+
+
+def q_ease_r_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EASE_R closed-form item weights (EASE_R_Recommender.py:40-79)."""
+    urm = _urm(spark, sf_dir)
+    return ease_r(urm, l2=10.0, top_k=10)
+
+
+register(
+    QuerySpec(
+        "ease_r_weights",
+        q_ease_r_weights,
+        None,
+        doc="EASE_R: distributed Gram + driver inverse "
+        "(EASE_R_Recommender.py:40-79)",
+        bench=False,
+    )
+)
+
+
+def q_nmf_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMF factor norms (NMFRecommender.py:36-73; numpy MU kernel)."""
+    urm = _urm(spark, sf_dir)
+    uf, _ = nmf_factors(urm, k=8, n_iter=30)
+    return uf.select(
+        "user_id",
+        F.sqrt(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("factor_norm"),
+    )
+
+
+register(
+    QuerySpec(
+        "nmf_user_factors",
+        q_nmf_user_factors,
+        None,
+        doc="NMF multiplicative updates (NMFRecommender.py:36-73)",
+        bench=False,
+    )
+)
+
+
+def q_bpr_mf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPR-MF top-10 (parallel minibatch SGD + averaging;
+    MatrixFactorization_Cython_Epoch.pyx:662-709)."""
+    from ..operators.scoring import recommend_top_k
+
+    urm = _urm(spark, sf_dir)
+    uf, itf = bpr_mf_fit(
+        urm, rank=8, epochs=3, impressions=_impressions(spark, sf_dir),
+        mode="outside",
+    )
+    scores = mf_scores(uf, itf)
+    return recommend_top_k(scores, 10, train=urm, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "bpr_mf_recommendations",
+        q_bpr_mf_recommendations,
+        None,
+        doc="BPR-MF with impression-aware sampling "
+        "(MatrixFactorizationImpressions_Cython_Epoch.pyx:1010-1084)",
+        bench=False,
+    )
+)

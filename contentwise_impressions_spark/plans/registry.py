@@ -24,6 +24,9 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    #: include in bench.py timing (False for iterative model FITS, whose
+    #: reference analog is a training budget, not a query — BASELINE.md)
+    bench: bool = True
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -43,6 +46,7 @@ def _load_all_modules() -> None:
     from . import textops  # noqa: F401
     from . import mlops  # noqa: F401
     from . import dedupops  # noqa: F401
+    from . import modelops  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -55,6 +59,11 @@ def all_oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
     }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all_modules()
+    return {n: s.fn for n, s in _REGISTRY.items() if s.bench}
 
 
 def utc(spark: SparkSession) -> SparkSession:

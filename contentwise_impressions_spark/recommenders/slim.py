@@ -1,0 +1,191 @@
+"""Learned sparse item-item models: SLIM-ElasticNet and EASE_R.
+
+Reference:
+- SLIM-EN — SLIM_ElasticNet/SLIMElasticNetRecommender.py:41-149: one
+  ElasticNet regression per item column (target = URM[:, j], predictors =
+  all other columns, positive coefficients), keep topK coefficients.  The
+  reference loops columns SEQUENTIALLY (:130-140 logs items/sec); the
+  problem is embarrassingly parallel per item, which is exactly what
+  ``applyInPandas`` over item groups gives us.  sklearn isn't available in
+  this environment, so the kernel is a direct numpy coordinate-descent for
+  the same objective (1/(2n)||y−Xw||² + α·l1_ratio·|w| +
+  α(1−l1_ratio)/2·||w||², positive=True — sklearn's parameterization).
+- EASE_R — EASE_R/EASE_R_Recommender.py:40-79: closed form
+  B = P / (−diag(P)), P = (G + λI)⁻¹, G = XᵀX, diag(B) = 0.  The Gram
+  matrix is computed DISTRIBUTED (pair-dots join); only the O(n_items³)
+  inverse runs on the driver — same wall the reference has; blocked /
+  conjugate-gradient alternatives are the documented scale path.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# UDF kernels below close over functions from this module; register it for
+# by-value pickling so executors don't need the package on their PYTHONPATH
+# (the grading driver imports __spark_entry__.py from an arbitrary CWD).
+try:  # pragma: no cover - depends on pyspark internals
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:
+    pass
+
+
+def _elastic_net_cd(
+    x: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    l1_ratio: float,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    positive: bool = True,
+) -> np.ndarray:
+    """Coordinate descent for ElasticNet (sklearn objective/parameterization)."""
+    n, p = x.shape
+    w = np.zeros(p)
+    l1 = alpha * l1_ratio * n
+    l2 = alpha * (1.0 - l1_ratio) * n
+    col_sq = (x * x).sum(axis=0)
+    resid = y - x @ w
+    for _ in range(max_iter):
+        w_max, d_w_max = 0.0, 0.0
+        for j in range(p):
+            if col_sq[j] == 0.0:
+                continue
+            w_j = w[j]
+            if w_j != 0.0:
+                resid += w_j * x[:, j]
+            rho = x[:, j] @ resid
+            if positive and rho < 0:
+                w_new = 0.0
+            else:
+                w_new = np.sign(rho) * max(abs(rho) - l1, 0.0) / (col_sq[j] + l2)
+                if positive:
+                    w_new = max(w_new, 0.0)
+            w[j] = w_new
+            if w_new != 0.0:
+                resid -= w_new * x[:, j]
+            d_w_max = max(d_w_max, abs(w_new - w_j))
+            w_max = max(w_max, abs(w_new))
+        if w_max == 0.0 or d_w_max / max(w_max, 1e-12) < tol:
+            break
+    return w
+
+
+def slim_elasticnet(
+    urm: DataFrame,
+    alpha: float = 1e-4,
+    l1_ratio: float = 0.1,
+    top_k: int = 10,
+    max_items_broadcast: int = 20000,
+) -> DataFrame:
+    """Fit SLIM-EN; returns (item_i, item_j, weight) with <= top_k rows per
+    item_j (weight = coefficient of item_i predicting item_j).
+
+    Parallelization: the URM (as a dense user×item array) is broadcast;
+    items are distributed one-per-row and each ``applyInPandas`` group fits
+    its column independently — the Spark translation of the reference's
+    per-column loop, with the 300-seconds-per-progress-log sequential wall
+    (SLIMElasticNetRecommender.py:130-140) removed.
+
+    Scale honesty: broadcasting the URM bounds this at ~max_items_broadcast
+    items × users that fit in executor memory.  Beyond that the standard
+    play is restricting each column's predictor set to its co-occurrence
+    neighbors (exact for SLIM's sparsity pattern) and shipping per-group
+    sub-matrices — noted, not implemented here.
+    """
+    rows = urm.select("user_id", "item_id", "value").collect()
+    n_u = max(r[0] for r in rows) + 1
+    n_i = max(r[1] for r in rows) + 1
+    if n_i > max_items_broadcast:
+        raise ValueError(
+            f"slim_elasticnet broadcast path supports <= {max_items_broadcast} items"
+        )
+    mat = np.zeros((n_u, n_i), dtype=np.float64)
+    for r in rows:
+        mat[r[0], r[1]] = r[2]
+    spark = urm.sparkSession
+    bc = spark.sparkContext.broadcast(mat)
+
+    out_schema = StructType(
+        [
+            StructField("item_i", LongType()),
+            StructField("item_j", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+
+    def fit_columns(pdf: pd.DataFrame) -> pd.DataFrame:
+        x_full = bc.value
+        recs = []
+        for j in pdf["item_id"]:
+            j = int(j)
+            y = x_full[:, j].copy()
+            x = x_full.copy()
+            x[:, j] = 0.0  # exclude self-regression (reference zeroes col j)
+            w = _elastic_net_cd(x, y, alpha=alpha, l1_ratio=l1_ratio)
+            nz = np.flatnonzero(w)
+            if len(nz) > top_k:
+                keep = nz[np.argsort(-w[nz], kind="stable")[:top_k]]
+            else:
+                keep = nz
+            for i in keep:
+                recs.append((int(i), j, float(w[i])))
+        return pd.DataFrame(recs, columns=["item_i", "item_j", "weight"])
+
+    items = urm.select("item_id").distinct()
+    return items.groupBy("item_id").applyInPandas(fit_columns, out_schema)
+
+
+def ease_r(urm: DataFrame, l2: float = 10.0, top_k: int | None = 10) -> DataFrame:
+    """EASE_R closed form; returns (item_i, item_j, weight).
+
+    Gram distributed (self-join + agg, same kernel as the similarity
+    family); inverse on the driver (reference does the same —
+    EASE_R_Recommender.py:64).
+    """
+    from ..operators.similarity import pair_dots, similarity_top_k
+
+    n_items = int(urm.agg(F.max("item_id")).collect()[0][0]) + 1
+    dots = pair_dots(urm).collect()
+    diag = (
+        urm.groupBy("item_id")
+        .agg(F.sum(F.col("value") * F.col("value")).alias("sq"))
+        .collect()
+    )
+    g = np.zeros((n_items, n_items))
+    for row in dots:
+        g[row["item_i"], row["item_j"]] = row["dot"]
+    for row in diag:
+        g[row["item_id"], row["item_id"]] = row["sq"]
+    g[np.diag_indices(n_items)] += l2
+    p = np.linalg.inv(g)
+    b = p / (-np.diag(p))
+    np.fill_diagonal(b, 0.0)
+    spark = urm.sparkSession
+    schema = StructType(
+        [
+            StructField("item_i", LongType()),
+            StructField("item_j", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    nz = np.argwhere(np.abs(b) > 1e-12)
+    w = spark.createDataFrame(
+        [(int(i), int(j), float(b[i, j])) for i, j in nz], schema
+    )
+    if top_k is not None:
+        w = similarity_top_k(w, top_k, round_digits=9)
+    return w

@@ -1,0 +1,70 @@
+"""Structured Streaming ingestion extension.
+
+The reference is pure batch (SURVEY.md §2.12) — timestamps are data, not
+event time.  This module adds the natural streaming path for the same
+interaction log: tumbling-window interaction counts and an incremental
+TopPop, expressed as ONE transformation function applied identically to a
+batch DataFrame (oracle-checkable) or a readStream DataFrame (with
+watermarking) — the recommended Spark pattern for batch/stream parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Events per (tumbling window, event_type).
+
+    Batch: plain windowed agg.  Streaming: add a watermark so state for
+    closed windows is evicted — late rows beyond the watermark are dropped,
+    which is the standard completeness/latency trade.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def incremental_toppop(
+    interactions: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming item-popularity counts (the TopPop model, incrementally).
+
+    Complete-mode aggregation over item_id: each micro-batch updates the
+    popularity table; the serving layer reads the latest snapshot.  The agg
+    is partial-aggregable so state is one row per item.
+    """
+    return (
+        interactions.withWatermark("ts", watermark)
+        .groupBy("item_id")
+        .agg(F.count("*").alias("popularity"))
+    )
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files —
+    the deploy shape for log ingestion (one file per flush interval)."""
+    reader = spark.readStream.format("parquet").option("maxFilesPerTrigger", 1)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(source_dir)

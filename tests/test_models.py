@@ -1,0 +1,108 @@
+"""Sanity tests for the iterative model-fit operators (no SQL oracle —
+validated by shape, invariants, and recommendation quality, mirroring the
+reference's own strategy for stochastic algorithms)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentwise_impressions_spark.recommenders.bpr import bpr_triplets
+from contentwise_impressions_spark.recommenders.factor import (
+    ials_factors,
+    mf_scores,
+    nmf_factors,
+    pure_svd_item_factors,
+)
+from contentwise_impressions_spark.recommenders.slim import (
+    _elastic_net_cd,
+    ease_r,
+    slim_elasticnet,
+)
+from contentwise_impressions_spark.sources.interactions import implicit_urm
+from contentwise_impressions_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def urm(spark, sf_dir):
+    u = implicit_urm(load_table(spark, sf_dir, "events")).cache()
+    u.count()
+    return u
+
+
+def test_ials_factors_shapes(spark, urm):
+    uf, itf = ials_factors(urm, rank=4, max_iter=3)
+    assert uf.count() == urm.select("user_id").distinct().count()
+    assert itf.count() == urm.select("item_id").distinct().count()
+    assert len(uf.first()["features"]) == 4
+
+
+def test_mf_scores_match_manual_dot(spark, urm):
+    uf, itf = ials_factors(urm, rank=4, max_iter=2)
+    s = mf_scores(uf.limit(2), itf.limit(3)).collect()
+    u_map = {r["user_id"]: r["features"] for r in uf.limit(2).collect()}
+    i_map = {r["item_id"]: r["features"] for r in itf.limit(3).collect()}
+    for row in s:
+        expect = sum(
+            a * b for a, b in zip(u_map[row["user_id"]], i_map[row["item_id"]])
+        )
+        assert abs(row["score"] - expect) < 1e-6
+
+
+def test_pure_svd_captures_energy(spark, urm):
+    f_ = pure_svd_item_factors(urm, k=4)
+    norms = f_.select(
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x).alias("sq")
+    ).agg(F.sum("sq")).collect()[0][0]
+    total = urm.agg(F.sum(F.col("value") * F.col("value"))).collect()[0][0]
+    # Σ σ_k² <= ||A||_F², and a rank-4 basis should capture a real fraction
+    assert 0 < norms <= total * 1.0001
+    assert norms > 0.1 * total
+
+
+def test_elastic_net_cd_recovers_sparse_signal():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.random((200, 10))
+    w_true = np.zeros(10)
+    w_true[[2, 5]] = [0.8, 0.5]
+    y = x @ w_true
+    w = _elastic_net_cd(x, y, alpha=1e-4, l1_ratio=0.5)
+    assert abs(w[2] - 0.8) < 0.1 and abs(w[5] - 0.5) < 0.1
+    assert (w[[0, 1, 3, 4, 6, 7, 8, 9]] < 0.15).all()
+
+
+def test_slim_elasticnet_invariants(spark, urm):
+    w = slim_elasticnet(urm, top_k=5).cache()
+    assert w.filter(F.col("item_i") == F.col("item_j")).count() == 0  # no diag
+    assert w.filter(F.col("weight") < 0).count() == 0  # positive=True
+    per_j = w.groupBy("item_j").count().agg(F.max("count")).collect()[0][0]
+    assert per_j <= 5
+
+
+def test_ease_r_no_diagonal_and_topk(spark, urm):
+    w = ease_r(urm, l2=50.0, top_k=5).cache()
+    assert w.filter(F.col("item_i") == F.col("item_j")).count() == 0
+    assert w.groupBy("item_j").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_nmf_nonnegative(spark, urm):
+    uf, itf = nmf_factors(urm, k=4, n_iter=10)
+    neg = uf.select(
+        F.size(F.filter("features", lambda x: x < 0)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert neg == 0
+
+
+def test_bpr_triplets_are_valid(spark, urm):
+    trip = bpr_triplets(urm, mode="outside").cache()
+    # every triplet's negative is NOT in the user's seen set
+    bad = trip.join(
+        urm.select("user_id", F.col("item_id").alias("neg_item")),
+        ["user_id", "neg_item"],
+        "inner",
+    ).count()
+    assert bad == 0
+    # one triplet per positive
+    assert trip.count() == urm.count()

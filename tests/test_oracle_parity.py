@@ -29,6 +29,15 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
 def test_every_query_has_oracle_or_is_declared():
     # queries without oracles are allowed (weaker rows-only check) but must
     # be intentional; keep the list explicit here.
-    allowed_no_oracle: set[str] = set()
+    # iterative/stochastic model fits: no SQL twin exists; the driver
+    # records the weaker rows-only check for these (documented in modelops)
+    allowed_no_oracle: set[str] = {
+        "ials_recommendations",
+        "pure_svd_factors",
+        "slim_elasticnet_weights",
+        "ease_r_weights",
+        "nmf_user_factors",
+        "bpr_mf_recommendations",
+    }
     missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
     assert not missing, f"queries missing oracle SQL: {sorted(missing)}"

@@ -1,0 +1,59 @@
+"""Structured Streaming ingestion test: file source → windowed agg → memory
+sink, checked against the batch run of the SAME transformation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from contentwise_impressions_spark.sources.tables import load_table
+from contentwise_impressions_spark.streaming.ingest import (
+    stream_events,
+    tumbling_event_counts,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_stream_"))
+    try:
+        # split the log into 3 chronological 'flush' files (log shippers
+        # deliver roughly in order; the watermark is allowed to drop only
+        # beyond-watermark stragglers, of which an ordered feed has none)
+        import pyspark.sql.functions as F
+
+        bounds = ev.agg(F.min("ts"), F.max("ts")).first()
+        lo, hi = bounds[0], bounds[1]
+        step = (hi - lo) / 3
+        for i in range(3):
+            part = ev.filter(
+                (F.col("ts") >= F.lit(lo + i * step))
+                & (F.col("ts") < F.lit(lo + (i + 1) * step) if i < 2 else F.lit(True))
+            )
+            part.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        agg = tumbling_event_counts(src, "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["window_start"], r["event_type"]): r["cnt"]
+            for r in spark.sql(
+                "SELECT window_start, event_type, max(cnt) AS cnt "
+                "FROM win_counts GROUP BY 1, 2"
+            ).collect()
+        }
+        expect = {
+            (r["window_start"], r["event_type"]): r["cnt"]
+            for r in tumbling_event_counts(ev, "1 hour").collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
