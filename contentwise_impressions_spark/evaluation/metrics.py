@@ -72,16 +72,31 @@ def ranking_metrics(
         .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    labeled = labeled.withColumn("cum_hits", F.sum("is_hit").over(w_cum))
+    w_user = Window.partitionBy("user_id")
+    labeled = (
+        labeled.withColumn("cum_hits", F.sum("is_hit").over(w_cum))
+        .withColumn("n_rows_u", F.count("*").over(w_user))
+        .withColumn("n_hits_u", F.sum("is_hit").over(w_user))
+    )
 
     per_user = labeled.groupBy("user_id", "n_test").agg(
         F.sum("is_hit").alias("n_hits"),
+        F.count("*").alias("n_recs"),
         F.sum(
             F.col("is_hit") * F.col("cum_hits") / F.col("rank")
         ).alias("ap_num"),
         F.min(F.when(F.col("is_hit") == 1, F.col("rank"))).alias("first_hit_rank"),
         F.sum(F.col("is_hit") / F.col("rank")).alias("arhr"),
         F.sum(F.col("is_hit") / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+        # ROC_AUC numerator (metrics.py:104-120): for each hit at rank r,
+        # count non-hits ranked after it: (n_rows−r) − (n_hits−cum_hits)
+        F.sum(
+            F.col("is_hit")
+            * (
+                (F.col("n_rows_u") - F.col("rank"))
+                - (F.col("n_hits_u") - F.col("cum_hits"))
+            )
+        ).alias("auc_num"),
     )
 
     idcg = _idcg_table(spark, cutoff)
@@ -98,6 +113,14 @@ def ranking_metrics(
             (F.col("dcg") / F.col("idcg")).alias("ndcg"),
             F.col("arhr"),
             F.col("n_hits").cast("double").alias("hits"),
+            # metrics.py:111-120: no negatives in list → 1.0; no hits → 0.0
+            F.when(F.col("n_recs") == F.col("n_hits"), F.lit(1.0))
+            .when(F.col("n_hits") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("auc_num")
+                / (F.col("n_hits") * (F.col("n_recs") - F.col("n_hits")))
+            )
+            .alias("roc_auc"),
         )
     )
 
@@ -116,6 +139,7 @@ def ranking_metrics(
             "ndcg",
             "arhr",
             "hits",
+            "roc_auc",
         ],
     )
 
@@ -129,6 +153,7 @@ def ranking_metrics(
         F.avg("ndcg").alias("ndcg"),
         F.avg("arhr").alias("arhr"),
         F.avg("hits").alias("hit_rate"),
+        F.avg("roc_auc").alias("roc_auc"),
     )
     return agg.withColumn(
         "f1",

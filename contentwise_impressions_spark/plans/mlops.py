@@ -511,7 +511,9 @@ register(
         ),
         cum AS (
             SELECT *, SUM(is_hit) OVER (PARTITION BY user_id ORDER BY rank
-                                        ROWS UNBOUNDED PRECEDING) AS cum_hits
+                                        ROWS UNBOUNDED PRECEDING) AS cum_hits,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_rows_u,
+                   SUM(is_hit) OVER (PARTITION BY user_id) AS n_hits_u
             FROM lab
         ),
         pu AS (
@@ -520,7 +522,10 @@ register(
                    SUM(is_hit * cum_hits * 1.0 / rank) AS ap_num,
                    MIN(CASE WHEN is_hit = 1 THEN rank END) AS fhr,
                    SUM(is_hit * 1.0 / rank) AS arhr,
-                   SUM(is_hit / log2(rank + 1.0)) AS dcg
+                   SUM(is_hit / log2(rank + 1.0)) AS dcg,
+                   COUNT(*) AS n_recs,
+                   SUM(is_hit * (n_rows_u - rank - (n_hits_u - cum_hits)))
+                       AS auc_num
             FROM cum GROUP BY user_id
         ),
         idcg AS (
@@ -537,7 +542,12 @@ register(
                    COALESCE(1.0 / p.fhr, 0.0)                        AS rr,
                    COALESCE(p.dcg / i.idcg, 0.0)                     AS ndcg,
                    COALESCE(p.arhr, 0.0)                             AS arhr,
-                   COALESCE(CAST(p.n_hits AS DOUBLE), 0.0)           AS hits
+                   COALESCE(CAST(p.n_hits AS DOUBLE), 0.0)           AS hits,
+                   COALESCE(CASE WHEN p.n_recs = p.n_hits THEN 1.0
+                                 WHEN p.n_hits = 0 THEN 0.0
+                                 ELSE p.auc_num * 1.0
+                                      / (p.n_hits * (p.n_recs - p.n_hits)) END,
+                            0.0)                                     AS roc_auc
             FROM ntest nt
             LEFT JOIN pu p ON nt.user_id = p.user_id
             LEFT JOIN idcg i ON LEAST(nt.n_test, 10) = i.n
@@ -551,7 +561,8 @@ register(
                    AVG(rr)                AS mrr,
                    AVG(ndcg)              AS ndcg,
                    AVG(arhr)              AS arhr,
-                   AVG(hits)              AS hit_rate
+                   AVG(hits)              AS hit_rate,
+                   AVG(roc_auc)           AS roc_auc
             FROM per_user
         )
         SELECT *, CASE WHEN precision + recall > 0
