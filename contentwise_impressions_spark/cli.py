@@ -1,0 +1,109 @@
+"""CLI analogs of the reference's entry points.
+
+- run_generate_splits  (reference run_generate_splits.py): read the event
+  log, dedup, deterministic 70/10/20 split, persist per-split parquet —
+  the whole §3.1 lifecycle as one job, no driver materialization.
+- run_statistics       (notebook_generate_statistics analog): emit the
+  statistics JSON.
+- run_tuning           (run_hyperparameter_tuning.py analog): search the
+  ItemKNN space with the random-search driver, print the results table.
+
+Usage: python -m contentwise_impressions_spark.cli <command> [sf_dir] [out]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from .operators.splits import deterministic_split
+from .plans.stats_suite import full_statistics
+from .session import get_spark
+from .sources.interactions import events_as_interactions, implicit_urm
+from .sources.tables import load_table
+
+
+def run_generate_splits(sf_dir: str, out_dir: str) -> None:
+    spark = get_spark("cwi-generate-splits")
+    urm = implicit_urm(load_table(spark, sf_dir, "events"))
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    (
+        tagged.withColumn(
+            "split_name",
+            F.element_at(
+                F.array(F.lit("train"), F.lit("validation"), F.lit("test")),
+                F.col("split") + 1,
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("split_name")
+        .parquet(f"{out_dir}/urm_splits")
+    )
+    counts = {
+        r["split"]: r["cnt"]
+        for r in tagged.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    print(json.dumps({"splits": counts}))
+
+
+def run_statistics(sf_dir: str, out_path: str | None = None) -> None:
+    spark = get_spark("cwi-statistics")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    inter = events_as_interactions(load_table(spark, sf_dir, "events"))
+    stats = full_statistics(inter)
+    doc = json.dumps(stats, default=str, indent=2, sort_keys=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(doc)
+    print(doc)
+
+
+def run_tuning(sf_dir: str) -> None:
+    from .evaluation.metrics import ranking_metrics
+    from .operators.scoring import item_based_scores, recommend_top_k
+    from .operators.similarity import similarity_scores, similarity_top_k
+    from .tuning import Categorical, Integer, Real, random_search, results_table
+
+    spark = get_spark("cwi-tuning")
+    urm = implicit_urm(load_table(spark, sf_dir, "events"))
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id").cache()
+    val = tagged.filter(F.col("split") == 1).select("user_id", "item_id").cache()
+
+    def objective(p):
+        train_v = train.withColumn("value", F.lit(1.0))
+        w = similarity_top_k(
+            similarity_scores(train_v, p["kind"], shrink=p["shrink"]), p["top_k"]
+        ).select("item_i", "item_j", "sim")
+        recs = recommend_top_k(
+            item_based_scores(train_v, w), 10, train=train, round_digits=9
+        ).select("user_id", "item_id", "rank")
+        return ranking_metrics(recs, val, cutoff=10).collect()[0]["map"]
+
+    space = {
+        "top_k": Integer(5, 50),
+        "shrink": Real(0.0, 20.0),
+        "kind": Categorical(("cosine", "jaccard", "dice")),
+    }
+    best, hist = random_search(space, objective, n_cases=8, seed=42)
+    print(results_table({"ItemKNNCF": hist}).to_string(index=False))
+    print("best:", json.dumps(best))
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "statistics"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    if cmd == "generate-splits":
+        run_generate_splits(sf_dir, sys.argv[3] if len(sys.argv) > 3 else "/tmp/cwi_out")
+    elif cmd == "statistics":
+        run_statistics(sf_dir, sys.argv[3] if len(sys.argv) > 3 else None)
+    elif cmd == "tuning":
+        run_tuning(sf_dir)
+    else:
+        raise SystemExit(f"unknown command: {cmd}")
+
+
+if __name__ == "__main__":
+    main()

@@ -819,3 +819,120 @@ register(
         doc="negative-item sampling (split_train_validation.py:141-260)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# EvaluatorNegativeItemSample (Evaluator.py:745-829): rank only the
+# candidate set = user's test items ∪ sampled negatives
+# ---------------------------------------------------------------------------
+def q_negative_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopPop ranked WITHIN each user's (test ∪ 5 negatives) candidate set;
+    precision/recall/MRR at cutoff 5 averaged over users."""
+    from ..evaluation.metrics import ranking_metrics
+    from ..functions.hashing import bucket_hash
+
+    train, test = _train_test(spark, sf_dir)
+    pop = train.groupBy("item_id").agg(F.count("*").cast("double").alias("score"))
+    users = test.select("user_id").distinct()
+    items = train.select("item_id").distinct()
+    # negatives: 5 hash-ordered unobserved items per user (mirrors the
+    # negative_samples query / split_train_validation.py:141-260)
+    cand_neg = users.crossJoin(F.broadcast(items)).join(
+        train, ["user_id", "item_id"], "left_anti"
+    ).join(test, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(
+        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
+    )
+    negatives = (
+        cand_neg.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select("user_id", "item_id")
+    )
+    candidates = test.unionByName(negatives).dropDuplicates(
+        ["user_id", "item_id"]
+    )
+    scored = candidates.join(F.broadcast(pop), "item_id", "left").fillna(
+        0.0, subset=["score"]
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    recs = (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "item_id", "rank")
+    )
+    m = ranking_metrics(recs, test, cutoff=5)
+    return m.select("n_users_evaluated", "precision", "recall", "mrr")
+
+
+register(
+    QuerySpec(
+        "negative_sample_eval",
+        q_negative_sample_eval,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        cand_neg AS (
+            SELECT eu.user_id, it.item_id
+            FROM eu CROSS JOIN (SELECT DISTINCT item_id FROM train) it
+            WHERE NOT EXISTS (SELECT 1 FROM train t
+                  WHERE t.user_id = eu.user_id AND t.item_id = it.item_id)
+              AND NOT EXISTS (SELECT 1 FROM test t
+                  WHERE t.user_id = eu.user_id AND t.item_id = it.item_id)
+        ),
+        negatives AS (
+            SELECT user_id, item_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
+                              item_id ASC) AS r
+                FROM cand_neg
+            ) WHERE r <= 5
+        ),
+        candidates AS (
+            SELECT DISTINCT user_id, item_id FROM (
+                SELECT user_id, item_id FROM test
+                UNION ALL SELECT user_id, item_id FROM negatives
+            )
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY COALESCE(p.score, 0.0) DESC, item_id ASC) AS rank
+            FROM candidates LEFT JOIN pop p USING (item_id)
+            QUALIFY rank <= 5
+        ),
+        ntest AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+        lab AS (
+            SELECT r.user_id, r.rank, n.n_test,
+                   CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+            FROM recs r
+            JOIN ntest n USING (user_id)
+            LEFT JOIN test t ON r.user_id = t.user_id AND r.item_id = t.item_id
+        ),
+        pu AS (
+            SELECT user_id, ANY_VALUE(n_test) AS n_test,
+                   SUM(is_hit) AS n_hits,
+                   MIN(CASE WHEN is_hit = 1 THEN rank END) AS fhr
+            FROM lab GROUP BY user_id
+        ),
+        per_user AS (
+            SELECT nt.user_id,
+                   COALESCE(p.n_hits / 5.0, 0.0) AS precision,
+                   COALESCE(p.n_hits * 1.0 / nt.n_test, 0.0) AS recall,
+                   COALESCE(1.0 / p.fhr, 0.0) AS rr
+            FROM ntest nt LEFT JOIN pu p USING (user_id)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+               AVG(precision) AS precision,
+               AVG(recall) AS recall,
+               AVG(rr) AS mrr
+        FROM per_user
+        """,
+        doc="candidate-set evaluation (EvaluatorNegativeItemSample, "
+        "Evaluator.py:745-829)",
+    )
+)

@@ -47,6 +47,8 @@ def _load_all_modules() -> None:
     from . import mlops  # noqa: F401
     from . import dedupops  # noqa: F401
     from . import modelops  # noqa: F401
+    from . import impressionops  # noqa: F401
+    from . import cbfops  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

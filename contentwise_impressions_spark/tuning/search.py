@@ -1,0 +1,162 @@
+"""Hyperparameter search driver + early stopping + results gathering.
+
+Reference (SURVEY.md §2.10):
+- SearchBayesianSkopt — ParameterTuning/SearchBayesianSkopt.py:21-271:
+  50 cases / 15 random starts of gp_minimize over Real/Integer/Categorical
+  spaces, objective = validation MAP@cutoff, metadata + best model saved,
+  optional refit on train+validation scored on test
+  (run_parameter_search.py:263-268,679-684).
+- Early stopping — Base/Incremental_Training_Early_Stopping.py:91-262:
+  validate every N epochs, keep best, stop after K non-improving rounds.
+- Results gathering — run_results_gathering.py / Utils/ResultFolderLoader.
+
+skopt isn't available in this environment, so the search strategy is seeded
+random search over the same space vocabulary (the reference's own first 15
+evaluations are exactly this); the TRIAL LOOP structure — each case = one
+Spark fit job + one evaluation job, driver-side state only — is the part
+that transfers to gp_minimize unchanged.  Trials are independent Spark
+jobs, so a ThreadPool can overlap them (scheduler pools), mirroring the
+reference's process-pool KNN sweep (run_parameter_search.py:470-475).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class Real:
+    low: float
+    high: float
+    prior: str = "uniform"  # or "log-uniform"
+
+
+@dataclass(frozen=True)
+class Integer:
+    low: int
+    high: int
+
+
+@dataclass(frozen=True)
+class Categorical:
+    choices: tuple
+
+
+def _sample(space: dict[str, Any], rng: np.random.Generator) -> dict[str, Any]:
+    out = {}
+    for name, dim in space.items():
+        if isinstance(dim, Real):
+            if dim.prior == "log-uniform":
+                out[name] = float(
+                    np.exp(rng.uniform(np.log(dim.low), np.log(dim.high)))
+                )
+            else:
+                out[name] = float(rng.uniform(dim.low, dim.high))
+        elif isinstance(dim, Integer):
+            out[name] = int(rng.integers(dim.low, dim.high + 1))
+        elif isinstance(dim, Categorical):
+            out[name] = dim.choices[rng.integers(0, len(dim.choices))]
+        else:
+            raise TypeError(f"unknown dimension type for {name}: {dim!r}")
+    return out
+
+
+def random_search(
+    space: dict[str, Any],
+    objective: Callable[[dict[str, Any]], float],
+    n_cases: int = 15,
+    seed: int = 42,
+    maximize: bool = True,
+) -> tuple[dict[str, Any], pd.DataFrame]:
+    """Seeded random search; returns (best_params, history).
+
+    `objective(params) -> metric` runs one trial (fit + evaluate as Spark
+    jobs).  History mirrors the reference's search metadata: params,
+    metric, wall-clock per case, best-so-far flag.
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    best_metric, best_params = None, None
+    for case in range(n_cases):
+        params = _sample(space, rng)
+        t0 = time.perf_counter()
+        metric = float(objective(params))
+        elapsed = time.perf_counter() - t0
+        better = (
+            best_metric is None
+            or (metric > best_metric if maximize else metric < best_metric)
+        )
+        if better:
+            best_metric, best_params = metric, params
+        rows.append(
+            {
+                "case": case,
+                **{f"param_{k}": v for k, v in params.items()},
+                "metric": metric,
+                "train_eval_sec": round(elapsed, 3),
+                "is_best": better,
+            }
+        )
+    return best_params, pd.DataFrame(rows)
+
+
+def fit_with_early_stopping(
+    run_epochs: Callable[[int], None],
+    evaluate: Callable[[], float],
+    snapshot: Callable[[], Any],
+    max_epochs: int = 100,
+    validate_every: int = 5,
+    patience: int = 5,
+    maximize: bool = True,
+) -> tuple[Any, int, float]:
+    """The reference's early-stopping contract
+    (Incremental_Training_Early_Stopping.py:91-262): train
+    `validate_every` epochs at a time, keep the best snapshot, stop after
+    `patience` non-improving validations.  Returns (best_model,
+    best_epoch, best_metric)."""
+    best, best_epoch, best_metric = None, 0, None
+    worse = 0
+    epoch = 0
+    while epoch < max_epochs:
+        step = min(validate_every, max_epochs - epoch)
+        run_epochs(step)
+        epoch += step
+        metric = float(evaluate())
+        if best_metric is None or (
+            metric > best_metric if maximize else metric < best_metric
+        ):
+            best, best_epoch, best_metric = snapshot(), epoch, metric
+            worse = 0
+        else:
+            worse += 1
+            if worse >= patience:
+                break
+    return best, best_epoch, best_metric
+
+
+def results_table(histories: dict[str, pd.DataFrame]) -> pd.DataFrame:
+    """Gather per-algorithm search histories into the summary table the
+    reference renders to LaTeX (ResultFolderLoader.py:482-860): best
+    metric, best params, total search time per algorithm."""
+    rows = []
+    for algo, hist in histories.items():
+        best = hist.loc[hist["metric"].idxmax()]
+        rows.append(
+            {
+                "algorithm": algo,
+                "best_metric": best["metric"],
+                "n_cases": len(hist),
+                "search_sec": hist["train_eval_sec"].sum(),
+                **{
+                    k.replace("param_", ""): v
+                    for k, v in best.items()
+                    if k.startswith("param_")
+                },
+            }
+        )
+    return pd.DataFrame(rows)

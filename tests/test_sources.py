@@ -1,0 +1,84 @@
+"""Tests for the generic ratings-CSV loader, ID mappers, model persistence,
+and the split-cache protocol."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentwise_impressions_spark.sources.model_io import (
+    cached_or_build,
+    load_model,
+    save_model,
+)
+from contentwise_impressions_spark.sources.ratings_csv import (
+    build_id_mapper,
+    load_ratings_csv,
+    ratings_to_urm,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = Path(tempfile.mkdtemp(prefix="cwi_src_"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+MOVIELENS_STYLE = """u1::i1::4.0::100
+u1::i2::3.0::105
+u2::i1::5.0::90
+u1::i1::2.0::200
+u3::i3::1.0::50
+"""
+
+
+def test_load_ratings_csv_keep_last(spark, tmpdir):
+    f = tmpdir / "ratings.dat"
+    f.write_text(MOVIELENS_STYLE)
+    df = load_ratings_csv(spark, str(f), sep="::")
+    rows = {(r["user_token"], r["item_token"]): r["rating"] for r in df.collect()}
+    # (u1, i1) appears twice; keep-last-by-ts wins with rating 2.0 @ ts 200
+    assert rows[("u1", "i1")] == 2.0
+    assert len(rows) == 4
+
+
+def test_id_mappers_contiguous(spark, tmpdir):
+    f = tmpdir / "ratings.dat"
+    f.write_text(MOVIELENS_STYLE)
+    ratings = load_ratings_csv(spark, str(f), sep="::")
+    urm, user_map, item_map = ratings_to_urm(ratings)
+    uids = sorted(r["user_id"] for r in user_map.collect())
+    assert uids == [0, 1, 2]  # contiguous, 0-based
+    assert urm.count() == 4
+    assert dict(urm.dtypes)["user_id"] == "bigint"
+
+
+def test_model_save_load_roundtrip(spark, tmpdir):
+    w = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.25)], ["item_i", "item_j", "sim"]
+    )
+    save_model(str(tmpdir / "m"), {"w_sparse": w}, {"topK": 10, "shrink": 0.0})
+    dfs, meta = load_model(spark, str(tmpdir / "m"))
+    assert meta == {"topK": 10, "shrink": 0.0}
+    assert sorted(dfs) == ["w_sparse"]
+    assert dfs["w_sparse"].count() == 2
+
+
+def test_cached_or_build_protocol(spark, tmpdir):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).select(F.col("id").alias("x"))
+
+    p = str(tmpdir / "cache")
+    df1 = cached_or_build(spark, p, build, verify=lambda d: d.count() == 5)
+    assert df1.count() == 5 and len(calls) == 1
+    # second call must hit the cache, not rebuild
+    df2 = cached_or_build(spark, p, build, verify=lambda d: d.count() == 5)
+    assert df2.count() == 5 and len(calls) == 1

@@ -1,0 +1,90 @@
+"""Hyperparameter-search driver tests: tune ItemKNN (topK, shrink) on the
+events URM with MAP@10 objective — the reference's KNN sweep in miniature
+(run_hyperparameter_tuning.py:101-113)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentwise_impressions_spark.evaluation.metrics import ranking_metrics
+from contentwise_impressions_spark.operators.scoring import (
+    item_based_scores,
+    recommend_top_k,
+)
+from contentwise_impressions_spark.operators.similarity import (
+    similarity_scores,
+    similarity_top_k,
+)
+from contentwise_impressions_spark.operators.splits import deterministic_split
+from contentwise_impressions_spark.sources.interactions import implicit_urm
+from contentwise_impressions_spark.sources.tables import load_table
+from contentwise_impressions_spark.tuning import (
+    Categorical,
+    Integer,
+    Real,
+    fit_with_early_stopping,
+    random_search,
+    results_table,
+)
+
+
+@pytest.fixture(scope="module")
+def split(spark, sf_dir):
+    urm = implicit_urm(load_table(spark, sf_dir, "events"))
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id").cache()
+    val = tagged.filter(F.col("split") == 1).select("user_id", "item_id").cache()
+    train.count(), val.count()
+    return train, val
+
+
+def _itemknn_map10(train, val, top_k, shrink, kind):
+    train_v = train.withColumn("value", F.lit(1.0))
+    w = similarity_top_k(
+        similarity_scores(train_v, kind, shrink=shrink), top_k
+    ).select("item_i", "item_j", "sim")
+    scores = item_based_scores(train_v, w)
+    recs = recommend_top_k(scores, 10, train=train, round_digits=9).select(
+        "user_id", "item_id", "rank"
+    )
+    return ranking_metrics(recs, val, cutoff=10).collect()[0]["map"]
+
+
+def test_random_search_finds_best(split):
+    train, val = split
+    space = {
+        "top_k": Integer(2, 20),
+        "shrink": Real(0.0, 10.0),
+        "kind": Categorical(("cosine", "jaccard")),
+    }
+    best, hist = random_search(
+        space,
+        lambda p: _itemknn_map10(train, val, p["top_k"], p["shrink"], p["kind"]),
+        n_cases=4,
+        seed=7,
+    )
+    assert len(hist) == 4
+    assert hist["metric"].max() == pytest.approx(
+        hist[hist["is_best"]]["metric"].iloc[-1]
+    )
+    assert set(best) == {"top_k", "shrink", "kind"}
+    tbl = results_table({"ItemKNNCF": hist})
+    assert tbl.iloc[0]["best_metric"] == hist["metric"].max()
+
+
+def test_early_stopping_stops_and_keeps_best():
+    # synthetic objective: improves for 3 validations then degrades
+    state = {"epochs": 0}
+    curve = {5: 0.1, 10: 0.2, 15: 0.3, 20: 0.25, 25: 0.2, 30: 0.15, 35: 0.1}
+
+    best, best_epoch, best_metric = fit_with_early_stopping(
+        run_epochs=lambda n: state.__setitem__("epochs", state["epochs"] + n),
+        evaluate=lambda: curve[state["epochs"]],
+        snapshot=lambda: state["epochs"],
+        max_epochs=100,
+        validate_every=5,
+        patience=3,
+    )
+    assert best == 15 and best_epoch == 15 and best_metric == 0.3
+    assert state["epochs"] == 30  # stopped after 3 worse validations
