@@ -96,14 +96,18 @@ def _cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ItemKNN-CBF (KNN/ItemKNNCBFRecommender.py:30-51)
 # ---------------------------------------------------------------------------
 def q_itemcbf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-based item-item cosine over the ICM, top-5 per item."""
-    icm = _icm(spark, sf_dir).select(
-        F.col("feature").alias("user_id"),  # kernel's 'row' role
-        "item_id",
-        "value",
-    )
-    sims = similarity_scores(icm, "cosine")
-    return similarity_top_k(sims, 5)
+    """Content-based item-item cosine over the ICM, top-5 per item.
+
+    Runs through the blocked kernel (operators/cbf_kernel.py): content
+    features are low-cardinality, so the relational self-join's pair
+    support is effectively all-pairs — O(n_items²) output no plan can
+    shrink.  The kernel computes identical cosines without materializing
+    the pair table (the oracle SQL keeps the join formulation, feasible at
+    oracle scale)."""
+    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+
+    icm = _icm(spark, sf_dir)
+    return hybrid_cosine_topk_kernel(icm, None, k=5, icm_weight=1.0)
 
 
 register(
@@ -142,19 +146,11 @@ def q_cfcbf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hstack([ICM·w, URMᵀ]) == union of namespaced weighted feature triples.
     """
-    icm = _icm(spark, sf_dir).select(
-        "item_id", "feature", (F.col("value") * 0.5).alias("value")
-    )
-    cf = _cf(spark, sf_dir).select(
-        "item_id",
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("feature"),
-        "value",
-    )
-    merged = icm.unionByName(cf).select(
-        F.col("feature").alias("user_id"), "item_id", "value"
-    )
-    sims = similarity_scores(merged, "cosine")
-    return similarity_top_k(sims, 5, round_digits=9)
+    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+
+    icm = _icm(spark, sf_dir)
+    cf = _cf(spark, sf_dir)
+    return hybrid_cosine_topk_kernel(icm, cf, k=5, icm_weight=0.5)
 
 
 register(

@@ -936,3 +936,190 @@ register(
         "Evaluator.py:745-829)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25-weighted ItemKNN (the KNN feature-weighting sweep,
+# run_parameter_search.py:163-216; weighting math IR_feature_weighting.py)
+# ---------------------------------------------------------------------------
+def q_bm25_weighted_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URM re-weighted with okapi BM25 (items as rows, users as terms),
+    then the standard cosine top-10 — ItemKNNCF(feature_weighting='BM25')."""
+    urm = _urm(spark, sf_dir)
+    n_items = urm.select("item_id").distinct()
+    df_user = urm.groupBy("user_id").agg(F.count("*").cast("double").alias("df"))
+    row_sum = urm.groupBy("item_id").agg(F.count("*").cast("double").alias("rs"))
+    avg_len = row_sum.agg(F.avg("rs").alias("al"))
+    n_rows = n_items.agg(F.count("*").cast("double").alias("n"))
+    weighted = (
+        urm.join(F.broadcast(df_user), "user_id")
+        .join(F.broadcast(row_sum), "item_id")
+        .crossJoin(F.broadcast(avg_len))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "user_id",
+            "item_id",
+            (
+                (1.0 * 2.2 / (1.2 * (0.25 + 0.75 * F.col("rs") / F.col("al")) + 1.0))
+                * F.log(F.col("n") / (1.0 + F.col("df")))
+            ).alias("value"),
+        )
+    )
+    sims = similarity_scores(weighted, "cosine")
+    return similarity_top_k(sims, 10, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "bm25_weighted_itemknn",
+        q_bm25_weighted_itemknn,
+        f"""
+        WITH {URM_CTE},
+        dfu AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS df FROM urm GROUP BY 1),
+        rs AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS rs FROM urm GROUP BY 1),
+        al AS (SELECT AVG(rs) AS al FROM rs),
+        nr AS (SELECT CAST(COUNT(DISTINCT item_id) AS DOUBLE) AS n FROM urm),
+        wtd AS (
+            SELECT u.user_id, u.item_id,
+                   (1.0 * 2.2 / (1.2 * (0.25 + 0.75 * rs.rs / al.al) + 1.0))
+                     * ln(nr.n / (1.0 + dfu.df)) AS value
+            FROM urm u
+            JOIN dfu USING (user_id)
+            JOIN rs USING (item_id)
+            CROSS JOIN al CROSS JOIN nr
+        ),
+        n2 AS (SELECT item_id, SUM(value * value) AS sq FROM wtd GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   SUM(a.value * b.value) AS dot
+            FROM wtd a JOIN wtd b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        )
+        SELECT item_i, item_j,
+               dot / (sqrt(ni.sq) * sqrt(nj.sq) + 1e-6) AS sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_j
+                    ORDER BY round(dot / (sqrt(ni.sq) * sqrt(nj.sq) + 1e-6), 9) DESC,
+                             item_i ASC) AS INT) AS rank
+        FROM d JOIN n2 ni ON d.item_i = ni.item_id
+               JOIN n2 nj ON d.item_j = nj.item_id
+        QUALIFY rank <= 10
+        """,
+        doc="BM25-weighted ItemKNN (run_parameter_search.py:163-216)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# IALS confidence matrix (IALSRecommender.py:99-123)
+# ---------------------------------------------------------------------------
+def q_confidence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C = 1 + alpha·r (linear) and 1 + alpha·log(1 + r/eps) (log variant)."""
+    rated = _rated(spark, sf_dir)
+    alpha, eps = 20.0, 1.0
+    return rated.select(
+        "user_id",
+        "item_id",
+        (1.0 + alpha * F.col("rating")).alias("conf_linear"),
+        (1.0 + alpha * F.log(1.0 + F.col("rating") / eps)).alias("conf_log"),
+    )
+
+
+register(
+    QuerySpec(
+        "confidence_matrix",
+        q_confidence_matrix,
+        f"""
+        WITH {RATED_CTE}
+        SELECT user_id, item_id,
+               1.0 + 20.0 * rating AS conf_linear,
+               1.0 + 20.0 * ln(1.0 + rating / 1.0) AS conf_log
+        FROM rated
+        """,
+        doc="IALS confidence build (IALSRecommender.py:99-123)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# DIVERSITY_SIMILARITY (metrics.py:642-696): mean pairwise (1 − sim) inside
+# each user's rec list, similarity = item cosine on train
+# ---------------------------------------------------------------------------
+def q_diversity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    recs = recommend_top_k(cand, 5, train=train).select(
+        "user_id", "item_id"
+    )
+    sims = similarity_scores(
+        train.withColumn("value", F.lit(1.0)), "cosine"
+    )
+    r1 = recs.select("user_id", F.col("item_id").alias("item_i"))
+    r2 = recs.select("user_id", F.col("item_id").alias("item_j"))
+    pairs = r1.join(r2, "user_id").filter(F.col("item_i") != F.col("item_j"))
+    with_sim = pairs.join(sims, ["item_i", "item_j"], "left").fillna(
+        0.0, subset=["sim"]
+    )
+    per_user = with_sim.groupBy("user_id").agg(
+        F.avg(1.0 - F.col("sim")).alias("div_u")
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users_evaluated"),
+        F.avg("div_u").alias("diversity_similarity"),
+    )
+
+
+register(
+    QuerySpec(
+        "diversity_similarity",
+        q_diversity_similarity,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        cand AS (SELECT eu.user_id, p.item_id, p.score FROM eu CROSS JOIN pop p),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, item_id ASC) AS rank
+                FROM unseen
+            ) WHERE rank <= 5
+        ),
+        n AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS n FROM train GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM train a JOIN train b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT item_i, item_j, dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) AS sim
+            FROM d JOIN n ni ON d.item_i = ni.item_id
+                   JOIN n nj ON d.item_j = nj.item_id
+        ),
+        pairs AS (
+            SELECT r1.user_id, r1.item_id AS item_i, r2.item_id AS item_j
+            FROM recs r1 JOIN recs r2
+              ON r1.user_id = r2.user_id AND r1.item_id <> r2.item_id
+        ),
+        pu AS (
+            SELECT p.user_id, AVG(1.0 - COALESCE(s.sim, 0.0)) AS div_u
+            FROM pairs p LEFT JOIN s USING (item_i, item_j)
+            GROUP BY p.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+               AVG(div_u) AS diversity_similarity
+        FROM pu
+        """,
+        doc="DIVERSITY_SIMILARITY (metrics.py:642-696)",
+    )
+)

@@ -221,3 +221,116 @@ register(
         doc="URM density (dataset.py:987-988)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# cold-start user split (split_train_validation.py:295-378)
+# ---------------------------------------------------------------------------
+def q_cold_start_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold 20% of USERS out entirely (hash on user id); cap retained train
+    profiles at 20 interactions (hash-ordered).  Split sizes + disjointness."""
+    from ..functions.hashing import bucket_hash
+
+    urm = _urm(spark, sf_dir)
+    tagged = urm.withColumn(
+        "is_cold", (bucket_hash(F.col("user_id"), None) < F.lit(200)).cast("int")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
+    )
+    capped = tagged.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "in_train",
+        ((F.col("is_cold") == 0) & (F.col("_rn") <= 20)).cast("int"),
+    )
+    return capped.groupBy("is_cold", "in_train").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+register(
+    QuerySpec(
+        "cold_start_split_sizes",
+        q_cold_start_split_sizes,
+        f"""
+        WITH {URM_CTE},
+        tagged AS (
+            SELECT *,
+                   CASE WHEN ((user_id * 1000003) % 997 + 997) % 997 < 200
+                        THEN 1 ELSE 0 END AS is_cold,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
+                                 item_id ASC) AS rn
+            FROM urm
+        )
+        SELECT is_cold,
+               CAST(CASE WHEN is_cold = 0 AND rn <= 20 THEN 1 ELSE 0 END AS INT)
+                   AS in_train,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tagged GROUP BY 1, 2
+        """,
+        doc="cold-start user split (split_train_validation.py:295-378)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# implicit + disjoint split assertions (assertions_on_data_for_experiments
+# .py:12-57) as a checkable query: all violation counts must be 0
+# ---------------------------------------------------------------------------
+def q_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urm = _urm(spark, sf_dir)
+    tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id")
+    val = tagged.filter(F.col("split") == 1).select("user_id", "item_id")
+    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
+    non_implicit = urm.filter(F.col("value") != 1.0).count()
+    overlap_tv = train.join(val, ["user_id", "item_id"], "inner").count()
+    overlap_tt = train.join(test, ["user_id", "item_id"], "inner").count()
+    overlap_vt = val.join(test, ["user_id", "item_id"], "inner").count()
+    union_total = train.count() + val.count() + test.count()
+    total = urm.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(non_implicit),
+                int(overlap_tv),
+                int(overlap_tt),
+                int(overlap_vt),
+                int(total - union_total),
+            )
+        ],
+        "n_non_implicit bigint, n_overlap_train_val bigint, "
+        "n_overlap_train_test bigint, n_overlap_val_test bigint, "
+        "n_missing_from_union bigint",
+    )
+
+
+register(
+    QuerySpec(
+        "split_invariants",
+        q_split_invariants,
+        f"""
+        WITH {URM_CTE},
+        tagged AS (
+            SELECT *, CASE
+                WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 698 THEN 0
+                WHEN ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997 < 798 THEN 1
+                ELSE 2 END AS split
+            FROM urm
+        )
+        SELECT CAST(0 AS BIGINT) AS n_non_implicit,
+               CAST(SUM(CASE WHEN FALSE THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_overlap_train_val,
+               CAST(0 AS BIGINT) AS n_overlap_train_test,
+               CAST(0 AS BIGINT) AS n_overlap_val_test,
+               CAST((SELECT COUNT(*) FROM urm)
+                    - (SELECT COUNT(*) FROM tagged) AS BIGINT)
+                   AS n_missing_from_union
+        FROM tagged
+        """,
+        doc="implicit/disjoint split assertions "
+        "(assertions_on_data_for_experiments.py:12-57)",
+    )
+)
