@@ -676,15 +676,23 @@ register(
 # user-user similarity (UserKNN, KNN/UserKNNCFRecommender.py:32-54)
 # ---------------------------------------------------------------------------
 def q_user_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same kernel with roles swapped: user-user cosine, top-10 per user."""
+    """Same kernel with roles swapped: user-user cosine, top-10 per user.
+
+    Routed through the blocked kernel (operators/cbf_kernel.py): the item
+    catalog here is small, so user rows are short dense vectors and the
+    GEMM formulation avoids the Σ deg² self-join blow-up on hot items —
+    identical cosines (the oracle keeps the join formulation).
+    """
+    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+
     urm = _urm(spark, sf_dir)
-    swapped = urm.select(
-        F.col("item_id").alias("user_id"),
+    as_icm = urm.select(
         F.col("user_id").alias("item_id"),
+        F.col("item_id").cast("string").alias("feature"),
         "value",
     )
-    sims = similarity_scores(swapped, "cosine")
-    return similarity_top_k(sims, 10).select(
+    out = hybrid_cosine_topk_kernel(as_icm, None, k=10, icm_weight=1.0)
+    return out.select(
         F.col("item_i").alias("user_i"),
         F.col("item_j").alias("user_j"),
         "sim",

@@ -290,3 +290,47 @@ register(
         bench=False,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (streaming extension; batch-checkable)
+# ---------------------------------------------------------------------------
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) — session_window in batch mode;
+    the streaming path applies the SAME transformation with a watermark."""
+    from ..streaming.ingest import sessionize_events
+
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_events(ev, gap="30 minutes", watermark=None)
+
+
+register(
+    QuerySpec(
+        "user_sessions",
+        q_user_sessions,
+        """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+        """,
+        doc="gap-based session windows (streaming extension, "
+        "session_window state store)",
+    )
+)

@@ -215,3 +215,41 @@ def nmf_factors(
         [(j, h[:, j].tolist()) for j in range(n_i)], schema_i
     )
     return uf, itf
+
+
+def estimate_cold_user_factors(
+    urm_cold: DataFrame, item_factors: DataFrame
+) -> DataFrame:
+    """Factors for users absent at training time:
+    U_cold[u] = Σ_{i∈profile(u)} V[i] / sqrt(|profile(u)|).
+
+    Reference: BaseMatrixFactorizationRecommender.py:100-156
+    (_estimate_user_factors / italgo of the cold-user ITEM_factors average
+    scaled by sqrt of profile length).  One broadcast join + posexplode agg
+    — the same shape as the randomized-SVD matmul primitive.
+    """
+    joined = urm_cold.join(F.broadcast(item_factors), "item_id")
+    per_component = (
+        joined.select(
+            "user_id", F.posexplode("features").alias("pos", "f")
+        )
+        .groupBy("user_id", "pos")
+        .agg(F.sum("f").alias("s"))
+    )
+    profile_len = urm_cold.groupBy("user_id").agg(F.count("*").alias("n"))
+    return (
+        per_component.join(F.broadcast(profile_len), "user_id")
+        .withColumn("c", F.col("s") / F.sqrt(F.col("n")))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("_pairs")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("_pairs"), lambda p: p.getField("c")).alias(
+                "features"
+            ),
+        )
+    )

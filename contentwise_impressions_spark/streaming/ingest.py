@@ -68,3 +68,35 @@ def stream_events(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(source_dir)
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization.
+
+    Session-window aggregation (gap-based): consecutive events of a user
+    closer than `gap` belong to one session; emits one row per closed
+    session with its bounds, event count, and value sum.  Uses the built-in
+    ``session_window`` (Spark's gap-window state store) — the declarative
+    form of what the reference would have hand-rolled; for logic beyond
+    gap-windows (e.g. conversion funnels) the escape hatch is
+    ``applyInPandasWithState`` over the same user-keyed stream.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -106,3 +106,28 @@ def test_bpr_triplets_are_valid(spark, urm):
     assert bad == 0
     # one triplet per positive
     assert trip.count() == urm.count()
+
+
+def test_cold_user_factor_estimation(spark, urm):
+    from contentwise_impressions_spark.recommenders.factor import (
+        estimate_cold_user_factors,
+    )
+
+    uf, itf = ials_factors(urm, rank=4, max_iter=2)
+    # pretend two users are cold: estimate from their profiles
+    cold = urm.filter(F.col("user_id").isin(0, 1)).select("user_id", "item_id")
+    est = estimate_cold_user_factors(cold, itf)
+    rows = {r["user_id"]: r["features"] for r in est.collect()}
+    assert set(rows) == {0, 1}
+    # manual check for user 0: sum of its items' factors / sqrt(len)
+    import math
+
+    items0 = [r["item_id"] for r in cold.filter(F.col("user_id") == 0).collect()]
+    fac = {r["item_id"]: r["features"] for r in itf.collect()}
+    expect = [
+        sum(fac[i][p] for i in items0 if i in fac) / math.sqrt(len(items0))
+        for p in range(4)
+    ]
+    got = rows[0]
+    for a, b in zip(got, expect):
+        assert abs(a - b) < 1e-6

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the core operators — a layer the
+reference's test strategy lacks (SURVEY.md §5 notes no property
+randomization); we add it on the operators where invariants are crisp."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from contentwise_impressions_spark.functions.hashing import deterministic_bucket
+from contentwise_impressions_spark.operators.dedup import keep_last_by_timestamp
+from contentwise_impressions_spark.operators.similarity import similarity_scores
+from contentwise_impressions_spark.operators.topk import top_k_per_group
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 15), st.integers(0, 1000)),
+    min_size=1,
+    max_size=60,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=pairs_strategy)
+@SETTINGS
+def test_deterministic_bucket_total_and_stable(spark, rows):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "item_id", "ts"])
+    )
+    tagged = df.withColumn(
+        "split",
+        deterministic_bucket(F.col("user_id"), F.col("item_id"), [0.7, 0.1, 0.2]),
+    )
+    counts = {r["split"]: r["cnt"] for r in
+              tagged.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    # total preserved, only valid split ids, and re-running is identical
+    assert sum(counts.values()) == len(rows)
+    assert set(counts) <= {0, 1, 2}
+    again = tagged.select("user_id", "item_id", "split").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, again))
+
+
+@given(rows=pairs_strategy)
+@SETTINGS
+def test_keep_last_by_timestamp_properties(spark, rows):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "item_id", "ts"])
+    )
+    out = keep_last_by_timestamp(df, ["user_id"], "ts", tiebreak=["item_id"])
+    got = out.collect()
+    # one row per user, and it carries that user's max timestamp
+    per_user = {}
+    for r in rows:
+        cur = per_user.get(r[0])
+        if cur is None or (r[2], r[1]) > cur:
+            per_user[r[0]] = (r[2], r[1])
+    assert len(got) == len(per_user)
+    for r in got:
+        assert (r["ts"], r["item_id"]) == per_user[r["user_id"]]
+    # idempotence
+    assert keep_last_by_timestamp(
+        out, ["user_id"], "ts", tiebreak=["item_id"]
+    ).count() == len(got)
+
+
+@given(rows=pairs_strategy)
+@SETTINGS
+def test_topk_per_group_bounds(spark, rows):
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "x", "v"])
+    ).dropDuplicates(["g", "x"])
+    out = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("x").asc()], 3
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["rank"])
+    for g, ranks in by_g.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+@given(rows=pairs_strategy)
+@SETTINGS
+def test_cosine_similarity_symmetric_bounded(spark, rows):
+    urm = (
+        spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "item_id", "_"]))
+        .select("user_id", "item_id")
+        .dropDuplicates()
+        .withColumn("value", F.lit(1.0))
+    )
+    sims = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in similarity_scores(urm, "cosine").collect()
+    }
+    for (i, j), s in sims.items():
+        assert 0.0 <= s <= 1.0 + 1e-9
+        assert sims[(j, i)] == pytest.approx(s)  # AᵀA symmetry

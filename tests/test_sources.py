@@ -82,3 +82,23 @@ def test_cached_or_build_protocol(spark, tmpdir):
     # second call must hit the cache, not rebuild
     df2 = cached_or_build(spark, p, build, verify=lambda d: d.count() == 5)
     assert df2.count() == 5 and len(calls) == 1
+
+
+def test_movielens_reader_convention(spark, tmpdir):
+    f = tmpdir / "ml.dat"
+    f.write_text(MOVIELENS_STYLE)
+    from contentwise_impressions_spark.sources.dataset_readers import read_movielens
+
+    urm, umap, imap = read_movielens(spark, str(f))
+    assert urm.count() == 4  # keep-last collapsed the dup pair
+    assert umap.count() == 3 and imap.count() == 3
+
+
+def test_tsv_reader_convention(spark, tmpdir):
+    f = tmpdir / "ratings.tsv"
+    f.write_text("a\tx\t3.5\nb\ty\t2.0\na\tz\t1.0\n")
+    from contentwise_impressions_spark.sources.dataset_readers import read_tsv_ratings
+
+    urm, umap, imap = read_tsv_ratings(spark, str(f))
+    assert urm.count() == 3
+    assert {r["user_id"] for r in umap.collect()} == {0, 1}
