@@ -334,3 +334,50 @@ register(
         "session_window state store)",
     )
 )
+
+
+def q_slim_bpr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIM-BPR item-item weights (SLIM_BPR_Cython_Epoch.pyx:59-1421)."""
+    from ..recommenders.bpr import slim_bpr_fit
+
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    return slim_bpr_fit(urm, epochs=2, top_k=10)
+
+
+register(
+    QuerySpec(
+        "slim_bpr_weights",
+        q_slim_bpr_weights,
+        None,
+        doc="SLIM-BPR sparse item-item model "
+        "(SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:59-1421)",
+        bench=False,
+    )
+)
+
+
+def q_custom_w_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItemKNN with an externally-supplied W (pass-through + topK):
+    KNN/ItemKNNCustomSimilarityRecommender.py:20-33.  The 'external' W here
+    is the EASE_R output, re-truncated and served."""
+    from ..operators.scoring import item_based_scores, recommend_top_k
+    from ..operators.similarity import similarity_top_k
+    from ..recommenders.slim import ease_r
+
+    urm = _urm(spark, sf_dir)
+    w = ease_r(urm, l2=50.0, top_k=None)
+    w = similarity_top_k(w, 5, round_digits=9).select("item_i", "item_j", "sim")
+    scores = item_based_scores(urm, w)
+    return recommend_top_k(scores, 10, train=urm, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "custom_w_recommendations",
+        q_custom_w_recommendations,
+        None,
+        doc="custom-W ItemKNN pass-through "
+        "(KNN/ItemKNNCustomSimilarityRecommender.py:20-33)",
+        bench=False,
+    )
+)

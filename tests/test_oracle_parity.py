@@ -38,6 +38,8 @@ def test_every_query_has_oracle_or_is_declared():
         "ease_r_weights",
         "nmf_user_factors",
         "bpr_mf_recommendations",
+        "slim_bpr_weights",
+        "custom_w_recommendations",
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
     assert not missing, f"queries missing oracle SQL: {sorted(missing)}"
