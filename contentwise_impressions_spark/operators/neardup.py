@@ -44,21 +44,29 @@ def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    Expressed with transform(sequence(...)) so the whole thing stays in
-    whole-stage codegen — no UDF, no explode-then-window.
+    posexplode + lead() window: n-gram assembly happens in codegen'd
+    concat/lead expressions.  The alternative (transform over
+    sequence(1, len−n+1) with element_at) is shuffle-free but measured
+    ~4-5× slower — Catalyst evaluates higher-order lambdas interpreted,
+    outside whole-stage codegen.  The window shuffle keys on doc_id, which
+    the dedup needs anyway, so the exchange is shared.
     """
-    toks = tokenize(docs, text_col)
-    ngrams = toks.select(
+    toks = docs.select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("tokens", (i + k).cast("int")) for k in range(n)]
-            ),
-        ).alias("shs"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
     return (
-        ngrams.select("doc_id", F.explode("shs").alias("shingle"))
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
         .dropDuplicates(["doc_id", "shingle"])
     )
 
