@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: the scale properties (pushdown, pruning,
+broadcast) must survive refactors, not just the result values."""
+
+from __future__ import annotations
+
+import pytest
+
+from contentwise_impressions_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 needed columns — no full-row scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read and "l_orderkey" not in read
+
+
+def test_filter_project_reads_four_columns(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["filter_project"](spark, sf_dir))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_id" not in read  # unused column pruned at the scan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["region_customer_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_recommend_pipeline_no_cartesian_without_broadcast(spark, sf_dir):
+    # the candidate fan-out must be a broadcast nested loop over the tiny
+    # popularity table, never a shuffled cartesian
+    plan = _formatted_plan(QUERIES["toppop_recommendations"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_partial_aggregation(spark, sf_dir):
+    # pair-dot aggregation must partial-aggregate map-side (reference's
+    # blocked accumulation analog)
+    plan = _formatted_plan(QUERIES["item_cosine_topk"](spark, sf_dir))
+    assert "partial_" in plan.lower() or "HashAggregate" in plan

@@ -57,3 +57,45 @@ def test_stream_matches_batch(spark, sf_dir):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_toppop_stream(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.sources.interactions import (
+        events_as_interactions,
+    )
+    from contentwise_impressions_spark.streaming.ingest import incremental_toppop
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_toppop_"))
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        inter = events_as_interactions(src).filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        pop = incremental_toppop(inter)
+        q = (
+            pop.writeStream.format("memory")
+            .queryName("inc_toppop")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["item_id"]: r["popularity"]
+            for r in spark.sql("SELECT * FROM inc_toppop").collect()
+        }
+        batch = events_as_interactions(ev).filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        expect = {
+            r["item_id"]: r["cnt"]
+            for r in batch.groupBy("item_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
