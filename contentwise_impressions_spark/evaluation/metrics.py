@@ -265,3 +265,140 @@ def beyond_accuracy_metrics(
             ((u * u - u) - (sc2 - u * k) / k) / (u * u - u)
         ).alias("mean_inter_list"),
     )
+
+
+def multi_cutoff_metrics(
+    recs: DataFrame, test: DataFrame, cutoffs: tuple = (5, 10, 20)
+) -> DataFrame:
+    """Accuracy metrics at SEVERAL cutoffs from one recommendation pass.
+
+    Reference contract: the Evaluator computes all cutoffs from one
+    recommend() call at max(cutoffs) (Evaluator.py:516-522, cutoff_list
+    [5,10,20] at run_hyperparameter_tuning.py:41-58).  One labeled-recs
+    table, one grouped aggregation per user with per-cutoff conditional
+    sums, one final average — the cutoff dimension is unpivoted into rows:
+    output (cutoff, n_users_evaluated, precision, recall, map, mrr, ndcg,
+    hit_rate).
+    """
+    spark = recs.sparkSession
+    max_c = max(cutoffs)
+    test_pairs = test.select("user_id", "item_id").dropDuplicates(
+        ["user_id", "item_id"]
+    )
+    n_test = test_pairs.groupBy("user_id").agg(F.count("*").alias("n_test"))
+    labeled = (
+        recs.filter(F.col("rank") <= max_c)
+        .join(n_test, "user_id", "inner")
+        .join(
+            test_pairs.withColumn("is_hit", F.lit(1)),
+            ["user_id", "item_id"],
+            "left",
+        )
+        .withColumn("is_hit", F.coalesce(F.col("is_hit"), F.lit(0)))
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = labeled.withColumn("cum_hits", F.sum("is_hit").over(w_cum))
+
+    aggs = []
+    for c in cutoffs:
+        within = F.col("rank") <= c
+        hit_in = F.col("is_hit") * within.cast("int")
+        aggs += [
+            F.sum(hit_in).alias(f"hits_{c}"),
+            F.sum(hit_in * F.col("cum_hits") / F.col("rank")).alias(f"apnum_{c}"),
+            F.min(F.when((F.col("is_hit") == 1) & within, F.col("rank"))).alias(
+                f"fhr_{c}"
+            ),
+            F.sum(hit_in / F.log2(F.col("rank") + 1.0)).alias(f"dcg_{c}"),
+        ]
+    per_user = labeled.groupBy("user_id", "n_test").agg(*aggs)
+
+    idcg = _idcg_table(spark, max_c)
+    rows = None
+    for c in cutoffs:
+        pu = (
+            per_user.withColumn("den", F.least(F.col("n_test"), F.lit(c)))
+            .join(F.broadcast(idcg), F.col("den") == F.col("n"), "left")
+            .select(
+                F.lit(c).cast("int").alias("cutoff"),
+                "user_id",
+                (F.col(f"hits_{c}") / F.lit(float(c))).alias("precision"),
+                (F.col(f"hits_{c}") / F.col("n_test")).alias("recall"),
+                (F.col(f"apnum_{c}") / F.col("den")).alias("ap"),
+                F.coalesce(1.0 / F.col(f"fhr_{c}"), F.lit(0.0)).alias("rr"),
+                (F.col(f"dcg_{c}") / F.col("idcg")).alias("ndcg"),
+                F.col(f"hits_{c}").cast("double").alias("hits"),
+            )
+        )
+        rows = pu if rows is None else rows.unionByName(pu)
+
+    evaluated = (
+        n_test.select("user_id")
+        .crossJoin(
+            spark.createDataFrame([(int(c),) for c in cutoffs], "cutoff int")
+        )
+        .join(rows, ["cutoff", "user_id"], "left")
+        .fillna(0.0, subset=["precision", "recall", "ap", "rr", "ndcg", "hits"])
+    )
+    return (
+        evaluated.groupBy("cutoff")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users_evaluated"),
+            F.avg("precision").alias("precision"),
+            F.avg("recall").alias("recall"),
+            F.avg("ap").alias("map"),
+            F.avg("rr").alias("mrr"),
+            F.avg("ndcg").alias("ndcg"),
+            F.avg("hits").alias("hit_rate"),
+        )
+    )
+
+
+def weighted_ndcg(
+    recs: DataFrame, test_rated: DataFrame, cutoff: int = 10
+) -> DataFrame:
+    """NDCG with graded relevance — the reference's exact formulation
+    (metrics.py:182-211): gains 2^rel − 1 with TEST RATINGS as relevance,
+    IDCG from the user's own ratings sorted descending, truncated at
+    min(#test, cutoff).
+
+    `test_rated`: (user_id, item_id, rating).  Returns one row:
+    (n_users_evaluated, ndcg).
+    """
+    test_pairs = test_rated.dropDuplicates(["user_id", "item_id"])
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.col("rating").desc(), F.col("item_id").asc()
+    )
+    ideal = (
+        test_pairs.withColumn("i", F.row_number().over(w_ideal))
+        .filter(F.col("i") <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.pow(2.0, F.col("rating")) - 1.0) / F.log2(F.col("i") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    labeled = recs.filter(F.col("rank") <= cutoff).join(
+        test_pairs, ["user_id", "item_id"], "inner"
+    )
+    dcg = labeled.groupBy("user_id").agg(
+        F.sum(
+            (F.pow(2.0, F.col("rating")) - 1.0) / F.log2(F.col("rank") + 1.0)
+        ).alias("dcg")
+    )
+    per_user = (
+        ideal.join(dcg, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg_u"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users_evaluated"),
+        F.avg("ndcg_u").alias("ndcg"),
+    )

@@ -1131,3 +1131,188 @@ register(
         doc="DIVERSITY_SIMILARITY (metrics.py:642-696)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-cutoff evaluation (Evaluator.py:516-522; cutoffs [5,10,20] at
+# run_hyperparameter_tuning.py:41-58)
+# ---------------------------------------------------------------------------
+def q_toppop_eval_multi_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluation.metrics import multi_cutoff_metrics
+
+    train, test = _train_test(spark, sf_dir)
+    users = test.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    recs = recommend_top_k(cand, 20, train=train).select(
+        "user_id", "item_id", "rank"
+    )
+    return multi_cutoff_metrics(recs, test, cutoffs=(5, 10, 20))
+
+
+def _multi_cutoff_oracle() -> str:
+    per_cutoff = []
+    for c in (5, 10, 20):
+        per_cutoff.append(f"""
+            SELECT {c} AS cutoff, nt.user_id,
+                   COALESCE(p.hits_{c} / {c}.0, 0.0) AS precision,
+                   COALESCE(p.hits_{c} * 1.0 / nt.n_test, 0.0) AS recall,
+                   COALESCE(p.apnum_{c} / LEAST(nt.n_test, {c}), 0.0) AS ap,
+                   COALESCE(1.0 / p.fhr_{c}, 0.0) AS rr,
+                   COALESCE(p.dcg_{c} / i{c}.idcg, 0.0) AS ndcg,
+                   COALESCE(CAST(p.hits_{c} AS DOUBLE), 0.0) AS hits
+            FROM ntest nt
+            LEFT JOIN pu p ON nt.user_id = p.user_id
+            LEFT JOIN idcg i{c} ON LEAST(nt.n_test, {c}) = i{c}.n
+        """)
+    cutoff_aggs = ",\n                   ".join(
+        f"SUM(CASE WHEN rank <= {c} THEN is_hit ELSE 0 END) AS hits_{c},\n"
+        f"                   SUM(CASE WHEN rank <= {c} THEN is_hit * cum_hits * 1.0 / rank ELSE 0 END) AS apnum_{c},\n"
+        f"                   MIN(CASE WHEN rank <= {c} AND is_hit = 1 THEN rank END) AS fhr_{c},\n"
+        f"                   SUM(CASE WHEN rank <= {c} THEN is_hit / log2(rank + 1.0) ELSE 0 END) AS dcg_{c}"
+        for c in (5, 10, 20)
+    )
+    union = " UNION ALL ".join(per_cutoff)
+    return f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        cand AS (SELECT eu.user_id, pop.item_id, pop.score FROM eu CROSS JOIN pop),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY score DESC, item_id ASC) AS rank
+            FROM unseen QUALIFY rank <= 20
+        ),
+        ntest AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+        lab AS (
+            SELECT r.user_id, r.rank, n.n_test,
+                   CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+            FROM recs r
+            JOIN ntest n USING (user_id)
+            LEFT JOIN test t ON r.user_id = t.user_id AND r.item_id = t.item_id
+        ),
+        cum AS (
+            SELECT *, SUM(is_hit) OVER (PARTITION BY user_id ORDER BY rank
+                                        ROWS UNBOUNDED PRECEDING) AS cum_hits
+            FROM lab
+        ),
+        pu AS (
+            SELECT user_id,
+                   {cutoff_aggs}
+            FROM cum GROUP BY user_id
+        ),
+        idcg AS (
+            SELECT i AS n, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS idcg
+            FROM range(1, 21) t(i)
+        ),
+        per_user AS ({union})
+        SELECT CAST(cutoff AS INT) AS cutoff,
+               CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+               AVG(precision) AS precision,
+               AVG(recall) AS recall,
+               AVG(ap) AS map,
+               AVG(rr) AS mrr,
+               AVG(ndcg) AS ndcg,
+               AVG(hits) AS hit_rate
+        FROM per_user GROUP BY cutoff
+    """
+
+
+register(
+    QuerySpec(
+        "toppop_eval_multi_cutoff",
+        q_toppop_eval_multi_cutoff,
+        _multi_cutoff_oracle(),
+        doc="multi-cutoff evaluation from one recommend pass "
+        "(Evaluator.py:516-522)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# weighted-relevance NDCG (metrics.py:182-211: gains 2^rel − 1 with test
+# ratings as relevance)
+# ---------------------------------------------------------------------------
+def q_weighted_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluation.metrics import weighted_ndcg
+    from ..functions.hashing import bucket_hash
+
+    rated = _rated(spark, sf_dir)
+    tagged = rated.withColumn(
+        "split",
+        F.when(
+            bucket_hash(F.col("user_id"), F.col("item_id")) < 698, 0
+        ).otherwise(1),
+    )
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id")
+    test_rated = tagged.filter(F.col("split") == 1).select(
+        "user_id", "item_id", "rating"
+    )
+    users = test_rated.select("user_id").distinct()
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    recs = recommend_top_k(cand, 10, train=train).select(
+        "user_id", "item_id", "rank"
+    )
+    return weighted_ndcg(recs, test_rated, cutoff=10)
+
+
+register(
+    QuerySpec(
+        "weighted_ndcg",
+        q_weighted_ndcg,
+        f"""
+        WITH {RATED_CTE},
+        tagged AS (
+            SELECT *, CASE WHEN ((user_id * 1000003 + item_id * 7919) % 997
+                                 + 997) % 997 < 698
+                           THEN 0 ELSE 1 END AS split
+            FROM rated
+        ),
+        train AS (SELECT user_id, item_id FROM tagged WHERE split = 0),
+        test_rated AS (SELECT user_id, item_id, rating FROM tagged WHERE split = 1),
+        pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
+                FROM train GROUP BY 1),
+        eu AS (SELECT DISTINCT user_id FROM test_rated),
+        cand AS (SELECT eu.user_id, pop.item_id, pop.score FROM eu CROSS JOIN pop),
+        unseen AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN train t ON c.user_id = t.user_id AND c.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY score DESC, item_id ASC) AS rank
+            FROM unseen QUALIFY rank <= 10
+        ),
+        ideal AS (
+            SELECT user_id,
+                   SUM((pow(2.0, rating) - 1.0) / log2(i + 1.0)) AS idcg
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY rating DESC, item_id ASC) AS i
+                FROM test_rated
+            ) WHERE i <= 10
+            GROUP BY user_id
+        ),
+        dcg AS (
+            SELECT r.user_id,
+                   SUM((pow(2.0, t.rating) - 1.0) / log2(r.rank + 1.0)) AS dcg
+            FROM recs r JOIN test_rated t USING (user_id, item_id)
+            GROUP BY r.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+               AVG(COALESCE(d.dcg / i.idcg, 0.0)) AS ndcg
+        FROM ideal i LEFT JOIN dcg d USING (user_id)
+        """,
+        doc="graded-relevance NDCG (metrics.py:182-211, 2^rel−1 gains)",
+    )
+)
