@@ -40,6 +40,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_all, 4)
 
+    # derived throughput for the baseline comparison: the reference's
+    # parallel evaluator profiles ~100 users / 1.5 s per block on 16 cores
+    # (BASELINE.md, Evaluator.py:566-578); our full-eval query covers every
+    # test user in one aggregation.
+    eval_sec = timings.get("toppop_eval_metrics")
+    extras = {}
+    if eval_sec:
+        n_users = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
+
     print(
         json.dumps(
             {
@@ -48,6 +63,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **extras,
             }
         )
     )

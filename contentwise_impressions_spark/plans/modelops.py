@@ -381,3 +381,32 @@ register(
         bench=False,
     )
 )
+
+
+def q_random_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Random recommender (NonPersonalizedRecommender.py:155-180).
+
+    Validated distribution-level only: Spark's rand(seed) stream differs
+    from NumPy's, so membership is engine-specific by design (SURVEY.md §4
+    seeded-reproducibility note) — rows-only check."""
+    from ..operators.scoring import recommend_top_k
+    from ..recommenders.nonpersonalized import random_scores
+
+    urm = _urm(spark, sf_dir)
+    users = urm.select("user_id").distinct()
+    items = urm.select("item_id").distinct()
+    scores = random_scores(users, items, seed=42)
+    return recommend_top_k(scores, 10, train=urm)
+
+
+register(
+    QuerySpec(
+        "random_recommendations",
+        q_random_recommendations,
+        None,
+        doc="seeded Random recommender "
+        "(NonPersonalizedRecommender.py:155-180); RNG streams differ "
+        "across engines → rows-only",
+        bench=False,
+    )
+)

@@ -100,3 +100,97 @@ def sessionize_events(
             "sum_value",
         )
     )
+
+
+def running_user_profiles(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-user profile (event count, value sum, last seen ts)
+    maintained across micro-batches and emitted every update.
+
+    This is the escape hatch for stateful logic the built-in windows can't
+    express (the brief's `applyInPandasWithState` surface): state is one
+    row per user in the state store, each micro-batch folds its Arrow
+    batches into it.  With `idle_timeout_ms` > 0 the state evicts after
+    inactivity (GroupStateTimeout.ProcessingTimeTimeout), emitting a final
+    tombstone row with is_final=true.
+    """
+    import sys as _sys
+
+    try:  # by-value pickling (see recommenders/slim.py note)
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_ts", TimestampType()),
+            StructField("is_final", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, s, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        user_id,
+                        n,
+                        s,
+                        pd.Timestamp(last_us, unit="us"),
+                        True,
+                    )
+                ],
+                columns=["user_id", "n_events", "sum_value", "last_ts", "is_final"],
+            )
+            return
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, s, last_us))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [(user_id, n, s, pd.Timestamp(last_us, unit="us"), False)],
+            columns=["user_id", "n_events", "sum_value", "last_ts", "is_final"],
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(fold, out_schema, state_schema, "update", timeout)
+    )

@@ -160,3 +160,58 @@ def results_table(histories: dict[str, pd.DataFrame]) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def random_search_resumable(
+    space: dict[str, Any],
+    objective: Callable[[dict[str, Any]], float],
+    history_path: str,
+    n_cases: int = 15,
+    seed: int = 42,
+    maximize: bool = True,
+) -> tuple[dict[str, Any], pd.DataFrame]:
+    """Resumable search: completed cases are replayed from the persisted
+    history instead of re-running their trials.
+
+    Reference: SearchBayesianSkopt.py:72-130 reloads the metadata zip and
+    replays evaluated configs on restart.  Sampling is seeded, so case k
+    always receives the same params — the history only needs (case,
+    metric); params are re-derived, keeping the artifact engine-agnostic.
+    """
+    import os
+
+    done: dict[int, float] = {}
+    if os.path.exists(history_path):
+        prev = pd.read_parquet(history_path)
+        done = dict(zip(prev["case"].astype(int), prev["metric"].astype(float)))
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    best_metric, best_params = None, None
+    for case in range(n_cases):
+        params = _sample(space, rng)  # same stream → same params per case
+        if case in done:
+            metric, elapsed, resumed = done[case], 0.0, True
+        else:
+            t0 = time.perf_counter()
+            metric = float(objective(params))
+            elapsed = time.perf_counter() - t0
+            resumed = False
+        better = (
+            best_metric is None
+            or (metric > best_metric if maximize else metric < best_metric)
+        )
+        if better:
+            best_metric, best_params = metric, params
+        rows.append(
+            {
+                "case": case,
+                **{f"param_{k}": v for k, v in params.items()},
+                "metric": metric,
+                "train_eval_sec": round(elapsed, 3),
+                "is_best": better,
+                "resumed": resumed,
+            }
+        )
+        pd.DataFrame(rows).to_parquet(history_path, index=False)
+    return best_params, pd.DataFrame(rows)

@@ -99,3 +99,52 @@ def test_incremental_toppop_stream(spark, sf_dir):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_running_user_profiles_stateful(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import running_user_profiles
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_state_"))
+    try:
+        # two chronological micro-batches so state must carry across batches
+        bounds = ev.agg(F.min("ts"), F.max("ts")).first()
+        mid = bounds[0] + (bounds[1] - bounds[0]) / 2
+        ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+        ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        prof = running_user_profiles(src)
+        q = (
+            prof.writeStream.format("memory")
+            .queryName("user_profiles")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # the LAST update per user must equal the batch aggregate
+        got = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql(
+                "SELECT user_id, n_events, sum_value FROM ("
+                "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+                "         ORDER BY n_events DESC) AS rn FROM user_profiles"
+                ") WHERE rn = 1"
+            ).collect()
+        }
+        expect = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -88,3 +88,27 @@ def test_early_stopping_stops_and_keeps_best():
     )
     assert best == 15 and best_epoch == 15 and best_metric == 0.3
     assert state["epochs"] == 30  # stopped after 3 worse validations
+
+
+def test_random_search_resume(tmp_path):
+    from contentwise_impressions_spark.tuning.search import (
+        Integer,
+        random_search_resumable,
+    )
+
+    calls = []
+
+    def objective(p):
+        calls.append(p["x"])
+        return float(p["x"])
+
+    hist_path = str(tmp_path / "hist.parquet")
+    space = {"x": Integer(0, 100)}
+    best1, h1 = random_search_resumable(space, objective, hist_path, n_cases=3, seed=1)
+    n_calls_first = len(calls)
+    assert n_calls_first == 3
+    # resume with more cases: the first 3 must replay, only 2 new trials run
+    best2, h2 = random_search_resumable(space, objective, hist_path, n_cases=5, seed=1)
+    assert len(calls) == n_calls_first + 2
+    assert h2["resumed"].tolist() == [True, True, True, False, False]
+    assert (h2.iloc[:3]["metric"].values == h1["metric"].values).all()
