@@ -410,3 +410,28 @@ register(
         bench=False,
     )
 )
+
+
+def q_ease_r_blocked_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed blocked EASE_R — the scale path past the O(n_items³)
+    driver inverse (EASE_R_Recommender.py:64): items sharded into blocks,
+    per-block closed form inside applyInPandas, zero driver linear
+    algebra.  n_blocks=1 equals exact EASE_R (tested); rows-only here
+    because the sharded approximation is engine-policy, not reference
+    semantics."""
+    from ..recommenders.slim import ease_r_blocked
+
+    urm = _urm(spark, sf_dir)
+    return ease_r_blocked(urm, l2=10.0, n_blocks=4, top_k=10)
+
+
+register(
+    QuerySpec(
+        "ease_r_blocked_weights",
+        q_ease_r_blocked_weights,
+        None,
+        doc="blocked EASE_R scale path: per-shard closed form in "
+        "applyInPandas (EASE_R_Recommender.py:40-79)",
+        bench=False,
+    )
+)

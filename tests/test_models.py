@@ -131,3 +131,72 @@ def test_cold_user_factor_estimation(spark, urm):
     got = rows[0]
     for a, b in zip(got, expect):
         assert abs(a - b) < 1e-6
+
+def test_ease_r_blocked_one_block_equals_exact(spark, urm):
+    from contentwise_impressions_spark.recommenders.slim import ease_r_blocked
+
+    exact = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r(urm, l2=50.0, top_k=5).collect()
+    }
+    blocked = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r_blocked(urm, l2=50.0, n_blocks=1, top_k=5).collect()
+    }
+    assert set(exact) == set(blocked)
+    for k in exact:
+        assert abs(exact[k] - blocked[k]) < 1e-8
+
+
+def test_ease_r_blocked_sharded_invariants(spark, urm):
+    from contentwise_impressions_spark.recommenders.slim import ease_r_blocked
+
+    w = ease_r_blocked(urm, l2=50.0, n_blocks=4, top_k=5).cache()
+    assert w.filter(F.col("item_i") == F.col("item_j")).count() == 0
+    assert w.groupBy("item_j").count().agg(F.max("count")).collect()[0][0] <= 5
+    # sharding invariant: weights never cross block boundaries
+    assert (
+        w.filter(F.col("item_i") % 4 != F.col("item_j") % 4).count() == 0
+    )
+
+
+def test_bpr_training_reduces_loss(spark, urm):
+    """BPR quality gate: trained factors must beat the seeded random init
+    on the model's own objective (mean log σ(x_uij) over the triplets).
+    Deterministic given the seed — validates the SGD actually optimizes,
+    without flaky ranking-metric thresholds."""
+    import numpy as np
+
+    from contentwise_impressions_spark.recommenders.bpr import (
+        bpr_mf_fit,
+        bpr_triplets,
+    )
+
+    rank, seed = 8, 42
+    trip = np.array(
+        [
+            (r["user_id"], r["pos_item"], r["neg_item"])
+            for r in bpr_triplets(urm, mode="outside").collect()
+        ]
+    )
+    n_u = int(trip[:, 0].max()) + 1
+    n_i = int(trip[:, [1, 2]].max()) + 1
+    rng = np.random.default_rng(seed)
+    u0 = rng.normal(0.0, 0.1, (n_u, rank))
+    i0 = rng.normal(0.0, 0.1, (n_i, rank))
+
+    def mean_loss(u, i):
+        x = (u[trip[:, 0]] * (i[trip[:, 1]] - i[trip[:, 2]])).sum(axis=1)
+        return float(np.mean(np.log1p(np.exp(-x))))
+
+    uf, itf = bpr_mf_fit(urm, rank=rank, epochs=5, seed=seed)
+    u_fit = np.zeros((n_u, rank))
+    for r in uf.collect():
+        if r["user_id"] < n_u:
+            u_fit[r["user_id"]] = r["features"]
+    i_fit = np.zeros((n_i, rank))
+    for r in itf.collect():
+        if r["item_id"] < n_i:
+            i_fit[r["item_id"]] = r["features"]
+    loss0, loss1 = mean_loss(u0, i0), mean_loss(u_fit, i_fit)
+    assert loss1 < loss0 * 0.95, (loss0, loss1)
