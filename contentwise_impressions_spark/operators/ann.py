@@ -163,3 +163,158 @@ def lsh_bucket_signatures(
     for b in bits[1:]:
         bucket = bucket + b
     return emb.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id): IVF coarse quantizer — deterministic k-means.
+
+    The IVF scale path for ANN: cluster the corpus into `n_list` inverted
+    lists with a few Lloyd iterations, then search only same-list
+    candidates (`ivf_topk`).  Everything is declarative DataFrame algebra
+    (posexplode → broadcast-join centroids → groupBy argmin window →
+    re-average), so Catalyst owns the physical plan and a SQL oracle can
+    replay it exactly:
+
+    - seeds: the `n_list` vec_ids ranked by (vec_id·P1 mod 997, vec_id) —
+      the engine's multiplicative-hash convention, no RNG stream.
+    - assignment: argmin over round(Σ(x−y)², 9) with centroid-id tiebreak
+      (float-sum portability, see plans/mlops.py header).
+    - update: per-(list, dim) AVG.
+
+    At 100 TB the same plan holds: centroids are always tiny (n_list × d →
+    broadcast), assignment is a map-side join + partial agg, and only the
+    corpus scan scales.
+    """
+    from ..functions.hashing import P1
+
+    e = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    w_seed = Window.orderBy(
+        (F.col("vec_id").cast("bigint") * P1) % 997, F.col("vec_id")
+    )
+    seeds = (
+        embeddings.select("vec_id")
+        .withColumn("c", F.row_number().over(w_seed) - 1)
+        .filter(F.col("c") < n_list)
+    )
+    cent = e.join(seeds, "vec_id").select("c", "pos", F.col("x").alias("y"))
+    assign = None
+    for _ in range(n_iters):
+        d = (
+            e.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "c")
+            .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
+        assign = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("c").alias("list_id"))
+        )
+        cent = (
+            assign.join(e, "vec_id")
+            .groupBy(F.col("list_id").alias("c"), "pos")
+            .agg(F.avg("x").alias("y"))
+        )
+    return assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k restricted to same-IVF-list candidates.
+
+    (vec_id, neighbor_id, cosine, rank) — the candidate set is the probe's
+    inverted list (n_probe=1), re-scored exactly; Σ_l n_l² pair support
+    instead of n² brute force.  The assignment stays declarative
+    (Catalyst plan, oracle-replayable); the re-score reuses the
+    broadcast-BLAS kernel shape of `cosine_topk_bruteforce` because the
+    relational within-list pair join materializes Σ_l n_l²·d rows — a
+    skewed cluster makes that quadratic (measured 5× slower at sf0.1).
+    """
+    import sys as _sys
+
+    try:  # by-value pickling (see recommenders/slim.py note)
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    a = ivf_assignments(embeddings, n_list=n_list, n_iters=n_iters, vec_col=vec_col)
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .join(a, "vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    lists = np.array([r["list_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat, lists = ids[order], mat[order], lists[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms, lists))
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        b_ids, b_mat, b_norms, b_lists = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = np.searchsorted(b_ids, pdf["vec_id"].to_numpy(dtype=np.int64))
+            out = []
+            for p in pos:
+                cand = np.nonzero(b_lists == b_lists[p])[0]
+                cand = cand[cand != p]
+                if len(cand) == 0:
+                    continue
+                cos = (b_mat[cand] @ b_mat[p]) / (b_norms[cand] * b_norms[p])
+                # rank on (round(cos,9) desc, id asc): cand ids ascend, so
+                # a stable sort on -rounded gives the id tiebreak for free
+                top = np.argsort(-np.round(cos, 9), kind="stable")[:k]
+                for rk, c in enumerate(top, start=1):
+                    out.append(
+                        (
+                            int(b_ids[p]),
+                            int(b_ids[cand[c]]),
+                            float(cos[c]),
+                            rk,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "cosine", "rank"]
+            )
+
+    probes = spark.createDataFrame(
+        [(int(i),) for i in ids], "vec_id bigint"
+    ).repartition(max(2, spark.sparkContext.defaultParallelism))
+    return probes.mapInPandas(kernel, out_schema)

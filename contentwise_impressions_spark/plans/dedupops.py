@@ -343,3 +343,117 @@ register(
         doc="okapi BM25 weighting (IR_feature_weighting.py:13-50)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantized ANN (the scale path the brief names alongside LSH)
+# ---------------------------------------------------------------------------
+def _ivf_sql_ctes(n_list: int = 8, n_iters: int = 2) -> str:
+    """DuckDB twin of operators/ann.ivf_assignments — same seeds, same
+    argmin/tiebreak, same AVG update, generated from the same constants."""
+    from ..functions.hashing import P1
+
+    ctes = [
+        """e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        )""",
+        f"""seeds AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (CAST(vec_id AS BIGINT) * {P1}) % 997, vec_id
+                   ) - 1 AS c
+            FROM embeddings
+            QUALIFY c < {n_list}
+        )""",
+        "cent0 AS (SELECT s.c, e.pos, e.x AS y FROM seeds s JOIN e USING (vec_id))",
+    ]
+    prev = "cent0"
+    for it in range(n_iters):
+        ctes.append(
+            f"""d{it} AS (
+                SELECT e.vec_id, c.c, SUM((e.x - c.y) * (e.x - c.y)) AS d2
+                FROM e JOIN {prev} c ON e.pos = c.pos
+                GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+                SELECT vec_id, c AS list_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                    FROM d{it}
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""cent{it + 1} AS (
+                SELECT a.list_id AS c, e.pos, AVG(e.x) AS y
+                FROM a{it} a JOIN e USING (vec_id)
+                GROUP BY 1, 2
+            )"""
+        )
+        prev = f"cent{it + 1}"
+    return ",\n        ".join(ctes)
+
+
+def q_ann_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assignments(emb, n_list=8, n_iters=2).select(
+        "vec_id", F.col("list_id").cast("bigint").alias("list_id")
+    )
+
+
+register(
+    QuerySpec(
+        "ann_ivf_assignments",
+        q_ann_ivf_assignments,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)}
+        SELECT vec_id, CAST(list_id AS BIGINT) AS list_id FROM a1
+        """,
+        doc="IVF coarse quantizer: deterministic seeded k-means, 2 Lloyd "
+        "iterations (ANN scale path per the build brief)",
+    )
+)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_list=8, n_iters=2)
+
+
+register(
+    QuerySpec(
+        "ann_ivf_topk",
+        q_ann_ivf_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
+        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            FROM ea a JOIN ea b
+              ON a.pos = b.pos AND a.list_id = b.list_id
+             AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               d.dot / (na.nrm * nb.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="IVF-restricted cosine top-k: same-list candidates re-scored "
+        "exactly (n_probe=1)",
+    )
+)
