@@ -6,7 +6,11 @@
 - run_statistics       (notebook_generate_statistics analog): emit the
   statistics JSON.
 - run_tuning           (run_hyperparameter_tuning.py analog): search the
-  ItemKNN space with the random-search driver, print the results table.
+  ItemKNN space with the random-search driver, print the results table;
+  persists the per-case history parquet for results gathering / resume.
+- run_results_gathering (run_results_gathering.py analog): load persisted
+  search histories and render the LaTeX results table
+  (ResultFolderLoader.py:482-860).
 
 Usage: python -m contentwise_impressions_spark.cli <command> [sf_dir] [out]
 """
@@ -60,7 +64,7 @@ def run_statistics(sf_dir: str, out_path: str | None = None) -> None:
     print(doc)
 
 
-def run_tuning(sf_dir: str) -> None:
+def run_tuning(sf_dir: str, history_dir: str | None = None) -> None:
     from .evaluation.metrics import ranking_metrics
     from .operators.scoring import item_based_scores, recommend_top_k
     from .operators.similarity import similarity_scores, similarity_top_k
@@ -87,9 +91,40 @@ def run_tuning(sf_dir: str) -> None:
         "shrink": Real(0.0, 20.0),
         "kind": Categorical(("cosine", "jaccard", "dice")),
     }
-    best, hist = random_search(space, objective, n_cases=8, seed=42)
+    if history_dir:
+        from .tuning import random_search_resumable
+
+        import os
+
+        os.makedirs(history_dir, exist_ok=True)
+        best, hist = random_search_resumable(
+            space,
+            objective,
+            f"{history_dir}/ItemKNNCF.parquet",
+            n_cases=8,
+            seed=42,
+        )
+    else:
+        best, hist = random_search(space, objective, n_cases=8, seed=42)
     print(results_table({"ItemKNNCF": hist}).to_string(index=False))
     print("best:", json.dumps(best))
+
+
+def run_results_gathering(history_dir: str) -> None:
+    import glob
+    import os
+
+    import pandas as pd
+
+    from .tuning import latex_results, results_table
+
+    histories = {
+        os.path.splitext(os.path.basename(p))[0]: pd.read_parquet(p)
+        for p in sorted(glob.glob(f"{history_dir}/*.parquet"))
+    }
+    if not histories:
+        raise SystemExit(f"no search histories under {history_dir}")
+    print(latex_results(results_table(histories)))
 
 
 def main() -> None:
@@ -100,7 +135,9 @@ def main() -> None:
     elif cmd == "statistics":
         run_statistics(sf_dir, sys.argv[3] if len(sys.argv) > 3 else None)
     elif cmd == "tuning":
-        run_tuning(sf_dir)
+        run_tuning(sf_dir, sys.argv[3] if len(sys.argv) > 3 else None)
+    elif cmd == "results-gathering":
+        run_results_gathering(sys.argv[2] if len(sys.argv) > 2 else "/tmp/cwi_hist")
     else:
         raise SystemExit(f"unknown command: {cmd}")
 

@@ -3,7 +3,9 @@ from .search import (
     Integer,
     Real,
     fit_with_early_stopping,
+    latex_results,
     random_search,
+    random_search_resumable,
     results_table,
 )
 
@@ -12,6 +14,8 @@ __all__ = [
     "Integer",
     "Real",
     "random_search",
+    "random_search_resumable",
     "fit_with_early_stopping",
     "results_table",
+    "latex_results",
 ]

@@ -215,3 +215,35 @@ def random_search_resumable(
         )
         pd.DataFrame(rows).to_parquet(history_path, index=False)
     return best_params, pd.DataFrame(rows)
+
+
+def latex_results(
+    table: pd.DataFrame,
+    caption: str = "Hyperparameter search results",
+    float_fmt: str = "{:.4f}",
+) -> str:
+    """Render the results table as a LaTeX tabular — the
+    run_results_gathering.py artifact (ResultFolderLoader.py:482-860
+    writes accuracy / beyond-accuracy / time / hyperparameter tables).
+    Hand-rolled (the reference hand-assembles its LaTeX too), so there is
+    no template-engine dependency."""
+
+    def fmt(v: Any) -> str:
+        if isinstance(v, float):
+            return float_fmt.format(v)
+        return str(v).replace("_", r"\_")
+
+    cols = list(table.columns)
+    lines = [
+        r"\begin{table}[t]",
+        r"\centering",
+        rf"\caption{{{caption}}}",
+        r"\begin{tabular}{l" + "r" * (len(cols) - 1) + "}",
+        r"\toprule",
+        " & ".join(fmt(c) for c in cols) + r" \\",
+        r"\midrule",
+    ]
+    for _, row in table.iterrows():
+        lines.append(" & ".join(fmt(v) for v in row.tolist()) + r" \\")
+    lines += [r"\bottomrule", r"\end{tabular}", r"\end{table}"]
+    return "\n".join(lines)

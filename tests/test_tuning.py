@@ -112,3 +112,23 @@ def test_random_search_resume(tmp_path):
     assert len(calls) == n_calls_first + 2
     assert h2["resumed"].tolist() == [True, True, True, False, False]
     assert (h2.iloc[:3]["metric"].values == h1["metric"].values).all()
+
+
+def test_latex_results_renders():
+    import pandas as pd
+
+    from contentwise_impressions_spark.tuning import latex_results, results_table
+
+    hist = pd.DataFrame(
+        {
+            "case": [0, 1],
+            "param_top_k": [10, 20],
+            "metric": [0.1, 0.3],
+            "train_eval_sec": [1.0, 2.0],
+            "is_best": [True, True],
+        }
+    )
+    tex = latex_results(results_table({"ItemKNN_CF": hist}))
+    assert r"\begin{tabular}" in tex and r"\toprule" in tex
+    assert "0.3000" in tex  # best metric row
+    assert r"ItemKNN\_CF" in tex  # underscore escaped
