@@ -417,6 +417,7 @@ register(
         """,
         doc="IVF coarse quantizer: deterministic seeded k-means, 2 Lloyd "
         "iterations (ANN scale path per the build brief)",
+        bench=False,  # sub-plan of ann_ivf_topk; benching both double-counts
     )
 )
 

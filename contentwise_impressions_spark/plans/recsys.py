@@ -334,3 +334,70 @@ register(
         "(assertions_on_data_for_experiments.py:12-57)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# popularity-bias stats (Utils/plot_popularity.py:20-199: sorted popularity
+# curve summary — gini of item popularity + share of interactions landing
+# on the top-20% most popular items; the plot's numbers without matplotlib)
+# ---------------------------------------------------------------------------
+def q_popularity_bias_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import gini_coefficient
+
+    urm = _urm(spark, sf_dir)
+    counts = urm.groupBy("item_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item_id").asc())
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .withColumn("n_items", F.count("*").over(Window.partitionBy()))
+    )
+    share = ranked.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.sum(
+                F.when(
+                    F.col("r") <= F.ceil(0.2 * F.col("n_items")), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt")
+        ).alias("top20pct_share"),
+    )
+    return gini_coefficient(counts, "cnt", out_col="popularity_gini").crossJoin(
+        share
+    )
+
+
+register(
+    QuerySpec(
+        "popularity_bias_stats",
+        q_popularity_bias_stats,
+        f"""
+        WITH {URM_CTE},
+        c AS (
+            SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS cnt
+            FROM urm GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, item_id ASC) AS r,
+                   COUNT(*) OVER () AS n_items
+            FROM c
+        ),
+        g AS (
+            SELECT (SUM(2.0 * i * x) - (COUNT(*) + 1) * SUM(x))
+                       / (COUNT(*) * SUM(x)) AS popularity_gini
+            FROM (SELECT cnt AS x,
+                         ROW_NUMBER() OVER (ORDER BY cnt ASC) AS i FROM c)
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   SUM(CASE WHEN r <= CEIL(0.2 * n_items) THEN cnt ELSE 0 END)
+                       / SUM(cnt) AS top20pct_share
+            FROM ranked
+        )
+        SELECT g.popularity_gini, s.n_items, s.top20pct_share
+        FROM g CROSS JOIN s
+        """,
+        doc="popularity-bias summary (Utils/plot_popularity.py:20-199)",
+    )
+)
