@@ -132,3 +132,28 @@ def test_latex_results_renders():
     assert r"\begin{tabular}" in tex and r"\toprule" in tex
     assert "0.3000" in tex  # best metric row
     assert r"ItemKNN\_CF" in tex  # underscore escaped
+
+
+def test_seconds_to_biggest_unit():
+    import numpy as np
+
+    from contentwise_impressions_spark.functions.timing import (
+        seconds_to_biggest_unit,
+        timeit,
+    )
+
+    assert seconds_to_biggest_unit(30) == (30, "sec")
+    assert seconds_to_biggest_unit(90) == (1.5, "min")
+    assert seconds_to_biggest_unit(7200) == (2.0, "hour")
+    v, u = seconds_to_biggest_unit(86400 * 3)
+    assert (v, u) == (3.0, "day")
+    # array rescaled in place alongside the promotion
+    arr = np.array([60.0, 120.0])
+    v, u, out = seconds_to_biggest_unit(120.0, arr)
+    assert u == "min" and list(out) == [1.0, 2.0]
+
+    @timeit
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2 and f.__name__ == "f"
