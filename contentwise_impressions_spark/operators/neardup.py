@@ -115,16 +115,86 @@ def ngram_jaccard_pairs(
     return out
 
 
-def shingle_ids_portable(doc_shingles: DataFrame) -> DataFrame:
-    """(doc_id, sid): shingle ids via dense_rank over the sorted corpus.
+def distributed_ordered_ids(
+    values: DataFrame,
+    col: str,
+    out_col: str = "sid",
+    small_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Contiguous 1-based ids in sorted order of `col` — a distributed
+    replacement for `dense_rank() OVER (ORDER BY col)` on DISTINCT values.
 
-    Engine-portable (any SQL engine reproduces it) but costs a global sort
-    of distinct shingles — see module docstring for the scale path.
+    The empty-frame global window funnels every row through ONE task; this
+    is the classic two-phase ranking instead: range-partition on the key,
+    rank within each partition (parallel windows), then add per-partition
+    offsets (a tiny count-per-partition job broadcast back).  Output is
+    byte-identical to the global dense_rank (tested), so oracle parity is
+    preserved while the sort scales with the cluster.
+    """
+    spark = values.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    values = values.persist()  # scanned by 3-4 jobs below; tiny (distinct keys)
+    n_values = values.count()
+    if n_values <= small_threshold:
+        # below the threshold a single-task sort is cheaper than the extra
+        # boundary/offset jobs; output is identical either way
+        return values.withColumn(
+            out_col,
+            F.row_number().over(Window.orderBy(col)).cast("bigint"),
+        )
+    # deterministic range boundaries: a hash-sampled sketch of the key
+    # space, quantiled on the driver.  (repartitionByRange would resample
+    # boundaries on EVERY execution of the plan, so the offsets collected
+    # below could disagree with the final job — bucket assignment must be
+    # a pure expression over the row.)
+    mod = max(1, n_values // (n_part * 100))
+    sample = sorted(
+        r[0]
+        for r in values.filter(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(mod)) == 0
+        ).collect()
+    )
+    bounds = []
+    for i in range(1, n_part):
+        b = sample[i * len(sample) // n_part] if sample else None
+        if b is not None and (not bounds or b > bounds[-1]):
+            bounds.append(b)
+    if bounds:
+        pid = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]), lambda b: F.col(col) > b
+            )
+        )
+    else:
+        pid = F.lit(0)
+    tagged = values.withColumn("_pid", pid)
+    w = Window.partitionBy("_pid").orderBy(col)
+    local = tagged.withColumn("_rn", F.row_number().over(w))
+    # partition counts are ≤ n_part rows — driver-side cumulative offsets
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for p, cnt in counts:
+        offsets.append((p, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def shingle_ids_portable(doc_shingles: DataFrame) -> DataFrame:
+    """(doc_id, sid): shingle ids in sorted-corpus order — identical to
+    `dense_rank() OVER (ORDER BY shingle)` (the oracle formulation) but
+    computed with the distributed two-phase rank above, so no single-task
+    global sort at scale.
     """
     distinct = doc_shingles.select("shingle").distinct()
-    ids = distinct.withColumn(
-        "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
-    )
+    ids = distributed_ordered_ids(distinct, "shingle")
     return doc_shingles.join(ids, "shingle").select("doc_id", "sid")
 
 

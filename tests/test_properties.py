@@ -103,3 +103,37 @@ def test_cosine_similarity_symmetric_bounded(spark, rows):
     for (i, j), s in sims.items():
         assert 0.0 <= s <= 1.0 + 1e-9
         assert sims[(j, i)] == pytest.approx(s)  # AᵀA symmetry
+
+
+def test_distributed_ordered_ids_equals_global_dense_rank(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.operators.neardup import (
+        distributed_ordered_ids,
+        shingles,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    sh = shingles(load_table(spark, sf_dir, "documents"), n=3)
+    distinct = sh.select("shingle").distinct()
+    want = {
+        r["shingle"]: r["sid"]
+        for r in distinct.withColumn(
+            "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("bigint")
+        ).collect()
+    }
+    # small_threshold=0 forces the two-phase distributed path; the default
+    # adaptive path (single-task below threshold) must agree too
+    got = {
+        r["shingle"]: r["sid"]
+        for r in distributed_ordered_ids(
+            distinct, "shingle", small_threshold=0
+        ).collect()
+    }
+    assert got == want
+    got_adaptive = {
+        r["shingle"]: r["sid"]
+        for r in distributed_ordered_ids(distinct, "shingle").collect()
+    }
+    assert got_adaptive == want
