@@ -52,3 +52,11 @@ def test_similarity_partial_aggregation(spark, sf_dir):
     # blocked accumulation analog)
     plan = _formatted_plan(QUERIES["item_cosine_topk"](spark, sf_dir))
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_ivf_centroid_join_is_broadcast(spark, sf_dir):
+    # the centroid side is n_list × d rows — it must broadcast to the
+    # corpus scan, never shuffle the corpus for a sort-merge join
+    plan = _formatted_plan(QUERIES["ann_ivf_assignments"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
