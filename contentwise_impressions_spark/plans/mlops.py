@@ -1316,3 +1316,87 @@ register(
         doc="graded-relevance NDCG (metrics.py:182-211, 2^rel−1 gains)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# UserKNN-CF serving (KNN/UserKNNCFRecommender.py:32-54 fit +
+# BaseSimilarityMatrixRecommender.py:99-120 user-based scoring)
+# ---------------------------------------------------------------------------
+def q_userknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserKNN-CF top-10: user-user cosine W (topK=10 per user_j) →
+    scores = W·URM → remove seen → per-user ranking.
+
+    W comes from the blocked kernel (operators/cbf_kernel.py — user rows
+    over the item vocabulary, same routing rationale as user_cosine_topk);
+    scoring + ranking are the relational join/window path.  Scores are
+    float sums → ranked on round(score, 9)."""
+    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+    from ..operators.scoring import user_based_scores
+
+    train, test = _train_test(spark, sf_dir)
+    train_v = train.withColumn("value", F.lit(1.0))
+    as_icm = train_v.select(
+        F.col("user_id").alias("item_id"),
+        F.col("item_id").cast("string").alias("feature"),
+        "value",
+    )
+    w = hybrid_cosine_topk_kernel(as_icm, None, k=10, icm_weight=1.0).select(
+        F.col("item_i").alias("user_i"),
+        F.col("item_j").alias("user_j"),
+        "sim",
+    )
+    scores = user_based_scores(train_v, w)
+    users = test.select("user_id").distinct()
+    scores = scores.join(users, "user_id", "left_semi")
+    return recommend_top_k(scores, 10, train=train, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "userknn_recommendations",
+        q_userknn_recommendations,
+        f"""
+        WITH {URM_CTE},
+        {_SPLIT_SQL},
+        n AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n FROM train GROUP BY 1),
+        d AS (
+            SELECT a.user_id AS user_i, b.user_id AS user_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM train a JOIN train b
+              ON a.item_id = b.item_id AND a.user_id <> b.user_id
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT user_i, user_j,
+                   dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY user_j
+                        ORDER BY round(dot / (sqrt(ni.n) * sqrt(nj.n) + 1e-6), 9) DESC,
+                                 user_i ASC) AS rnk
+            FROM d JOIN n ni ON d.user_i = ni.user_id
+                   JOIN n nj ON d.user_j = nj.user_id
+            QUALIFY rnk <= 10
+        ),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        scores AS (
+            SELECT s.user_i AS user_id, t.item_id, SUM(s.sim) AS score
+            FROM s JOIN train t ON s.user_j = t.user_id
+            WHERE s.user_i IN (SELECT user_id FROM eu)
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT sc.* FROM scores sc
+            LEFT JOIN train tr
+              ON sc.user_id = tr.user_id AND sc.item_id = tr.item_id
+            WHERE tr.user_id IS NULL
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY round(score, 9) DESC, item_id ASC) AS INT) AS rank
+        FROM unseen
+        QUALIFY rank <= 10
+        """,
+        doc="UserKNN-CF serving: kernel W + W·URM scoring "
+        "(UserKNNCFRecommender.py:32-54, "
+        "BaseSimilarityMatrixRecommender.py:99-120)",
+    )
+)
