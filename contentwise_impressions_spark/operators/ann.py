@@ -318,3 +318,78 @@ def ivf_topk(
         [(int(i),) for i in ids], "vec_id bigint"
     ).repartition(max(2, spark.sparkContext.defaultParallelism))
     return probes.mapInPandas(kernel, out_schema)
+
+
+def cosine_pairs_above(
+    embeddings: DataFrame, threshold: float, vec_col: str = "embedding"
+) -> DataFrame:
+    """(doc_i, doc_j, cosine) for every pair with round(cosine, 9) ≥
+    threshold, doc_i < doc_j — embedding-cosine near-duplicate detection.
+
+    Same broadcast-BLAS shape as `cosine_topk_bruteforce`; each probe only
+    scores ids greater than itself so every pair is emitted once.  The
+    threshold compares the ROUNDED cosine so a boundary pair can't flip
+    membership between engines (float-sum last-ulp rule).  Scale path:
+    LSH-bucket or IVF-list the corpus first and run this kernel per
+    bucket — the thresholding algebra is unchanged.
+    """
+    import sys as _sys
+
+    try:  # by-value pickling (see recommenders/slim.py note)
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = embeddings.sparkSession
+    rows = embeddings.select("vec_id", vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = StructType(
+        [
+            StructField("doc_i", LongType()),
+            StructField("doc_j", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        b_ids, b_mat, b_norms = bc.value
+        n = len(b_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = np.searchsorted(b_ids, pdf["vec_id"].to_numpy(dtype=np.int64))
+            out = []
+            for p in pos:
+                if p + 1 >= n:
+                    continue
+                cos = (b_mat[p + 1 :] @ b_mat[p]) / (
+                    b_norms[p + 1 :] * b_norms[p]
+                )
+                hit = np.nonzero(np.round(cos, 9) >= threshold)[0]
+                for h in hit:
+                    out.append(
+                        (int(b_ids[p]), int(b_ids[p + 1 + h]), float(cos[h]))
+                    )
+            yield pd.DataFrame(out, columns=["doc_i", "doc_j", "cosine"])
+
+    probes = spark.createDataFrame(
+        [(int(i),) for i in ids], "vec_id bigint"
+    ).repartition(max(2, spark.sparkContext.defaultParallelism))
+    return probes.mapInPandas(kernel, out_schema)

@@ -458,3 +458,41 @@ register(
         "exactly (n_probe=1)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the brief's fifth dedup modality)
+# ---------------------------------------------------------------------------
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import cosine_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, threshold=0.4)
+
+
+register(
+    QuerySpec(
+        "embedding_neardup_pairs",
+        q_embedding_neardup_pairs,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+            SELECT a.vec_id AS doc_i, b.vec_id AS doc_j, SUM(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT d.doc_i, d.doc_j, d.dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots d
+        JOIN norms na ON d.doc_i = na.vec_id
+        JOIN norms nb ON d.doc_j = nb.vec_id
+        WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.4
+        """,
+        doc="embedding-cosine near-dup pairs (pipeline extension; "
+        "round-9 threshold for engine portability)",
+    )
+)
