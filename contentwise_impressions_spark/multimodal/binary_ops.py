@@ -173,3 +173,59 @@ def sample_frames(
         F.col("frame_idx").cast("int"),
         (F.col("frame_idx") * every_ms).cast("bigint").alias("frame_ts_ms"),
     )
+
+
+_RESIZE_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_bytes", BinaryType()),
+        StructField("media_meta", MEDIA_SCHEMA),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize each payload's pixel grid to (width × height) —
+    nearest-neighbor resampling over the byte matrix.
+
+    For real formats the codec decode belongs before the resample
+    (decode_media's marked line); the fake format IS a raw byte grid, so
+    the resampling math here is real numpy, and the contract — binary in,
+    binary out, metadata struct rewritten to the new dimensions — is the
+    production one.  Row-independent → mapInPandas, no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["media_bytes"], pdf["media_meta"]
+            ):
+                w0 = max(int(meta["width"]), 1)
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                h0 = max(len(arr) // w0, 1)
+                grid = np.resize(arr, (h0, w0))  # pad/truncate to the grid
+                rows = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                cols = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                resized = grid[np.ix_(rows, cols)]
+                out.append(
+                    (
+                        doc_id,
+                        resized.tobytes(),
+                        {
+                            "media_type": meta["media_type"],
+                            "format": meta["format"],
+                            "width": width,
+                            "height": height,
+                            "duration_ms": meta["duration_ms"],
+                            "n_bytes": width * height,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_bytes", "media_meta"]
+            )
+
+    return media.mapInPandas(kernel, _RESIZE_OUT)

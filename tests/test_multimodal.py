@@ -62,3 +62,32 @@ def test_sample_frames_fanout(spark, media):
     per_doc = frames.groupBy("doc_id").count().agg(F.min("count"), F.max("count")).first()
     assert per_doc[0] == 3 and per_doc[1] == 3
     assert frames.filter(F.col("frame_ts_ms") == 2000).count() == media.count()
+
+
+def test_resize_media_contract(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.multimodal.binary_ops import (
+        attach_fake_media,
+        resize_media,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, width=8, height=6).cache()
+    assert out.count() == media.count()
+    bad = out.filter(
+        (F.col("media_meta.width") != 8)
+        | (F.col("media_meta.height") != 6)
+        | (F.length("media_bytes") != 48)
+    ).count()
+    assert bad == 0
+    # deterministic: same input → same bytes
+    a = {r["doc_id"]: bytes(r["media_bytes"]) for r in out.limit(20).collect()}
+    b = {
+        r["doc_id"]: bytes(r["media_bytes"])
+        for r in resize_media(media, 8, 6)
+        .join(spark.createDataFrame([(i,) for i in a], "doc_id bigint"), "doc_id")
+        .collect()
+    }
+    assert a == b
