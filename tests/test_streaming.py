@@ -148,3 +148,68 @@ def test_running_user_profiles_stateful(spark, sf_dir):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_running_user_profiles_idle_timeout_tombstone(spark):
+    """Idle-timeout eviction: a user silent past `idle_timeout_ms` gets a
+    final tombstone row (is_final=true) carrying their last known profile,
+    and their state is removed.
+
+    CAUTION — do NOT use processAllAvailable() here: with
+    ProcessingTimeTimeout configured, FlatMapGroupsWithStateExec's
+    shouldRunAnotherBatch is unconditionally true, so the engine keeps
+    scheduling no-data micro-batches to fire timeouts and the `noNewData`
+    latch processAllAvailable() waits on never sets.  Poll the memory sink
+    with a deadline instead; those same no-data batches are what deliver
+    the tombstone (no second data batch is needed)."""
+    import datetime as dt
+    import time
+
+    from contentwise_impressions_spark.streaming.ingest import running_user_profiles
+
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_tomb_"))
+    try:
+        schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        batch1 = spark.createDataFrame(
+            [(1, t0, 2.0), (1, t0 + dt.timedelta(minutes=5), 3.0)], schema=schema
+        )
+        batch1.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=batch1.schema)
+        prof = running_user_profiles(src, idle_timeout_ms=500)
+        q = (
+            prof.writeStream.format("memory")
+            .queryName("tomb_profiles")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .trigger(processingTime="250 milliseconds")  # bound the batch churn
+            .start()
+        )
+
+        def poll(predicate_sql, deadline_s=90):
+            end = time.monotonic() + deadline_s
+            while time.monotonic() < end:
+                if q.exception() is not None:
+                    raise q.exception()
+                rows = spark.sql(
+                    f"SELECT * FROM tomb_profiles WHERE {predicate_sql}"
+                ).collect()
+                if rows:
+                    return rows
+                time.sleep(0.25)
+            raise AssertionError(f"timed out waiting for: {predicate_sql}")
+
+        # live update arrives first ...
+        lives = poll("user_id = 1 AND NOT is_final")
+        assert lives[-1]["n_events"] == 2
+        # ... then the idle deadline lapses and a no-data batch evicts
+        finals = poll("user_id = 1 AND is_final")
+        q.stop()
+        assert len(finals) == 1, f"expected one tombstone, got {finals}"
+        tomb = finals[0]
+        # tombstone carries the complete profile accumulated before eviction
+        assert tomb["n_events"] == 2
+        assert round(tomb["sum_value"], 6) == 5.0
+        assert tomb["last_ts"] is not None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
