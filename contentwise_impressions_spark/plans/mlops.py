@@ -29,6 +29,7 @@ from ..recommenders.nonpersonalized import global_effects
 from ..sources.interactions import events_as_interactions, implicit_urm
 from ..sources.tables import load_table
 from .recsys import URM_CTE
+from . import shared
 from .registry import QuerySpec, register
 
 #: oracle CTE: explicit ratings = mean event value per (user, item)
@@ -45,16 +46,11 @@ RATED_CTE = """
 
 
 def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return implicit_urm(load_table(spark, sf_dir, "events"))
+    return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
 
 def _rated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inter = events_as_interactions(load_table(spark, sf_dir, "events"))
-    return (
-        inter.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id", "item_id")
-        .agg(F.avg("value").alias("rating"))
-    )
+    return shared.rated(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -23,11 +23,12 @@ from ..sources.interactions import events_as_interactions, implicit_urm
 from ..sources.tables import load_table
 from ..streaming.ingest import tumbling_event_counts
 from .recsys import URM_CTE
+from . import shared
 from .registry import QuerySpec, register, utc
 
 
 def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return implicit_urm(load_table(spark, sf_dir, "events"))
+    return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
 
 def _impressions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from ..operators.splits import deterministic_split, leave_last_out, min_activity
 from ..operators.topk import top_k_per_group
 from ..sources.interactions import events_as_interactions, implicit_urm
 from ..sources.tables import load_table
+from . import shared
 from .registry import QuerySpec, register, utc
 
 #: shared oracle CTE body: the implicit URM (distinct interacted pairs).
@@ -29,7 +30,7 @@ URM_CTE = """
 
 
 def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return implicit_urm(load_table(spark, sf_dir, "events"))
+    return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
 
 # ---------------------------------------------------------------------------

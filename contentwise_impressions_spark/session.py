@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, a persisted relation (plans/shared.py) pins its
+        # compile-time output partitioning and every stage above the cache
+        # keeps the full shuffle-partition fan-out — AQE can no longer
+        # coalesce, and small-data stages degrade into cascades of tiny
+        # tasks (measured 8x on the similarity queries).  Allowing AQE to
+        # re-plan cached output restores coalescing; at scale it also lets
+        # skew handling apply above cached intermediates.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
