@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import bucket_hash
 from ..operators.similarity import similarity_scores, similarity_top_k
 from ..sources.tables import load_table
+from . import shared
 from .mlops import RATED_CTE, _rated
 from .registry import QuerySpec, register
 
@@ -50,6 +51,11 @@ CF_CTE = """
 
 
 def _icm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted once per session (plans/shared.py) — four queries read it
+    return shared.materialized(spark, sf_dir, "icm", lambda: _build_icm(spark, sf_dir))
+
+
+def _build_icm(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     brand = part.select(
         F.col("p_partkey").alias("item_id"),
@@ -79,6 +85,11 @@ def _icm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the widest shared intermediate (lineitem ⋈ orders + dedup shuffle)
+    return shared.materialized(spark, sf_dir, "cf", lambda: _build_cf(spark, sf_dir))
+
+
+def _build_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     return (
