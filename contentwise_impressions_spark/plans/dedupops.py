@@ -28,6 +28,7 @@ from ..operators.neardup import (
     simhash_fingerprints,
 )
 from ..sources.tables import load_table
+from . import shared
 from .registry import QuerySpec, register
 
 #: oracle CTEs: tokens and distinct 3-gram shingles per doc (1-based list
@@ -60,12 +61,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingles, materialized once per session (plans/shared.py) —
+    the window + dedup shuffle feeds jaccard, minhash x2, and simhash."""
+    return shared.materialized(
+        spark, sf_dir, "shingles3", lambda: shingles(_docs(spark, sf_dir), n=3)
+    )
+
+
+def _sids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sid) portable shingle ids, materialized — the two-phase
+    ordered-id ranking plus its join run once per session."""
+    return shared.materialized(
+        spark, sf_dir, "doc_sids",
+        lambda: shingle_ids_portable(_shingles3(spark, sf_dir)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 def q_ngram_jaccard_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """50 most-similar doc pairs by 3-gram Jaccard."""
-    sh = shingles(_docs(spark, sf_dir), n=3)
+    sh = _shingles3(spark, sf_dir)
     return ngram_jaccard_pairs(sh, top_n=50)
 
 
@@ -102,7 +120,7 @@ register(
 # MinHash signatures + LSH candidates
 # ---------------------------------------------------------------------------
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    sids = _sids(spark, sf_dir)
     return minhash_signatures(sids)
 
 
@@ -130,7 +148,7 @@ register(
 
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    sids = _sids(spark, sf_dir)
     return minhash_lsh_candidates(minhash_signatures(sids), rows_per_band=2)
 
 
@@ -173,7 +191,7 @@ register(
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sids = shingle_ids_portable(shingles(_docs(spark, sf_dir), n=3))
+    sids = _sids(spark, sf_dir)
     return simhash_fingerprints(sids)
 
 
