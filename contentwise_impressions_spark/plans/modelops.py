@@ -436,3 +436,27 @@ register(
         bench=False,
     )
 )
+
+def q_ease_r_cg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global EXACT EASE_R via distributed conjugate gradient — closes the
+    blocked path's cross-block approximation: sparse-Gram broadcast +
+    matrix-form CG per column chunk in mapInPandas, no O(n_items³) driver
+    inverse (EASE_R_Recommender.py:64).  Converges to ease_r's closed form
+    (equivalence tested); rows-only because CG iteration count is engine
+    policy, not reference semantics."""
+    from ..recommenders.slim import ease_r_cg
+
+    urm = _urm(spark, sf_dir)
+    return ease_r_cg(urm, l2=10.0, top_k=10)
+
+
+register(
+    QuerySpec(
+        "ease_r_cg_weights",
+        q_ease_r_cg_weights,
+        None,
+        doc="global EASE_R via sparse-Gram CG in mapInPandas "
+        "(EASE_R_Recommender.py:40-79, iterative scale path)",
+        bench=False,
+    )
+)

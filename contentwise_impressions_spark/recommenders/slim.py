@@ -274,3 +274,155 @@ def ease_r_blocked(
 
         w = similarity_top_k(w, top_k, round_digits=9)
     return w
+
+
+def ease_r_cg(
+    urm: DataFrame,
+    l2: float = 10.0,
+    n_iters: int = 200,
+    tol: float = 1e-12,
+    top_k: int | None = 10,
+    cols_per_chunk: int = 256,
+) -> DataFrame:
+    """Global EXACT EASE_R without the O(n_items³) driver inverse: solve
+    (G + λI) P = I column-block-wise with conjugate gradient inside an
+    Arrow-batched ``mapInPandas`` kernel.
+
+    This closes the gap the blocked path leaves open (cross-block weights
+    approximated as 0 in ``ease_r_blocked``): every column here is solved
+    against the FULL Gram, so the result converges to ``ease_r``'s closed
+    form (equivalence tested) — while the driver never materializes or
+    inverts a dense n×n matrix (EASE_R_Recommender.py:64, the reference's
+    wall).
+
+    Scale shape:
+    - the Gram is computed DISTRIBUTED (pair-dots self-join + agg) and
+      broadcast SPARSE as flat CSR arrays — O(nnz_G) bytes, not O(n²);
+      nnz_G = Σ_u deg(u)² pair support, the same budget the similarity
+      family already pays.
+    - the unit-vector right-hand sides are the distributed input: each
+      executor task CG-solves a bounded chunk of columns simultaneously
+      (matrix-form CG — every step is a level-3 BLAS-ish batched op).
+    - G + λI is symmetric positive definite, so CG is guaranteed to
+      converge; λ lower-bounds the spectrum and thereby the rate.
+    - CSR·X matvec uses the cumsum-difference segment sum (not
+      np.add.reduceat, whose empty-segment semantics return arr[start]
+      instead of 0 for items with no co-occurrences).
+
+    B[:, c] = −P[:, c] / P[c, c], diag forced to 0 — identical
+    postprocessing to ``ease_r``.
+    """
+    from ..operators.similarity import pair_dots, similarity_top_k
+
+    spark = urm.sparkSession
+    try:  # Arrow transfer for the Gram collect (vanilla driver session)
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # pragma: no cover
+        pass
+
+    dots = pair_dots(urm).toPandas()
+    diag = (
+        urm.groupBy("item_id")
+        .agg(F.sum(F.col("value") * F.col("value")).alias("sq"))
+        .toPandas()
+    )
+    ids = np.sort(diag["item_id"].to_numpy(dtype=np.int64))
+    n = len(ids)
+    rows = np.concatenate(
+        [
+            np.searchsorted(ids, dots["item_i"].to_numpy(dtype=np.int64)),
+            np.searchsorted(ids, diag["item_id"].to_numpy(dtype=np.int64)),
+        ]
+    )
+    cols = np.concatenate(
+        [
+            np.searchsorted(ids, dots["item_j"].to_numpy(dtype=np.int64)),
+            np.searchsorted(ids, diag["item_id"].to_numpy(dtype=np.int64)),
+        ]
+    )
+    data = np.concatenate(
+        [
+            dots["dot"].to_numpy(dtype=np.float64),
+            diag["sq"].to_numpy(dtype=np.float64),
+        ]
+    )
+    order = np.argsort(rows, kind="stable")
+    rows, cols, data = rows[order], cols[order], data[order]
+    indptr = np.searchsorted(rows, np.arange(n + 1)).astype(np.int64)
+    bc = spark.sparkContext.broadcast((ids, indptr, cols, data))
+
+    out_schema = StructType(
+        [
+            StructField("item_i", LongType()),
+            StructField("item_j", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        b_ids, b_indptr, b_cols, b_data = bc.value
+        nn = len(b_ids)
+
+        def matvec(x):
+            # y = (G + λI)·x for multi-RHS x (nn × B): gather + segment sum
+            contrib = b_data[:, None] * x[b_cols, :]
+            csum = np.concatenate(
+                [np.zeros((1, x.shape[1])), np.cumsum(contrib, axis=0)]
+            )
+            return csum[b_indptr[1:]] - csum[b_indptr[:-1]] + l2 * x
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            col_pos = np.searchsorted(
+                b_ids, pdf["item_id"].to_numpy(dtype=np.int64)
+            )
+            out_i: list[np.ndarray] = []
+            out_j: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for c0 in range(0, len(col_pos), cols_per_chunk):
+                cs = col_pos[c0 : c0 + cols_per_chunk]
+                bsz = len(cs)
+                # CG on (G+λI)·X = E_cs, all columns at once
+                x = np.zeros((nn, bsz))
+                r = np.zeros((nn, bsz))
+                r[cs, np.arange(bsz)] = 1.0
+                p = r.copy()
+                rs = (r * r).sum(axis=0)
+                for _ in range(n_iters):
+                    ap = matvec(p)
+                    denom = (p * ap).sum(axis=0)
+                    alive = denom > 0
+                    alpha = np.where(alive, rs / np.where(alive, denom, 1.0), 0.0)
+                    x += p * alpha
+                    r -= ap * alpha
+                    rs_new = (r * r).sum(axis=0)
+                    if rs_new.max() < tol:
+                        break
+                    beta = np.where(rs > 0, rs_new / np.where(rs > 0, rs, 1.0), 0.0)
+                    p = r + p * beta
+                    rs = rs_new
+                pdiag = x[cs, np.arange(bsz)]
+                b = x / (-pdiag)
+                b[cs, np.arange(bsz)] = 0.0
+                nz_i, nz_c = np.nonzero(np.abs(b) > 1e-12)
+                out_i.append(b_ids[nz_i])
+                out_j.append(b_ids[cs[nz_c]])
+                out_s.append(b[nz_i, nz_c])
+            yield pd.DataFrame(
+                {
+                    "item_i": np.concatenate(out_i) if out_i else [],
+                    "item_j": np.concatenate(out_j) if out_j else [],
+                    "sim": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+    probes = (
+        urm.select("item_id")
+        .distinct()
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+    )
+    w = probes.mapInPandas(kernel, out_schema)
+    if top_k is not None:
+        w = similarity_top_k(w, top_k, round_digits=9)
+    return w

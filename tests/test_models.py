@@ -200,3 +200,21 @@ def test_bpr_training_reduces_loss(spark, urm):
             i_fit[r["item_id"]] = r["features"]
     loss0, loss1 = mean_loss(u0, i0), mean_loss(u_fit, i_fit)
     assert loss1 < loss0 * 0.95, (loss0, loss1)
+
+
+def test_ease_r_cg_equals_exact(spark, urm):
+    """Global CG variant converges to the closed-form EASE_R weights:
+    identical top-k membership, sims within CG tolerance."""
+    from contentwise_impressions_spark.recommenders.slim import ease_r_cg
+
+    exact = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r(urm, l2=50.0, top_k=5).collect()
+    }
+    cg = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r_cg(urm, l2=50.0, top_k=5).collect()
+    }
+    assert set(exact) == set(cg)
+    for k in exact:
+        assert abs(exact[k] - cg[k]) < 1e-6

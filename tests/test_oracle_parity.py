@@ -42,6 +42,7 @@ def test_every_query_has_oracle_or_is_declared():
         "custom_w_recommendations",
         "random_recommendations",
         "ease_r_blocked_weights",
+        "ease_r_cg_weights",
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
     assert not missing, f"queries missing oracle SQL: {sorted(missing)}"
