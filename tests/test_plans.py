@@ -60,3 +60,44 @@ def test_ivf_centroid_join_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(QUERIES["ann_ivf_assignments"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides pre-bucketed on the join key with the same bucket count:
+    the sort-merge join must read buckets directly — NO Exchange on either
+    side (the 100 TB co-location layer, sources/bucketed.py)."""
+    from contentwise_impressions_spark.sources.bucketed import bucketed_or_build
+    from contentwise_impressions_spark.sources.interactions import implicit_urm
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    urm_t = bucketed_or_build(
+        spark,
+        "test_urm_bucketed",
+        "item_id",
+        lambda: implicit_urm(load_table(spark, sf_dir, "events")),
+        n_buckets=4,
+    )
+    pop_t = bucketed_or_build(
+        spark,
+        "test_pop_bucketed",
+        "item_id",
+        lambda: implicit_urm(load_table(spark, sf_dir, "events"))
+        .groupBy("item_id")
+        .count(),
+        n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = urm_t.join(pop_t, "item_id")
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the bucketed result equals the plain-scan join
+        plain = implicit_urm(load_table(spark, sf_dir, "events"))
+        expect = plain.join(plain.groupBy("item_id").count(), "item_id").count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS test_urm_bucketed")
+        spark.sql("DROP TABLE IF EXISTS test_pop_bucketed")
