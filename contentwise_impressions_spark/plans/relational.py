@@ -720,3 +720,41 @@ register(
         doc="grouped min/max FD check (test_dataset_consistency.py:196-249)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# salted skew-join (scale pattern; operators/skew.py)
+# ---------------------------------------------------------------------------
+def q_salted_user_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per customer nation through an explicitly SALTED join.
+
+    The user key is Zipf-hot (SURVEY.md §1); `salted_join` widens the
+    physical join key to (user_id, salt) with the nation dim replicated
+    per salt, so no shuffle task owns a whole hot key.  Semantics are the
+    plain join's — the oracle is the unsalted SQL."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(ev, cust, "user_id", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+register(
+    QuerySpec(
+        "salted_user_nation_counts",
+        q_salted_user_nation_counts,
+        """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey
+        """,
+        doc="salted skew-join: identical semantics to the plain join, "
+        "physical key widened for Zipf-hot users (operators/skew.py)",
+    )
+)

@@ -101,3 +101,10 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS test_urm_bucketed")
         spark.sql("DROP TABLE IF EXISTS test_pop_bucketed")
+
+
+def test_salted_join_widens_the_shuffle_key(spark, sf_dir):
+    """The salted join must physically key on (user_id, _salt) — the salt
+    column has to reach the join, not be optimized away."""
+    plan = _formatted_plan(QUERIES["salted_user_nation_counts"](spark, sf_dir))
+    assert "_salt" in plan, plan
