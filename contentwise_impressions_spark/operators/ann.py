@@ -190,6 +190,24 @@ def ivf_assignments(
     broadcast), assignment is a map-side join + partial agg, and only the
     corpus scan scales.
     """
+    d = _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("c").alias("list_id"))
+    )
+
+
+def _ivf_final_distances(
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c, d2) against the final Lloyd-iteration centroids — the
+    shared sub-plan behind assignments (argmin) and probe lists (top
+    n_probe)."""
     from ..functions.hashing import P1
 
     e = embeddings.select(
@@ -204,13 +222,15 @@ def ivf_assignments(
         .filter(F.col("c") < n_list)
     )
     cent = e.join(seeds, "vec_id").select("c", "pos", F.col("x").alias("y"))
-    assign = None
-    for _ in range(n_iters):
+    d = None
+    for it in range(n_iters):
         d = (
             e.join(F.broadcast(cent), "pos")
             .groupBy("vec_id", "c")
             .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
         )
+        if it == n_iters - 1:
+            break
         w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
         assign = (
             d.withColumn("_rn", F.row_number().over(w))
@@ -222,7 +242,26 @@ def ivf_assignments(
             .groupBy(F.col("list_id").alias("c"), "pos")
             .agg(F.avg("x").alias("y"))
         )
-    return assign
+    return d
+
+
+def ivf_probe_lists(
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, probe_rank ≤ n_probe): each vector's n_probe
+    nearest inverted lists — the standard IVF recall knob.  probe_rank 1
+    is the home list (== ivf_assignments)."""
+    d = _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
+    return (
+        d.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select("vec_id", F.col("c").alias("list_id"), "probe_rank")
+    )
 
 
 def ivf_topk(
@@ -231,16 +270,20 @@ def ivf_topk(
     n_list: int = 8,
     n_iters: int = 2,
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k restricted to same-IVF-list candidates.
+    """Approximate cosine top-k restricted to IVF-list candidates.
 
-    (vec_id, neighbor_id, cosine, rank) — the candidate set is the probe's
-    inverted list (n_probe=1), re-scored exactly; Σ_l n_l² pair support
-    instead of n² brute force.  The assignment stays declarative
+    (vec_id, neighbor_id, cosine, rank) — the candidate set is the union
+    of the probe's `n_probe` nearest inverted lists (the standard IVF
+    recall/latency knob: 1 = home list only; more lists monotonically
+    grow the candidate set), re-scored exactly; Σ_l n_probe·n_l² pair
+    support instead of n² brute force.  The assignment stays declarative
     (Catalyst plan, oracle-replayable); the re-score reuses the
     broadcast-BLAS kernel shape of `cosine_topk_bruteforce` because the
-    relational within-list pair join materializes Σ_l n_l²·d rows — a
-    skewed cluster makes that quadratic (measured 5× slower at sf0.1).
+    relational within-list pair join materializes the candidate rows ×
+    d — a skewed cluster makes that quadratic (measured 5× slower at
+    sf0.1).
     """
     import sys as _sys
 
@@ -262,19 +305,30 @@ def ivf_topk(
     )
 
     spark = embeddings.sparkSession
-    a = ivf_assignments(embeddings, n_list=n_list, n_iters=n_iters, vec_col=vec_col)
-    rows = (
-        embeddings.select("vec_id", vec_col)
-        .join(a, "vec_id")
-        .collect()
+    n_probe = max(1, n_probe)
+    pl = ivf_probe_lists(
+        embeddings,
+        n_list=n_list,
+        n_iters=n_iters,
+        n_probe=n_probe,
+        vec_col=vec_col,
     )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    lists = np.array([r["list_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids, mat, lists = ids[order], mat[order], lists[order]
+    # ONE job: vectors replicated per probe rank; rank 1 is the home list
+    rows = embeddings.select("vec_id", vec_col).join(pl, "vec_id").collect()
+    uniq = sorted({r["vec_id"] for r in rows})
+    ids = np.array(uniq, dtype=np.int64)
+    n = len(ids)
+    mat = np.zeros((n, len(rows[0][vec_col])))
+    lists = np.zeros(n, dtype=np.int64)
+    probe_mat = np.full((n, n_probe), -1, dtype=np.int64)
+    for r in rows:
+        p = int(np.searchsorted(ids, r["vec_id"]))
+        probe_mat[p, r["probe_rank"] - 1] = r["list_id"]
+        if r["probe_rank"] == 1:
+            mat[p] = r[vec_col]
+            lists[p] = r["list_id"]
     norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms, lists))
+    bc = spark.sparkContext.broadcast((ids, mat, norms, lists, probe_mat))
 
     out_schema = StructType(
         [
@@ -286,14 +340,18 @@ def ivf_topk(
     )
 
     def kernel(batches):
-        b_ids, b_mat, b_norms, b_lists = bc.value
+        b_ids, b_mat, b_norms, b_lists, b_probe = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pos = np.searchsorted(b_ids, pdf["vec_id"].to_numpy(dtype=np.int64))
             out = []
             for p in pos:
-                cand = np.nonzero(b_lists == b_lists[p])[0]
+                # candidates: vectors whose HOME list is any of p's probes
+                mask = b_lists == b_probe[p, 0]
+                for q in range(1, b_probe.shape[1]):
+                    mask |= b_lists == b_probe[p, q]
+                cand = np.nonzero(mask)[0]
                 cand = cand[cand != p]
                 if len(cand) == 0:
                     continue

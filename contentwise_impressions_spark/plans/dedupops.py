@@ -478,6 +478,55 @@ register(
 )
 
 
+def q_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with the recall knob open: candidates from the probe's
+    TWO nearest inverted lists (n_probe=2) instead of the home list only —
+    monotonically larger candidate set, exact re-score, same ranking
+    rules."""
+    from ..operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_list=8, n_iters=2, n_probe=2)
+
+
+register(
+    QuerySpec(
+        "ann_ivf_topk_nprobe2",
+        q_ann_ivf_topk_nprobe2,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        probes AS (
+            SELECT vec_id, c AS list_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                FROM d1
+            ) WHERE rn <= 2
+        ),
+        ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
+        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+            SELECT p.vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            FROM probes p
+            JOIN ea b ON b.list_id = p.list_id AND b.vec_id <> p.vec_id
+            JOIN e a ON a.vec_id = p.vec_id AND a.pos = b.pos
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               d.dot / (na.nrm * nb.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="IVF cosine top-k with n_probe=2: candidate union of the two "
+        "nearest inverted lists, exact re-score",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------

@@ -218,3 +218,37 @@ def test_ease_r_cg_equals_exact(spark, urm):
     assert set(exact) == set(cg)
     for k in exact:
         assert abs(exact[k] - cg[k]) < 1e-6
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """Opening the IVF recall knob (n_probe 1 -> 2) must not lose recall
+    against the exact brute force: the candidate set is a superset, so
+    per-vector recall@k is monotonically non-decreasing."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(emb, k=3))
+    p1 = topk_sets(ivf_topk(emb, k=3, n_list=8, n_iters=2, n_probe=1))
+    p2 = topk_sets(ivf_topk(emb, k=3, n_list=8, n_iters=2, n_probe=2))
+
+    def recall(approx):
+        hits = sum(len(approx.get(v, set()) & e) for v, e in exact.items())
+        total = sum(len(e) for e in exact.values())
+        return hits / total
+
+    r1, r2 = recall(p1), recall(p2)
+    assert r2 >= r1, (r1, r2)
+    # probing 2 of 8 lists (~25% of the corpus) has to buy real recall;
+    # measured 0.48 vs 0.29 single-list at this scale
+    assert r2 > 0.3
