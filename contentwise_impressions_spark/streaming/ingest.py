@@ -102,7 +102,12 @@ def sessionize_events(
     )
 
 
-def running_user_profiles(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
+def running_user_profiles(
+    events: DataFrame,
+    idle_timeout_ms: int = 0,
+    event_time: bool = False,
+    watermark: str = "10 minutes",
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running per-user profile (event count, value sum, last seen ts)
     maintained across micro-batches and emitted every update.
@@ -111,8 +116,21 @@ def running_user_profiles(events: DataFrame, idle_timeout_ms: int = 0) -> DataFr
     express (the brief's `applyInPandasWithState` surface): state is one
     row per user in the state store, each micro-batch folds its Arrow
     batches into it.  With `idle_timeout_ms` > 0 the state evicts after
-    inactivity (GroupStateTimeout.ProcessingTimeTimeout), emitting a final
-    tombstone row with is_final=true.
+    inactivity, emitting a final tombstone row with is_final=true, in one
+    of two modes:
+
+    - `event_time=False`: ProcessingTimeTimeout — wall-clock idleness.
+      CAUTION: with this mode the engine schedules no-data micro-batches
+      indefinitely (shouldRunAnotherBatch is unconditionally true), so
+      `processAllAvailable()` never returns — poll the sink instead
+      (tests/test_streaming.py) and bound churn with a processingTime
+      trigger.
+    - `event_time=True`: EventTimeTimeout — the deadline is
+      `last_ts + idle_timeout_ms` in EVENT time and fires when the
+      watermark (configured by `watermark`) passes it.  Deterministic
+      w.r.t. the data (replayable, no wall clock), the right mode for
+      backfills and exactly-reproducible pipelines; eviction latency is
+      bounded by the watermark delay.
     """
     import sys as _sys
 
@@ -178,19 +196,26 @@ def running_user_profiles(events: DataFrame, idle_timeout_ms: int = 0) -> DataFr
             last_us = max(last_us, int(pdf["ts"].max().value // 1000))
         state.update((n, s, last_us))
         if idle_timeout_ms > 0:
-            state.setTimeoutDuration(idle_timeout_ms)
+            if event_time:
+                # event-time deadline in ms epoch; fires when the
+                # watermark passes it
+                state.setTimeoutTimestamp(last_us // 1000 + idle_timeout_ms)
+            else:
+                state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [(user_id, n, s, pd.Timestamp(last_us, unit="us"), False)],
             columns=["user_id", "n_events", "sum_value", "last_ts", "is_final"],
         )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms > 0
-        else GroupStateTimeout.NoTimeout
-    )
-    return (
-        events.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(fold, out_schema, state_schema, "update", timeout)
+    if idle_timeout_ms <= 0:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_time:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    src = events.select("user_id", "ts", "value")
+    if idle_timeout_ms > 0 and event_time:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", timeout
     )

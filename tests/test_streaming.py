@@ -213,3 +213,59 @@ def test_running_user_profiles_idle_timeout_tombstone(spark):
         assert tomb["last_ts"] is not None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_running_user_profiles_event_time_tombstone(spark):
+    """EventTimeTimeout mode: the deadline lives in EVENT time and fires
+    when the watermark passes it — deterministic w.r.t. the data, so
+    processAllAvailable() works (unlike the processing-time mode).  A
+    second batch 2h ahead advances the watermark past user 1's deadline
+    and the next batch emits the tombstone."""
+    import datetime as dt
+
+    from contentwise_impressions_spark.streaming.ingest import running_user_profiles
+
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_ett_"))
+    try:
+        schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        batch1 = spark.createDataFrame(
+            [(1, t0, 2.0), (1, t0 + dt.timedelta(minutes=5), 3.0)], schema=schema
+        )
+        batch1.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=batch1.schema)
+        prof = running_user_profiles(
+            src,
+            idle_timeout_ms=60_000,  # 1 min of event-time silence
+            event_time=True,
+            watermark="0 seconds",
+        )
+        q = (
+            prof.writeStream.format("memory")
+            .queryName("ett_profiles")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        # watermark jumps 2h past user 1's deadline; timeout fires in the
+        # batch AFTER the one that advances the watermark
+        for extra in (1, 2):
+            spark.createDataFrame(
+                [(2, t0 + dt.timedelta(hours=1, minutes=extra), 1.0)],
+                schema=schema,
+            ).coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM ett_profiles WHERE user_id = 1").collect()
+        finals = [r for r in rows if r["is_final"]]
+        assert len(finals) == 1, f"expected one tombstone, got {rows}"
+        assert finals[0]["n_events"] == 2
+        assert round(finals[0]["sum_value"], 6) == 5.0
+        # user 2 stays live (its deadline is ahead of the watermark)
+        u2 = spark.sql(
+            "SELECT * FROM ett_profiles WHERE user_id = 2 AND is_final"
+        ).collect()
+        assert u2 == []
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
