@@ -50,3 +50,93 @@ def keep_last_by_timestamp(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the duplicate-CLUSTER resolution step that turns near-dup
+    candidate PAIRS (MinHash-LSH / SimHash / embedding-cosine) into
+    transitive groups, so a 100 TB corpus can keep one representative per
+    cluster.
+
+    Why this algorithm: naive min-label propagation needs O(diameter)
+    rounds (a 10^6-long chain of near-dups = 10^6 shuffles); star
+    contraction converges in O(log^2 n) rounds regardless of shape, each
+    round a groupBy-min plus a join — all shuffle-partitioned on node id.
+    Each round is localCheckpoint()ed: iterative self-joins otherwise grow
+    an exponential lineage that would stall the scheduler long before the
+    data hurts.
+
+    Returns (node, component) for every node appearing in `edges`, with
+    component = MIN node id reachable — deterministic, so downstream
+    "keep the representative" filters are reproducible.
+    """
+    # canonical loop-free edge list, oriented u > v; BIGINT node ids
+    raw = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    e = (
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        # large-star over the full (symmetrized) neighborhood: every
+        # neighbor v > u re-links to m = min(N(u) ∪ {u}); output is
+        # canonical (v > m always) because m <= u < v
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the larger→smaller orientation: u and all its
+        # smaller neighbors link to m = min(N⁻(u) ∪ {u})
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = large.join(mins2, "u")
+        small = (
+            with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(with_m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at the fixpoint the edge set is a star forest: every non-root points
+    # at its component minimum; roots map to themselves
+    roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(roots, nodes.node == roots.u, "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

@@ -563,3 +563,64 @@ register(
         "round-9 threshold for engine portability)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: LSH candidate pairs → transitive groups
+# ---------------------------------------------------------------------------
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup cluster (connected
+    components over the MinHash-LSH candidate graph; cluster id = min
+    doc_id in the component, singletons map to themselves).  This is the
+    step that turns candidate PAIRS into a keep-one-representative dedup
+    decision at corpus scale."""
+    from ..operators.dedup import connected_components
+
+    cand = minhash_lsh_candidates(
+        minhash_signatures(_sids(spark, sf_dir)), rows_per_band=2
+    )
+    cc = connected_components(cand, src="doc_i", dst="doc_j")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id").cast("long")).alias("cluster_id"),
+    )
+
+
+register(
+    QuerySpec(
+        "minhash_dedup_clusters",
+        q_minhash_dedup_clusters,
+        f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        {_SID_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_i AS s, doc_j AS d FROM cand
+            UNION ALL
+            SELECT doc_j, doc_i FROM cand
+        ),
+        reach(s, d) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s)
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
+        doc="near-dup cluster assignment: connected components "
+        "(large-star/small-star) over MinHash-LSH candidate pairs",
+    )
+)

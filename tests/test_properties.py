@@ -137,3 +137,21 @@ def test_distributed_ordered_ids_equals_global_dense_rank(spark, sf_dir):
         for r in distributed_ordered_ids(distinct, "shingle").collect()
     }
     assert got_adaptive == want
+
+
+def test_connected_components_star_contraction(spark):
+    from contentwise_impressions_spark.operators.dedup import connected_components
+
+    # a long chain (forces multiple star rounds), a triangle, a pair,
+    # and an edge written twice in both orientations
+    chain = [(i, i + 1) for i in range(100, 112)]
+    tri = [(7, 3), (3, 5), (5, 7)]
+    pair = [(42, 41), (41, 42)]
+    edges = spark.createDataFrame(chain + tri + pair, ["src", "dst"])
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 100) for n in range(100, 113)}
+    want |= {(3, 3), (5, 3), (7, 3), (41, 41), (42, 41)}
+    assert got == want
