@@ -57,6 +57,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -76,6 +77,14 @@ def connected_components(
     Returns (node, component) for every node appearing in `edges`, with
     component = MIN node id reachable — deterministic, so downstream
     "keep the representative" filters are reproducible.
+
+    Adaptive small-case path: near-dup candidate graphs are usually a
+    tiny fraction of the corpus (LSH has already filtered), so when the
+    deduped edge count is ≤ `driver_threshold` the exact same answer
+    comes from one collect + union-find on the driver — one job instead
+    of ~6 shuffles per star round.  Above the threshold the distributed
+    star contraction runs (the 100 TB path); set `driver_threshold=0` to
+    force it.
     """
     # canonical loop-free edge list, oriented u > v; BIGINT node ids
     raw = edges.select(
@@ -88,6 +97,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_threshold > 0 and e.count() <= driver_threshold:
+        return _union_find_on_driver(e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -140,3 +152,35 @@ def connected_components(
     return nodes.join(roots, nodes.node == roots.u, "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def _union_find_on_driver(e: DataFrame) -> DataFrame:
+    """Exact min-label components for a small edge list: collect once,
+    union-find with path halving, return (node, component).  Union always
+    hangs the larger root index under the smaller, and node ids are
+    factorized in sorted order — so every root is its component's minimum
+    id by construction."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    uv = np.concatenate([pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64)])
+    ids, inv = np.unique(uv, return_inverse=True)
+    half = len(pdf)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    for a, b in zip(inv[:half], inv[half:]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    out = [(int(ids[i]), int(ids[comp[i]])) for i in range(len(ids))]
+    return e.sparkSession.createDataFrame(out, "node bigint, component bigint")

@@ -148,10 +148,13 @@ def test_connected_components_star_contraction(spark):
     tri = [(7, 3), (3, 5), (5, 7)]
     pair = [(42, 41), (41, 42)]
     edges = spark.createDataFrame(chain + tri + pair, ["src", "dst"])
-    got = {
-        (r["node"], r["component"])
-        for r in connected_components(edges).collect()
-    }
     want = {(n, 100) for n in range(100, 113)}
     want |= {(3, 3), (5, 3), (7, 3), (41, 41), (42, 41)}
-    assert got == want
+    # driver_threshold=0 forces the distributed star-contraction path;
+    # the default takes the driver union-find shortcut — identical output
+    for thr in (0, 1_000_000):
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(edges, driver_threshold=thr).collect()
+        }
+        assert got == want, f"threshold={thr}"
