@@ -170,6 +170,7 @@ def ivf_assignments(
     n_list: int = 8,
     n_iters: int = 2,
     vec_col: str = "embedding",
+    distances: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, list_id): IVF coarse quantizer — deterministic k-means.
 
@@ -190,7 +191,11 @@ def ivf_assignments(
     broadcast), assignment is a map-side join + partial agg, and only the
     corpus scan scales.
     """
-    d = _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    d = (
+        distances
+        if distances is not None
+        else _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
     return (
         d.withColumn("_rn", F.row_number().over(w))
@@ -251,11 +256,16 @@ def ivf_probe_lists(
     n_iters: int = 2,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    distances: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, list_id, probe_rank ≤ n_probe): each vector's n_probe
     nearest inverted lists — the standard IVF recall knob.  probe_rank 1
     is the home list (== ivf_assignments)."""
-    d = _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    d = (
+        distances
+        if distances is not None
+        else _ivf_final_distances(embeddings, n_list, n_iters, vec_col)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
     return (
         d.withColumn("probe_rank", F.row_number().over(w))
@@ -271,6 +281,7 @@ def ivf_topk(
     n_iters: int = 2,
     vec_col: str = "embedding",
     n_probe: int = 1,
+    distances: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k restricted to IVF-list candidates.
 
@@ -312,6 +323,7 @@ def ivf_topk(
         n_iters=n_iters,
         n_probe=n_probe,
         vec_col=vec_col,
+        distances=distances,
     )
     # ONE job: vectors replicated per probe rank; rank 1 is the home list
     rows = embeddings.select("vec_id", vec_col).join(pl, "vec_id").collect()

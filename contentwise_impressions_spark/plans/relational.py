@@ -758,3 +758,125 @@ register(
         "physical key widened for Zipf-hot users (operators/skew.py)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: as-of and bounded range (operators Spark lacks — brief)
+# ---------------------------------------------------------------------------
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's latest view ≤2h before it —
+    the point-in-time (as-of backward) join, union-window formulation
+    (one key shuffle, no theta-join pair explosion)."""
+    from ..operators.asof import asof_join_backward
+
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join_backward(
+        clicks,
+        views,
+        on=["user_id"],
+        right_payload=["event_id"],
+        right_tiebreak="event_id",
+        tolerance_seconds=7200.0,
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("event_id_right").alias("view_id"),
+        (
+            F.col("ts").cast("double") - F.col("ts_right").cast("double")
+        ).alias("gap_sec"),
+    )
+
+
+register(
+    QuerySpec(
+        "click_attribution",
+        q_click_attribution,
+        """
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        v AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'
+        ),
+        best AS (
+            SELECT c.click_id, v.event_id AS view_id, v.ts AS vts,
+                   ROW_NUMBER() OVER (PARTITION BY c.click_id
+                       ORDER BY v.ts DESC, v.event_id DESC) AS rn
+            FROM c JOIN v
+              ON c.user_id = v.user_id
+             AND v.ts <= c.ts
+             AND epoch(c.ts) - epoch(v.ts) <= 7200.0
+        )
+        SELECT c.click_id, c.user_id, b.view_id,
+               epoch(c.ts) - epoch(b.vts) AS gap_sec
+        FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (click_id)
+        """,
+        doc="as-of backward join: click → latest prior view within "
+        "tolerance (no reference analog; pipeline extension)",
+    )
+)
+
+
+def q_view_to_click_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 1h AFTER each view, per view — the bounded range
+    join, bucketed to an equi-join (≤2 candidate buckets per probe)."""
+    from ..operators.asof import range_join_within
+
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = range_join_within(
+        views,
+        clicks,
+        on=["user_id"],
+        lower_seconds=0.0,
+        upper_seconds=3600.0,
+    )
+    return j.groupBy("view_id").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.max(
+            F.col("ts_r").cast("double") - F.col("ts").cast("double")
+        ).alias("max_gap_sec"),
+    )
+
+
+register(
+    QuerySpec(
+        "view_to_click_conversions",
+        q_view_to_click_conversions,
+        """
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT v.view_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               MAX(epoch(c.ts) - epoch(v.ts)) AS max_gap_sec
+        FROM v JOIN c
+          ON v.user_id = c.user_id
+         AND epoch(c.ts) - epoch(v.ts) >= 0.0
+         AND epoch(c.ts) - epoch(v.ts) <= 3600.0
+        GROUP BY v.view_id
+        """,
+        doc="bounded range join (bucketed equi-join): clicks within 1h "
+        "after each view (no reference analog; pipeline extension)",
+    )
+)
