@@ -219,3 +219,40 @@ def running_user_profiles(
     return src.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within `horizon` AFTER a view by
+    the same user — the streaming twin of the batch bounded-range join
+    (operators/asof.range_join_within, `view_to_click_conversions`).
+
+    Structured Streaming requires BOTH sides watermarked and an event-time
+    bound in the join condition; together they let the engine evict
+    buffered rows once no future match is possible (state ≈ one horizon +
+    watermark of traffic per side, not the whole stream).  Works
+    identically on batch DataFrames (watermarks are a no-op in batch) —
+    the batch/stream parity pattern this module uses throughout.
+    """
+    v = views.select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (v.user_id == c.c_user_id)
+        & (c.click_ts >= v.view_ts)
+        & (c.click_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(c, cond).select(
+        "user_id", "view_id", "click_id", "view_ts", "click_ts"
+    )

@@ -269,3 +269,47 @@ def test_running_user_profiles_event_time_tombstone(spark):
         assert u2 == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream range join (views ⋈ clicks within 1h) must emit exactly
+    the pairs the batch run of the same transformation produces."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        stream_view_click_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views_b = ev.filter(F.col("event_type") == "view")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    expect = {
+        (r["view_id"], r["click_id"])
+        for r in stream_view_click_join(views_b, clicks_b).collect()
+    }
+    assert expect, "fixture should produce at least one joined pair"
+
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_ssj_"))
+    try:
+        ev.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        joined = stream_view_click_join(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_pairs")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["view_id"], r["click_id"])
+            for r in spark.sql("SELECT view_id, click_id FROM ssj_pairs").collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
