@@ -880,3 +880,59 @@ register(
         "after each view (no reference analog; pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text surface: the same Catalyst pipeline from ANSI SQL
+# ---------------------------------------------------------------------------
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority, written as SQL text against
+    registered temp views — the SQL layer the reference lacks entirely
+    (its 'queries' are hand-fused dataflow programs).  spark.sql and the
+    DataFrame API compile to identical logical plans, so this rides the
+    same optimizer: both date filters push into the parquet scans and the
+    3-way join + agg is planned by Catalyst/AQE like every other query
+    here."""
+    from ..sources.views import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "sql_shipping_priority",
+        q_sql_shipping_priority,
+        """
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """,
+        doc="SQL-text entry point (TPC-H Q3 shape) through the same "
+        "Catalyst pipeline (sources/views.py)",
+    )
+)
