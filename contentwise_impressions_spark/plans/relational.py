@@ -936,3 +936,117 @@ register(
         "Catalyst pipeline (sources/views.py)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# grouping-set aggregation breadth: ROLLUP, exact quantiles, ntile
+# ---------------------------------------------------------------------------
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (returnflag, linestatus) with ROLLUP subtotals + grand
+    total — multi-granularity aggregates in ONE pass over the fact table
+    (the scaled analog of the reference computing per-level stats in
+    separate dataflows, dataset.py:643-732)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "revenue_rollup",
+        q_revenue_rollup,
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        doc="ROLLUP grouping sets: per-group, subtotal, grand total in one "
+        "scan (aggregation-breadth extension)",
+    )
+)
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95 of event values per event_type — exact
+    `percentile` (continuous interpolation), the distribution summary the
+    reference plots as histograms (dataset.py:1265-1289).  At 100 TB the
+    approx_percentile sketch (t-digest, mergeable, one pass) replaces
+    this; exact is kept here because it is oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+register(
+    QuerySpec(
+        "value_quantiles",
+        q_value_quantiles,
+        """
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+        """,
+        doc="exact continuous quantiles per group (histogram analog, "
+        "dataset.py:1265-1289; approx_percentile is the 100 TB path)",
+    )
+)
+
+
+def q_user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users bucketed into activity deciles (ntile) with per-decile event
+    totals — the reference's cumulative-percentile traffic cut
+    (dataset.py:1201-1260) as a rank-window bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "user_activity_deciles",
+        q_user_activity_deciles,
+        """
+        WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        d AS (
+            SELECT cnt, NTILE(10) OVER (ORDER BY cnt DESC, user_id ASC) AS decile
+            FROM c
+        )
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cnt) AS BIGINT) AS n_events
+        FROM d GROUP BY 1
+        """,
+        doc="ntile decile bucketing of user activity "
+        "(cumsum-percentile-cut analog, dataset.py:1201-1260)",
+    )
+)
