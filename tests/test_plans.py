@@ -108,3 +108,40 @@ def test_salted_join_widens_the_shuffle_key(spark, sf_dir):
     column has to reach the join, not be optimized away."""
     plan = _formatted_plan(QUERIES["salted_user_nation_counts"](spark, sf_dir))
     assert "_salt" in plan, plan
+
+
+def test_asof_join_is_single_key_shuffle_no_join(spark, sf_dir):
+    # the union-window as-of formulation must contain NO join operator at
+    # all (that's the point: no theta-join pair explosion) and exactly one
+    # window over the user-key partitioning
+    plan = _formatted_plan(QUERIES["click_attribution"](spark, sf_dir))
+    assert "Join" not in plan, "as-of must not lower to a join"
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    # the bucketed range join must lower to a hash-partitioned equi join
+    # (on key+bucket), never BroadcastNestedLoopJoin / CartesianProduct
+    plan = _formatted_plan(QUERIES["view_to_click_conversions"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_sql_text_query_pushes_filters_to_scans(spark, sf_dir):
+    # spark.sql text must optimize exactly like the DataFrame API: both
+    # date predicates and the segment filter reach the parquet scans
+    plan = _formatted_plan(QUERIES["sql_shipping_priority"](spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_rollup_is_single_scan(spark, sf_dir):
+    # ROLLUP must expand grouping sets over ONE scan of the fact table
+    plan = _formatted_plan(QUERIES["revenue_rollup"](spark, sf_dir))
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1
+    assert "Expand" in plan
