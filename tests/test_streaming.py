@@ -313,3 +313,54 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_popularity_serving_store_matches_batch(spark, sf_dir):
+    """foreachBatch-maintained serving table must equal the batch popularity
+    counts after the stream drains, and survive multi-batch upserts."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.sources.interactions import (
+        events_as_interactions,
+    )
+    from contentwise_impressions_spark.streaming.serving import (
+        maintain_popularity_store,
+        read_popularity_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_store_"))
+    try:
+        # two chronological flush files → at least two micro-batches, so
+        # the merge path (not just the bootstrap path) is exercised
+        mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+        ev.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+        ev.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        q = maintain_popularity_store(
+            events_as_interactions(src).select("item_id", "ts"),
+            str(tmp / "store"),
+            str(tmp / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r["item_id"], r["popularity"])
+            for r in read_popularity_store(spark, str(tmp / "store")).collect()
+        }
+        expect = {
+            (r["item_id"], r["popularity"])
+            for r in events_as_interactions(ev)
+            .groupBy("item_id")
+            .agg(F.count("*").alias("popularity"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
