@@ -1050,3 +1050,36 @@ register(
         "(cumsum-percentile-cut analog, dataset.py:1201-1260)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates: the one-pass mergeable 100 TB path
+# ---------------------------------------------------------------------------
+def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts and t-digest percentiles in ONE pass —
+    the mergeable-sketch replacements for exact countDistinct / percentile
+    at corpus scale (constant state per partition, partial-aggregable, no
+    sort).  No SQL oracle: sketch estimates are implementation-defined
+    (DuckDB's HLL differs), so the driver records the rows-only check; the
+    pytest suite bounds the estimates against the exact values instead
+    (±5% rsd for HLL, t-digest within the p25–p95 envelope)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
+            "approx_value_p50_p95"
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        "sketch_summary",
+        q_sketch_summary,
+        None,
+        doc="HLL++ + t-digest sketches (one-pass mergeable aggregates; "
+        "estimates bounded vs exact in tests/test_properties.py)",
+        bench=True,
+    )
+)

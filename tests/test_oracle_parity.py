@@ -43,6 +43,9 @@ def test_every_query_has_oracle_or_is_declared():
         "random_recommendations",
         "ease_r_blocked_weights",
         "ease_r_cg_weights",
+        # sketch estimates are implementation-defined (DuckDB's HLL/quantile
+        # sketches differ); bounded vs exact in test_properties instead
+        "sketch_summary",
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
     assert not missing, f"queries missing oracle SQL: {sorted(missing)}"

@@ -145,3 +145,28 @@ def test_rollup_is_single_scan(spark, sf_dir):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1
     assert "Expand" in plan
+
+
+def test_partitioned_sink_prunes_partitions_on_reread(spark, sf_dir, tmp_path):
+    # write_table(partition_by=...) must give hive-style partition pruning:
+    # a filter on the partition column becomes a PartitionFilter (directories
+    # skipped at planning), not a data filter over a full scan
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.sources.tables import (
+        load_table,
+        write_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_parted")
+    write_table(ev, out, partition_by=["event_type"])
+    back = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .count()
+    )
+    plan = _formatted_plan(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan

@@ -158,3 +158,27 @@ def test_connected_components_star_contraction(spark):
             for r in connected_components(edges, driver_threshold=thr).collect()
         }
         assert got == want, f"threshold={thr}"
+
+
+def test_sketch_summary_bounds_vs_exact(spark, sf_dir):
+    """Sketch estimates must land within tight bounds of the exact values
+    (HLL++ at rsd=0.02 → ±5% is generous; approx_percentile with a 10k
+    accuracy parameter is near-exact at fixture scale)."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.plans import all_queries
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    row = all_queries()["sketch_summary"](spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_id").alias("e"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    ).first()
+    assert abs(row["approx_users"] - exact["u"]) <= 0.05 * exact["u"]
+    assert abs(row["approx_events"] - exact["e"]) <= 0.05 * exact["e"]
+    p50, p95 = row["approx_value_p50_p95"]
+    assert abs(p50 - exact["p50"]) <= 0.05 * max(1.0, abs(exact["p50"]))
+    assert abs(p95 - exact["p95"]) <= 0.05 * max(1.0, abs(exact["p95"]))
