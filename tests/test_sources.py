@@ -102,3 +102,38 @@ def test_tsv_reader_convention(spark, tmpdir):
     urm, umap, imap = read_tsv_ratings(spark, str(f))
     assert urm.count() == 3
     assert {r["user_id"] for r in umap.collect()} == {0, 1}
+
+
+def test_download_from_url_file_scheme(tmp_path):
+    """Offline-checkable downloader contract: fetch, cache-skip, atomic."""
+    import pathlib
+
+    from contentwise_impressions_spark.sources.download import download_from_url
+
+    src = tmp_path / "archive.zip"
+    src.write_bytes(b"payload-v1")
+    url = pathlib.Path(src).as_uri()
+    dest = str(tmp_path / "cache" / "archive.zip")
+
+    got = download_from_url(url, dest)
+    assert got == dest and open(dest, "rb").read() == b"payload-v1"
+
+    # cached: source changes, destination must NOT re-fetch
+    src.write_bytes(b"payload-v2")
+    download_from_url(url, dest)
+    assert open(dest, "rb").read() == b"payload-v1"
+
+    # overwrite=True re-fetches; no .part temp files remain
+    download_from_url(url, dest, overwrite=True)
+    assert open(dest, "rb").read() == b"payload-v2"
+    assert not list((tmp_path / "cache").glob("*.part"))
+
+    # missing source -> URLError raised after retries
+    import pytest as _pytest
+    import urllib.error
+
+    with _pytest.raises(urllib.error.URLError):
+        download_from_url(
+            pathlib.Path(tmp_path / "nope.zip").as_uri(),
+            str(tmp_path / "cache" / "nope.zip"),
+        )
