@@ -1016,14 +1016,42 @@ register(
 
 
 def q_user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users bucketed into activity deciles (ntile) with per-decile event
-    totals — the reference's cumulative-percentile traffic cut
-    (dataset.py:1201-1260) as a rank-window bucketing."""
+    """Users bucketed into activity deciles (ntile semantics) with
+    per-decile event totals — the reference's cumulative-percentile
+    traffic cut (dataset.py:1201-1260) as rank bucketing.
+
+    Scale path: `ntile(10) OVER (ORDER BY ...)` is an EMPTY-FRAME global
+    window — every user funnels through one task.  Instead the global rank
+    comes from the two-phase distributed ranker (operators/neardup.
+    distributed_ordered_ids; parallel range-partitioned sort + offsets) on
+    a composite (activity desc, user asc) key, and the exact ntile bucket
+    (first n%10 buckets one element larger) is a closed-form expression
+    over (rank, n) — identical output, no single-task sort."""
+    from ..operators.neardup import distributed_ordered_ids
+
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    mx = counts.agg(F.max("cnt")).first()[0] or 0
+    # (cnt desc, user_id asc) as one ascending bigint key; user_id < 2^31
+    keyed = counts.withColumn(
+        "_key",
+        (F.lit(int(mx)) - F.col("cnt")) * F.lit(2**31) + F.col("user_id"),
+    )
+    ranked = distributed_ordered_ids(keyed, "_key", out_col="_rank")
+    n_df = counts.agg(F.count("*").cast("bigint").alias("_n"))
+    q = F.col("_n") - (F.col("_n") / 10).cast("bigint") * 10  # n % 10 = r
+    big = (F.col("_n") / 10).cast("bigint") + 1  # q+1
+    decile = F.when(
+        F.col("_rank") <= q * big, ((F.col("_rank") - 1) / big).cast("bigint") + 1
+    ).otherwise(
+        q
+        + ((F.col("_rank") - q * big - 1) / ((F.col("_n") / 10).cast("bigint")))
+        .cast("bigint")
+        + 1
+    )
     return (
-        counts.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count("*").cast("bigint").alias("n_users"),
