@@ -222,16 +222,28 @@ def beyond_accuracy_metrics(
         F.avg("avgpop_u").alias("avg_popularity"),
     )
 
-    # per-item recommendation counts (nonzero only, by construction)
+    # per-item recommendation counts (nonzero only, by construction).
+    # sum(c·i) with i the ascending sort index is tie-invariant (items
+    # sharing count c occupy ranks cl+1..cl+m whose index sum is a closed
+    # form), so the prefix window runs over DISTINCT counts — never a
+    # per-row global sort (see functions/stats.gini_coefficient).
     counts = recs.groupBy("item_id").agg(F.count("*").cast("double").alias("c"))
-    w = Window.orderBy(F.col("c").asc(), F.col("item_id").asc())
-    ranked = counts.withColumn("i", F.row_number().over(w))
-    count_aggs = ranked.agg(
-        F.count("*").cast("double").alias("n_rec_items"),
-        F.sum("c").alias("sum_c"),
-        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
-        F.sum(F.col("c") * F.col("i")).alias("sum_ci"),
-        F.sum(F.col("c") * F.log2("c")).alias("sum_clogc"),
+    by_c = counts.groupBy("c").agg(F.count("*").cast("double").alias("m"))
+    w_c = Window.orderBy(F.col("c").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_prefix = by_c.withColumn(
+        "cl", F.coalesce(F.sum("m").over(w_c), F.lit(0.0))
+    )
+    count_aggs = with_prefix.agg(
+        F.sum("m").alias("n_rec_items"),
+        F.sum(F.col("c") * F.col("m")).alias("sum_c"),
+        F.sum(F.col("c") * F.col("c") * F.col("m")).alias("sum_c2"),
+        F.sum(
+            F.col("c")
+            * (F.col("m") * F.col("cl") + F.col("m") * (F.col("m") + 1) / 2.0)
+        ).alias("sum_ci"),
+        F.sum(F.col("c") * F.log2("c") * F.col("m")).alias("sum_clogc"),
     )
 
     cov = recs.agg(

@@ -8,10 +8,12 @@ Reference implementations:
 - Herfindahl index   — Base/Evaluation/metrics.py:472-479.
 
 Each takes a DataFrame of per-entity counts/values and returns a 1-row
-DataFrame.  The Gini needs a global sort + prefix index; we express it as a
-``row_number`` window over the value order.  At scale the window is a single
-global sort (rangepartitioned), which is the unavoidable cost of an exact
-Gini; the other two are plain partial-aggregable sums.
+DataFrame.  The Gini's sorted-index sum is tie-decomposed: for rows with
+equal x the index sum is a closed form of (count, count-of-smaller), so the
+prefix window runs over DISTINCT values — for integer activity counts that
+is orders of magnitude smaller than the row count (Zipf data collapses to
+few distinct levels), instead of a global per-row sort.  The other two are
+plain partial-aggregable sums.
 """
 
 from __future__ import annotations
@@ -24,13 +26,29 @@ def gini_coefficient(df: DataFrame, value_col: str, out_col: str = "gini") -> Da
     """Exact Gini via the sorted-index formula (Utils/gini.py:8-28).
 
     gini = (sum(2*i*x_i) - (n+1)*sum(x)) / (n * sum(x)), x ascending, i in 1..n.
+
+    Ties make the per-row rank arbitrary but the SUM tie-invariant: rows
+    sharing value x occupy ranks (cl+1 .. cl+c) where cl = #rows with
+    smaller x, so sum(i over the tie block) = c*cl + c*(c+1)/2.  The
+    global window therefore runs over distinct x only (prefix count),
+    never a per-row sort — same exact result.
     """
     xs = df.select(F.col(value_col).cast("double").alias("x"))
-    ranked = xs.withColumn("i", F.row_number().over(Window.orderBy(F.col("x").asc())))
-    agg = ranked.agg(
-        F.sum(F.col("x")).alias("sx"),
-        F.count("*").alias("n"),
-        F.sum((2.0 * F.col("i")) * F.col("x")).alias("sxw"),
+    grouped = xs.groupBy("x").agg(F.count("*").cast("double").alias("c"))
+    w = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_prefix = grouped.withColumn(
+        "cl", F.coalesce(F.sum("c").over(w), F.lit(0.0))
+    )
+    agg = with_prefix.agg(
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum("c").alias("n"),
+        F.sum(
+            2.0
+            * F.col("x")
+            * (F.col("c") * F.col("cl") + F.col("c") * (F.col("c") + 1) / 2.0)
+        ).alias("sxw"),
     )
     return agg.select(
         (
