@@ -390,19 +390,35 @@ def q_users_covering_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # tie decomposition (see functions/stats.gini_coefficient): users in a
+    # tie block of count c are interchangeable, and the number of them
+    # whose heavier-prefix sum sb + k*c stays under the cut p*T is
+    # clamp_0..m(ceil((p*T - sb)/c)) — so the prefix window runs over
+    # DISTINCT counts (desc), never a per-row sort.  The ceil is done in
+    # exact bigint arithmetic (p = a/b cleared to a*T - b*sb over b*c) so
+    # block boundaries can't wobble in float.
+    by_c = counts.groupBy("cnt").agg(F.count("*").alias("m"))
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    with_cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    with_sb = by_c.withColumn(
+        "sb", F.coalesce(F.sum(F.col("cnt") * F.col("m")).over(w), F.lit(0))
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
-    j = with_cum.crossJoin(total)
+    j = with_sb.crossJoin(F.broadcast(total))
+
+    def covered(a: int, b: int):
+        # exact bigint ceil((a*T - b*sb) / (b*c)), clamped to [0, m]
+        return F.sum(
+            F.expr(
+                f"greatest(0L, least(cast(m as long), "
+                f"({a}L*total - {b}L*sb + {b}L*cnt - 1L) div ({b}L*cnt)))"
+            )
+        )
+
     return j.agg(
-        F.sum(F.when(j.cum - j.cnt < 0.5 * j.total, 1).otherwise(0))
-        .cast("bigint")
-        .alias("users_for_50pct"),
-        F.sum(F.when(j.cum - j.cnt < 0.8 * j.total, 1).otherwise(0))
-        .cast("bigint")
-        .alias("users_for_80pct"),
+        covered(1, 2).cast("bigint").alias("users_for_50pct"),
+        covered(4, 5).cast("bigint").alias("users_for_80pct"),
     )
 
 
