@@ -347,20 +347,31 @@ def q_popularity_bias_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     urm = _urm(spark, sf_dir)
     counts = urm.groupBy("item_id").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("item_id").asc())
-    ranked = (
-        counts.withColumn("r", F.row_number().over(w))
-        .withColumn("n_items", F.count("*").over(Window.partitionBy()))
+    # top-20% share by tie decomposition: K = ceil(0.2*n) is a literal, and
+    # items in a tie block are interchangeable, so the covered count per
+    # distinct popularity level is clamp(K - items_before, 0, m) — a prefix
+    # window over DISTINCT counts, never a per-row global sort (the rank
+    # filter with a data-dependent K would force a single-task window; see
+    # functions/stats.gini_coefficient for the same pattern)
+    n_items = counts.count()
+    k_top = -(-n_items // 5)  # ceil(0.2 * n) in exact integer arithmetic
+    by_c = counts.groupBy("cnt").agg(F.count("*").alias("m"))
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    share = ranked.agg(
-        F.count("*").cast("bigint").alias("n_items"),
+    with_nb = by_c.withColumn(
+        "nb", F.coalesce(F.sum("m").over(w), F.lit(0))
+    )
+    share = with_nb.agg(
+        F.sum("m").cast("bigint").alias("n_items"),
         (
             F.sum(
-                F.when(
-                    F.col("r") <= F.ceil(0.2 * F.col("n_items")), F.col("cnt")
-                ).otherwise(F.lit(0))
-            )
-            / F.sum("cnt")
+                F.col("cnt")
+                * F.greatest(
+                    F.lit(0), F.least(F.col("m"), F.lit(k_top) - F.col("nb"))
+                )
+            ).cast("double")
+            / F.sum(F.col("cnt") * F.col("m"))
         ).alias("top20pct_share"),
     )
     return gini_coefficient(counts, "cnt", out_col="popularity_gini").crossJoin(

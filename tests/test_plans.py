@@ -170,3 +170,24 @@ def test_partitioned_sink_prunes_partitions_on_reread(spark, sf_dir, tmp_path):
     plan = _formatted_plan(back)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "event_type" in pf[0], plan
+
+
+def test_literal_rank_limits_lower_to_distributed_topk(spark, sf_dir):
+    # a literal `row_number <= k` over an empty-partition window must lower
+    # to TakeOrderedAndProject (per-partition heaps + merge), not a
+    # single-task global Window sort
+    for name in ("toppop", "remove_top_popular"):
+        phys = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in phys, name
+
+
+def test_popularity_bias_has_no_per_row_global_sort(spark, sf_dir):
+    # the tie-decomposed share/gini must window over DISTINCT counts only:
+    # no row_number anywhere in the plan
+    plan = _formatted_plan(QUERIES["popularity_bias_stats"](spark, sf_dir))
+    assert "row_number" not in plan
