@@ -15,7 +15,7 @@ are this loader plus per-corpus column conventions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import keep_last_by_timestamp
@@ -60,19 +60,19 @@ def build_id_mapper(df: DataFrame, token_col: str, id_col: str) -> DataFrame:
     """token → contiguous 0-based index, ordered by token.
 
     The relational IncrementalSparseMatrix auto-mapper
-    (Data_manager/IncrementalSparseMatrix.py:12-128).  dense_rank over the
-    sorted distinct tokens = deterministic, reproducible mapping; the
-    mapper TABLE is the artifact other stages join against (persist it
-    next to the split parquet).
+    (Data_manager/IncrementalSparseMatrix.py:12-128): ids in sorted-token
+    order = deterministic, reproducible mapping; the mapper TABLE is the
+    artifact other stages join against (persist it next to the split
+    parquet).  Ranks come from the two-phase distributed ranker
+    (operators/neardup.distributed_ordered_ids) so a 10^9-token corpus
+    never funnels through one global-window task.
     """
-    return (
-        df.select(token_col)
-        .distinct()
-        .withColumn(
-            id_col,
-            (F.dense_rank().over(Window.orderBy(token_col)) - 1).cast("bigint"),
-        )
+    from ..operators.neardup import distributed_ordered_ids
+
+    ids = distributed_ordered_ids(
+        df.select(token_col).distinct(), token_col, out_col=id_col
     )
+    return ids.withColumn(id_col, (F.col(id_col) - 1).cast("bigint"))
 
 
 def ratings_to_urm(ratings: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
