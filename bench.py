@@ -29,6 +29,15 @@ def main() -> None:
     # warm the JVM + parquet footer cache with one tiny job
     spark.range(1).count()
 
+    # warm the OS page cache: stream every input file once so timings
+    # measure plan/executor cost, not first-touch disk reads (measured
+    # 2.5x inflation on a cold cache at sf0.1, attributed arbitrarily to
+    # whichever queries ran first)
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
