@@ -256,3 +256,25 @@ def stream_view_click_join(
     return v.join(c, cond).select(
         "user_id", "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup for at-least-once log delivery
+    (the streaming twin of operators/dedup.dedup_exact).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts the
+    key's dedup state once the watermark passes it — bounded state, unlike
+    a plain streaming dropDuplicates whose state grows forever.  Duplicates
+    arriving within the watermark horizon (the realistic redelivery window
+    for log shippers) are suppressed; in batch mode watermarks are a no-op
+    and it degrades to exact dedup.
+    """
+    keys = keys or ["event_id"]
+    src = events.withWatermark("ts", watermark)
+    if src.isStreaming:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)

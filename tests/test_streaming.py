@@ -364,3 +364,38 @@ def test_popularity_serving_store_matches_batch(spark, sf_dir):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_suppresses_redelivery(spark, sf_dir):
+    """At-least-once delivery: the same flush file shipped twice must yield
+    each event exactly once downstream."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        dedup_events_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_dedup_"))
+    try:
+        # the same batch delivered twice (two files, identical rows)
+        ev.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        ev.coalesce(1).write.mode("append").parquet(str(tmp / "in"))
+        src = stream_events(spark, str(tmp / "in"), schema=ev.schema)
+        q = (
+            dedup_events_stream(src)
+            .writeStream.format("memory")
+            .queryName("dedup_ev")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "SELECT event_id, COUNT(*) AS c FROM dedup_ev GROUP BY 1"
+        ).collect()
+        assert len(got) == ev.count()
+        assert all(r["c"] == 1 for r in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
