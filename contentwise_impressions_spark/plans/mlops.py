@@ -1396,3 +1396,62 @@ register(
         "BaseSimilarityMatrixRecommender.py:99-120)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# item PageRank (power iteration over the co-occurrence graph — extension)
+# ---------------------------------------------------------------------------
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..recommenders.graph import item_pagerank
+
+    urm = _urm(spark, sf_dir)
+    return item_pagerank(urm, damping=0.85, n_iters=2)
+
+
+register(
+    QuerySpec(
+        "item_pagerank",
+        q_item_pagerank,
+        f"""
+        WITH {URM_CTE},
+        edges AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM urm a JOIN urm b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        ow AS (SELECT item_i, SUM(w) AS out_w FROM edges GROUP BY 1),
+        trans AS (
+            SELECT item_i, item_j, w / out_w AS p
+            FROM edges JOIN ow USING (item_i)
+        ),
+        nodes AS (SELECT DISTINCT item_i AS item_id FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT item_id, 1.0 / n AS pagerank FROM nodes CROSS JOIN nn),
+        r1 AS (
+            SELECT nodes.item_id,
+                   0.15 / nn.n + 0.85 * COALESCE(c.c, 0.0) AS pagerank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT t.item_j AS item_id, SUM(t.p * r.pagerank) AS c
+                FROM trans t JOIN r0 r ON t.item_i = r.item_id
+                GROUP BY 1
+            ) c USING (item_id)
+        ),
+        r2 AS (
+            SELECT nodes.item_id,
+                   0.15 / nn.n + 0.85 * COALESCE(c.c, 0.0) AS pagerank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT t.item_j AS item_id, SUM(t.p * r.pagerank) AS c
+                FROM trans t JOIN r1 r ON t.item_i = r.item_id
+                GROUP BY 1
+            ) c USING (item_id)
+        )
+        SELECT item_id, pagerank FROM r2
+        """,
+        doc="item PageRank: 2 power iterations over the co-occurrence "
+        "graph, teleport 0.15 (random-walk centrality extension)",
+    )
+)

@@ -85,3 +85,50 @@ def rp3beta_similarity(
     if top_k is not None:
         w = similarity_top_k(w, top_k, round_digits=9)
     return w
+
+
+def item_pagerank(
+    urm: DataFrame, damping: float = 0.85, n_iters: int = 2
+) -> DataFrame:
+    """(item_id, pagerank): power iteration over the item co-occurrence
+    graph — the random-walk centrality extension of the P3alpha machinery
+    (no reference analog; the reference's closest artifact is TopPop).
+
+    Graph: w(i,j) = #users co-interacting with i and j (i≠j); transitions
+    row-L1-normalized.  The co-occurrence graph is symmetric so every node
+    has out-edges — no dangling-mass correction needed.  Rank starts
+    uniform and runs `n_iters` fixed iterations of
+    r' = (1−d)/N + d·Pᵀr — each iteration is one join + groupBy-sum
+    (shuffle on item), so at scale the cost is n_iters similarity-sized
+    shuffles and the plan stays fully declarative (SQL-oracle replayable;
+    a convergence-threshold variant would just wrap this in the driver
+    loop with localCheckpoint like operators/dedup.connected_components).
+    """
+    edges = (
+        urm.select("user_id", F.col("item_id").alias("item_i"))
+        .join(urm.select("user_id", F.col("item_id").alias("item_j")), "user_id")
+        .filter(F.col("item_i") != F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    out_w = edges.groupBy("item_i").agg(F.sum("w").alias("out_w"))
+    trans = edges.join(out_w, "item_i").select(
+        "item_i", "item_j", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    nodes = edges.select(F.col("item_i").alias("item_id")).distinct()
+    n = nodes.count()
+    r = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (
+            trans.join(r, trans.item_i == r.item_id)
+            .groupBy(F.col("item_j").alias("item_id"))
+            .agg(F.sum(F.col("p") * F.col("pagerank")).alias("c"))
+        )
+        r = nodes.join(contrib, "item_id", "left").select(
+            "item_id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pagerank"),
+        )
+    return r

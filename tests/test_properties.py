@@ -182,3 +182,19 @@ def test_sketch_summary_bounds_vs_exact(spark, sf_dir):
     p50, p95 = row["approx_value_p50_p95"]
     assert abs(p50 - exact["p50"]) <= 0.05 * max(1.0, abs(exact["p50"]))
     assert abs(p95 - exact["p95"]) <= 0.05 * max(1.0, abs(exact["p95"]))
+
+
+def test_item_pagerank_is_a_distribution(spark, sf_dir):
+    """PageRank over the symmetric co-occurrence graph must stay a proper
+    distribution after every fixed iteration (mass conservation: no
+    dangling nodes by construction)."""
+    from contentwise_impressions_spark.recommenders.graph import item_pagerank
+    from contentwise_impressions_spark.sources.interactions import implicit_urm
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    urm = implicit_urm(load_table(spark, sf_dir, "events"))
+    for iters in (1, 3):
+        pr = item_pagerank(urm, n_iters=iters).collect()
+        total = sum(r["pagerank"] for r in pr)
+        assert abs(total - 1.0) < 1e-9
+        assert all(r["pagerank"] > 0 for r in pr)
