@@ -29,6 +29,19 @@ URM_CTE = """
 """
 
 
+#: shared oracle CTE body: events as interactions with timestamps (the
+#: un-deduplicated twin of URM_CTE, matching sources/interactions.
+#: events_as_interactions).
+URM_EVENTS_CTE = """
+    ev AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id,
+               CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    )
+"""
+
+
 def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
@@ -411,5 +424,167 @@ register(
         FROM g CROSS JOIN s
         """,
         doc="popularity-bias summary (Utils/plot_popularity.py:20-199)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# time-decayed popularity (recency-weighted TopPop — extension)
+# ---------------------------------------------------------------------------
+def q_decayed_toppop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item popularity with exponential recency decay (half-life 7 days
+    against the corpus max timestamp) — the serving-freshness variant of
+    TopPop.  One scan + one agg; the decay is a map-side expression so the
+    plan is identical to plain TopPop at any scale."""
+    from ..sources.interactions import events_as_interactions
+
+    utc(spark)
+    ev = events_as_interactions(load_table(spark, sf_dir, "events"))
+    mx = ev.agg(F.max(F.col("ts").cast("double")).alias("mx"))
+    lam = 0.6931471805599453 / (7.0 * 86400.0)  # ln 2 / half-life
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("item_id")
+        .agg(
+            F.sum(
+                F.exp(-F.lit(lam) * (F.col("mx") - F.col("ts").cast("double")))
+            ).alias("decayed_pop"),
+            F.count("*").cast("bigint").alias("raw_pop"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "decayed_toppop",
+        q_decayed_toppop,
+        f"""
+        WITH {URM_EVENTS_CTE},
+        mx AS (SELECT MAX(epoch(ts)) AS mx FROM ev)
+        SELECT item_id,
+               SUM(exp(-(0.6931471805599453 / (7.0 * 86400.0))
+                        * (mx - epoch(ts)))) AS decayed_pop,
+               CAST(COUNT(*) AS BIGINT) AS raw_pop
+        FROM ev CROSS JOIN mx
+        GROUP BY item_id
+        """,
+        doc="recency-decayed TopPop (half-life weighting; serving-freshness "
+        "extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel (view → click → purchase, time-ordered — extension)
+# ---------------------------------------------------------------------------
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users at each funnel stage with steps in temporal order: first view,
+    then first click after that view, then first purchase after that click.
+    Per-user min-timestamps + ordered comparisons — one shuffle on user,
+    no self-join chain."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("_tc_any"),
+    )
+    # first click AFTER the first view; first purchase AFTER that click
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("tc")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    c_after = (
+        per_user.join(clicks, "user_id")
+        .filter(F.col("tc") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p_after = (
+        c_after.join(purchases, "user_id")
+        .filter(F.col("tp") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t_purchase"))
+    )
+    n_view = per_user.filter(F.col("t_view").isNotNull()).count()
+    n_click = c_after.count()
+    n_purch = p_after.count()
+    return spark.createDataFrame(
+        [("view", n_view), ("click_after_view", n_click),
+         ("purchase_after_click", n_purch)],
+        "stage string, n_users bigint",
+    )
+
+
+register(
+    QuerySpec(
+        "conversion_funnel",
+        q_conversion_funnel,
+        """
+        WITH v AS (
+            SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        c AS (
+            SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+            GROUP BY 1
+        )
+        SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 'click_after_view', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 'purchase_after_click', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+        """,
+        doc="time-ordered conversion funnel (event-analytics extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention (extension)
+# ---------------------------------------------------------------------------
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users grouped by first-activity week; per (cohort_week, active_week)
+    distinct active users — the classic retention triangle.  Two aggs on
+    the user key; the cohort map broadcasts."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.weekofyear("ts").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_wk", F.col("wk").alias("active_wk"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+register(
+    QuerySpec(
+        "weekly_cohort_retention",
+        q_weekly_cohort_retention,
+        """
+        WITH w AS (
+            SELECT user_id, weekofyear(CAST(ts AS TIMESTAMP)) AS wk FROM events
+        ),
+        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+        SELECT cohort.cohort_wk, w.wk AS active_wk,
+               CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+        FROM w JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+        """,
+        doc="weekly cohort retention triangle (event-analytics extension)",
     )
 )
