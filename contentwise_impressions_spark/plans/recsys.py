@@ -588,3 +588,141 @@ register(
         doc="weekly cohort retention triangle (event-analytics extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI item associations (co-occurrence statistics — extension)
+# ---------------------------------------------------------------------------
+def q_item_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 associated items per item by pointwise mutual information:
+    PMI(i,j) = ln(N·c(i,j) / (c(i)·c(j))) over user co-occurrence — the
+    count-based association measure embedding models approximate.  Same
+    join/agg shape as the similarity kernel; counts are integers so PMI is
+    a single deterministic ln()."""
+    urm = _urm(spark, sf_dir)
+    n = urm.select("user_id").distinct().count()
+    c = urm.groupBy("item_id").agg(F.count("*").cast("double").alias("c"))
+    co = (
+        urm.select("user_id", F.col("item_id").alias("item_i"))
+        .join(urm.select("user_id", F.col("item_id").alias("item_j")), "user_id")
+        .filter(F.col("item_i") != F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count("*").cast("double").alias("cij"))
+    )
+    pmi = (
+        co.join(F.broadcast(c.select(F.col("item_id").alias("item_i"), F.col("c").alias("ci"))), "item_i")
+        .join(F.broadcast(c.select(F.col("item_id").alias("item_j"), F.col("c").alias("cj"))), "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            F.log(F.lit(float(n)) * F.col("cij") / (F.col("ci") * F.col("cj"))).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy("item_i").orderBy(
+        F.round("pmi", 9).desc(), F.col("item_j").asc()
+    )
+    return (
+        pmi.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+register(
+    QuerySpec(
+        "item_pmi_topk",
+        q_item_pmi_topk,
+        f"""
+        WITH {URM_CTE},
+        nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM urm),
+        c AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS c FROM urm GROUP BY 1),
+        co AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS cij
+            FROM urm a JOIN urm b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        )
+        SELECT item_i, item_j,
+               ln(nn.n * cij / (ci.c * cj.c)) AS pmi,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_i
+                    ORDER BY round(ln(nn.n * cij / (ci.c * cj.c)), 9) DESC,
+                             item_j ASC) AS INT) AS rank
+        FROM co
+        JOIN c ci ON co.item_i = ci.item_id
+        JOIN c cj ON co.item_j = cj.item_id
+        CROSS JOIN nn
+        QUALIFY rank <= 5
+        """,
+        doc="PMI item associations, top-5 per item (co-occurrence "
+        "statistics extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection (median/MAD — training-data QC extension)
+# ---------------------------------------------------------------------------
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: median, MAD, and the count of robust outliers
+    (|x − median| > 3.5·MAD) — the quality-control filter a training-data
+    pipeline runs before ingestion.  Exact medians here (oracle-checkable);
+    approx_percentile is the one-pass sketch path at corpus scale."""
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "value_outliers",
+        q_value_outliers,
+        """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad,
+                   ANY_VALUE(med) AS med
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_type, m.med, m.mad,
+               CAST(SUM(CASE WHEN ABS(d.value - m.med) > 3.5 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1, 2, 3
+        """,
+        doc="median/MAD robust outlier QC per event type (training-data "
+        "pipeline extension)",
+    )
+)
