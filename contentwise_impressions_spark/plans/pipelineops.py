@@ -1,0 +1,246 @@
+"""Training-data pipeline operators, batch 2: semi-structured columns,
+deterministic hash splits, corpus n-gram statistics, hopping windows.
+
+These extend the reference's surface (SURVEY.md §2.2/§2.8 analogs) with the
+operations a large-scale training-data pipeline needs:
+
+* JSON property extraction — the reference's tables are fully structured
+  (Utils/dataset.py:91-147); industrial event logs carry a semi-structured
+  payload column.  ``get_json_object`` stays inside whole-stage codegen (no
+  Python UDF), and at 100 TB the extraction is a per-row map — no shuffle.
+* Deterministic hash split — the reference splits with seeded randomness
+  (Utils/dataset.py:322-325, seed 42); NumPy seeds don't reproduce across
+  engines or re-runs on different partitionings.  A multiplicative-hash
+  bucket of the key is the scale-safe idiom: stable under re-partitioning,
+  no RNG state, no shuffle, and any engine reproduces membership exactly.
+* Corpus bigrams — boilerplate/template detection over documents; the
+  array-native formulation (slice+zip_with, then one explode) keeps the
+  quadratic token fan-out inside the JVM.
+* Hopping (sliding) windows — the overlap generalization of the tumbling
+  window already in streaming/ingest.py; each event lands in exactly
+  duration/slide windows, expressed with the built-in ``F.window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import QuerySpec, register, utc
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction over the events payload column
+# ---------------------------------------------------------------------------
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats of the JSON payload field ``$.k``.
+
+    `get_json_object` is a JVM-side expression (codegen, no UDF); the
+    aggregation is a partial-agg groupBy on a low-cardinality key — the
+    map side reduces each partition to |event_type| rows before the
+    (tiny) shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "props_json_stats",
+        q_props_json_stats,
+        """
+        WITH ex AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               SUM(k) AS sum_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k
+        FROM ex GROUP BY 1
+        """,
+        doc="semi-structured JSON payload extraction (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic multiplicative-hash split (reproducible train/val/test)
+# ---------------------------------------------------------------------------
+#: Knuth's multiplicative constant; bucket = key*A mod 1000 spreads
+#: sequential ids uniformly.  Pure int64 arithmetic → every engine agrees.
+_HASH_A = 2654435761
+_HASH_MOD = 1000
+_TRAIN_LT = 700  # buckets [0,700) → train
+_VAL_LT = 800  # [700,800) → validation; rest → test
+
+
+def q_hash_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """70/10/20 document split by hash bucket of the key — the scale-safe
+    replacement for seeded randomSplit (Utils/dataset.py:322-325).
+
+    Membership is a pure function of doc_id: stable under re-partitioning,
+    re-runs, and engine changes (seeded RNG streams are not — SURVEY §4).
+    The split is a narrow map + partial agg; NO shuffle of the data itself
+    is ever needed to split at 100 TB (contrast randomSplit, which must
+    replay the RNG in partition order).  sum_doc_id pins exact membership,
+    not just sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_HASH_A)) % F.lit(_HASH_MOD)
+    split = (
+        F.when(bucket < _TRAIN_LT, F.lit("train"))
+        .when(bucket < _VAL_LT, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "hash_split_sizes",
+        q_hash_split_sizes,
+        f"""
+        WITH b AS (
+            SELECT doc_id, (doc_id * {_HASH_A}) % {_HASH_MOD} AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {_TRAIN_LT} THEN 'train'
+                    WHEN bucket < {_VAL_LT} THEN 'validation'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(doc_id) AS sum_doc_id
+        FROM b GROUP BY 1
+        """,
+        doc="deterministic hash-bucket train/val/test split "
+        "(scale-safe analog of dataset.py:322-325 randomSplit)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram frequencies (boilerplate / template detection)
+# ---------------------------------------------------------------------------
+def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts + document frequency.
+
+    Bigram construction is array-native (slice + zip_with) so the token
+    fan-out happens inside codegen; one explode then a single partial-agg
+    groupBy.  At 100 TB the map-side combine collapses each partition to
+    its local vocabulary before the shuffle — the shuffle volume is
+    O(distinct bigrams), not O(tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_bigrams",
+        q_corpus_bigrams,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS w
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM toks
+        )
+        SELECT bigram,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM b GROUP BY 1
+        """,
+        doc="corpus bigram frequency — boilerplate detection "
+        "(pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregation
+# ---------------------------------------------------------------------------
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour — each event lands in exactly two.
+
+    The built-in ``F.window(ts, duration, slide)`` is the batch twin of the
+    Structured Streaming hopping window (streaming/ingest.py applies the
+    tumbling special case); state per window is bounded by the watermark in
+    the streaming path.  The expansion factor is duration/slide (here 2),
+    applied before the partial agg, so shuffle volume stays
+    O(windows × types).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "hopping_window_counts",
+        q_hopping_window_counts,
+        """
+        SELECT CAST(date_trunc('hour', ts) - o.h * INTERVAL 1 HOUR
+                    AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM(value) AS sum_value
+        FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+        GROUP BY 1, 2
+        """,
+        doc="hopping-window agg (sliding generalization of the tumbling "
+        "window in streaming/ingest.py)",
+    )
+)

@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
     from . import modelops  # noqa: F401
     from . import impressionops  # noqa: F401
     from . import cbfops  # noqa: F401
+    from . import pipelineops  # noqa: F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
