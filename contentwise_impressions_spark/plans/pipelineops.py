@@ -69,7 +69,7 @@ register(
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(k) AS BIGINT) AS n_with_k,
-               SUM(k) AS sum_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
                MIN(k) AS min_k,
                MAX(k) AS max_k
         FROM ex GROUP BY 1
@@ -131,7 +131,7 @@ register(
                     WHEN bucket < {_VAL_LT} THEN 'validation'
                     ELSE 'test' END AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(doc_id) AS sum_doc_id
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
         FROM b GROUP BY 1
         """,
         doc="deterministic hash-bucket train/val/test split "
@@ -193,6 +193,118 @@ register(
         """,
         doc="corpus bigram frequency — boilerplate detection "
         "(pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (token counting beyond whitespace)
+# ---------------------------------------------------------------------------
+#: GPT-style coarse lexer classes: alphabetic runs, digit runs, single
+#: non-alphanumeric marks.  Same RE2-compatible syntax in Java and DuckDB.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a BPE-ish regex lexer.
+
+    `regexp_extract_all` + `size` stay inside whole-stage codegen — the
+    whole query is a narrow map + no shuffle (per-doc output), the shape
+    you want when lexing 100 TB of text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 = whole match: Spark defaults to capture group 1, DuckDB to 0
+    all_toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    alpha = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(all_toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(alpha).cast("bigint").alias("n_alpha_tokens"),
+        (F.size(all_toks) - F.size(alpha)).cast("bigint").alias("n_other_tokens"),
+    )
+
+
+register(
+    QuerySpec(
+        "doc_bpe_token_stats",
+        q_doc_bpe_token_stats,
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                 AS n_alpha_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                 - CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+                 AS n_other_tokens
+        FROM documents
+        """,
+        doc="BPE-ish regex token counting (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling (training-mixture reweighting)
+# ---------------------------------------------------------------------------
+#: per-language keep-rate in percent — the mixture a curation pipeline
+#: targets (upsample the head language, thin the tail).
+_STRATA_PCT = {"en": 50, "es": 20, "fr": 20}
+_DEFAULT_PCT = 10
+
+
+def q_stratified_sample_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample: keep doc iff hash-bucket < rate.
+
+    The deterministic twin of ``df.sampleBy`` (class-balanced mixture
+    sampling): membership is a pure function of (doc_id), rates vary per
+    stratum, nothing is shuffled, and any engine reproduces the sample
+    exactly — at 100 TB the sample IS the dataset you ship, so
+    reproducibility beats RNG.  sum_sampled_doc_id pins exact membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_HASH_A)) % F.lit(100)
+    rate = F.lit(_DEFAULT_PCT)
+    for lang, pct in _STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    kept = (bucket < rate).cast("bigint")
+    return (
+        docs.select("lang", "doc_id", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.sum(F.col("kept") * F.col("doc_id")).alias("sum_sampled_doc_id"),
+        )
+    )
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in _STRATA_PCT.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_PCT} END"
+
+
+register(
+    QuerySpec(
+        "stratified_sample_sizes",
+        q_stratified_sample_sizes,
+        f"""
+        WITH b AS (
+            SELECT lang, doc_id,
+                   CASE WHEN (doc_id * {_HASH_A}) % 100 < {_strata_case_sql()}
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_sampled,
+               CAST(SUM(kept * doc_id) AS BIGINT) AS sum_sampled_doc_id
+        FROM b GROUP BY 1
+        """,
+        doc="stratified deterministic hash sampling — mixture reweighting "
+        "(deterministic twin of sampleBy)",
     )
 )
 
