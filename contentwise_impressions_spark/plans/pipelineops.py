@@ -310,6 +310,79 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-dimensional data layout
+# ---------------------------------------------------------------------------
+_ZBITS = 8  # 8 bits per dimension → 16-bit z-value, 256 "files" of 256 cells
+
+
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file-assignment stats: per target file, the bounding box of
+    both clustering dimensions (user bucket × hour bucket).
+
+    The layout op behind multi-dimensional data skipping: sort events by the
+    interleaved-bit (Morton) value of the two dimensions, cut into files,
+    and every file's min/max on EACH dimension stays narrow — so a filter on
+    either dimension prunes most files at scan time (parquet min/max stats).
+    Bit interleaving is pure integer arithmetic (shift/and/sum of disjoint
+    bits) inside codegen; the whole query is map + one partial-agg groupBy.
+    At scale the write path is ``repartitionByRange(zvalue)`` +
+    ``sortWithinPartitions(zvalue)`` — same expression, no extra shuffle
+    beyond the one range partitioning.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") * F.lit(_HASH_A)) % F.lit(1 << _ZBITS)
+    y = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint") % F.lit(1 << _ZBITS)
+    z = F.lit(0)
+    for i in range(_ZBITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+    file_id = F.shiftright(z, _ZBITS)  # top 8 bits → 256 files
+    return (
+        ev.select(
+            file_id.alias("file_id"), x.alias("xb"), y.alias("yb")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("xb") - F.min("xb")).alias("x_span"),
+            (F.max("yb") - F.min("yb")).alias("y_span"),
+        )
+    )
+
+
+def _zvalue_sql() -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((((xb >> {i}) & 1)) << {2 * i + 1})")
+        terms.append(f"((((yb >> {i}) & 1)) << {2 * i})")
+    return " + ".join(terms)
+
+
+register(
+    QuerySpec(
+        "zorder_layout_stats",
+        q_zorder_layout_stats,
+        f"""
+        WITH d AS (
+            SELECT (user_id * {_HASH_A}) % {1 << _ZBITS} AS xb,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << _ZBITS} AS yb
+            FROM events
+        ),
+        z AS (SELECT xb, yb, ({_zvalue_sql()}) >> {_ZBITS} AS file_id FROM d)
+        SELECT file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(xb) - MIN(xb) AS BIGINT) AS x_span,
+               CAST(MAX(yb) - MIN(yb) AS BIGINT) AS y_span
+        FROM z GROUP BY 1
+        """,
+        doc="Z-order clustering layout stats — multi-dimensional data "
+        "skipping (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # hopping (sliding) window aggregation
 # ---------------------------------------------------------------------------
 def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

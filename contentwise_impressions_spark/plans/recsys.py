@@ -662,36 +662,77 @@ register(
 # ---------------------------------------------------------------------------
 # robust outlier detection (median/MAD — training-data QC extension)
 # ---------------------------------------------------------------------------
+def _weighted_median(hist: DataFrame, key: str, val: str, w: str) -> DataFrame:
+    """Exact interpolated median (percentile/quantile_cont semantics) from a
+    (key, distinct value, weight) histogram — the tie-decomposition pattern:
+    windows run over DISTINCT values, never per input row, so the sort cost
+    is O(distinct) regardless of input size.
+
+    Rank target r = (N−1)/2 over the expanded multiset; the two straddling
+    order statistics are located by cumulative-weight range, then linearly
+    interpolated.  Pure window + agg, no value buffering (contrast the
+    built-in `percentile`, which collects every row into the agg buffer).
+    """
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(key).orderBy(val).rowsBetween(W.unboundedPreceding, 0)
+    cum = F.sum(w).over(win)
+    h = hist.select(
+        key,
+        F.col(val).alias("_v"),
+        (cum - F.col(w)).alias("_lo"),  # rank of first occurrence
+        (cum - 1).alias("_hi"),  # rank of last occurrence
+        F.sum(w).over(W.partitionBy(key)).alias("_n"),
+    )
+    r = (F.col("_n") - 1) / 2.0
+    k1, k2 = F.floor(r), F.ceil(r)
+    pick = lambda k: F.max(  # noqa: E731 — exactly one row straddles rank k
+        F.when((F.col("_lo") <= k) & (k <= F.col("_hi")), F.col("_v"))
+    )
+    return h.groupBy(key).agg(
+        (pick(k1) + (r - k1) * (pick(k2) - pick(k1))).alias("_median")
+    )
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: median, MAD, and the count of robust outliers
     (|x − median| > 3.5·MAD) — the quality-control filter a training-data
-    pipeline runs before ingestion.  Exact medians here (oracle-checkable);
-    approx_percentile is the one-pass sketch path at corpus scale."""
+    pipeline runs before ingestion.
+
+    One scan of events builds a (type, value, weight) histogram; both exact
+    medians (value, then absolute deviation) are weighted medians over that
+    histogram, so every sort/window touches O(distinct values) rows — at
+    100 TB the heavy lifting is one map-side-combined groupBy, and the
+    median machinery runs on the collapsed histogram.  approx_percentile
+    stays the one-pass sketch alternative (sketch_summary)."""
     utc(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    hist = ev.groupBy("event_type", "value").agg(F.count("*").alias("w"))
+    med = _weighted_median(hist, "event_type", "value", "w").withColumnRenamed(
+        "_median", "med"
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .agg(F.sum("w").alias("w"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad"),
-        F.first("med").alias("med"),
+    mad = _weighted_median(dev_hist, "event_type", "adev", "w").withColumnRenamed(
+        "_median", "mad"
     )
+    stats = med.join(mad, "event_type")
     return (
-        dev.drop("med")
-        .join(F.broadcast(mad), "event_type")
+        hist.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.first("med").alias("med"),
             F.first("mad").alias("mad"),
             F.sum(
                 F.when(
-                    F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"), 1
+                    F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"),
+                    F.col("w"),
                 ).otherwise(0)
             ).cast("bigint").alias("n_outliers"),
-            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("w").cast("bigint").alias("n_rows"),
         )
     )
 
