@@ -39,14 +39,18 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        # noop sink executes the full plan and materializes every column
-        # (count() would let Catalyst prune the computed columns away).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = queries[name](spark, sf_dir)
+            # noop sink executes the full plan and materializes every column
+            # (count() would let Catalyst prune the computed columns away).
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not erase the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(time.perf_counter() - t_all, 4)
 
     # derived throughput for the baseline comparison: the reference's
@@ -55,14 +59,19 @@ def main() -> None:
     # test user in one aggregation.
     eval_sec = timings.get("toppop_eval_metrics")
     extras = {}
+    if errors:
+        extras["errors"] = errors
     if eval_sec:
-        n_users = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .select("user_id")
-            .distinct()
-            .count()
-        )
-        extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
+        try:
+            n_users = (
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+                .select("user_id")
+                .distinct()
+                .count()
+            )
+            extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
+        except Exception:
+            pass
 
     print(
         json.dumps(

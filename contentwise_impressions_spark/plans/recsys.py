@@ -689,9 +689,11 @@ def _weighted_median(hist: DataFrame, key: str, val: str, w: str) -> DataFrame:
     pick = lambda k: F.max(  # noqa: E731 — exactly one row straddles rank k
         F.when((F.col("_lo") <= k) & (k <= F.col("_hi")), F.col("_v"))
     )
-    return h.groupBy(key).agg(
+    # _n is constant per key, so grouping by it keeps the rank expressions
+    # (built from _n) legal inside the aggregate.
+    return h.groupBy(key, "_n").agg(
         (pick(k1) + (r - k1) * (pick(k2) - pick(k1))).alias("_median")
-    )
+    ).drop("_n")
 
 
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
