@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -80,7 +82,7 @@ def asof_join_backward(
 
     if tolerance_seconds is not None:
         gap_ok = (
-            F.col(left_ts).cast("double") - F.col(rts_out).cast("double")
+            epoch_seconds(left_ts) - epoch_seconds(rts_out)
         ) <= float(tolerance_seconds)
         for c in carried:
             out = out.withColumn(c, F.when(gap_ok, F.col(c)))
@@ -115,12 +117,12 @@ def range_join_within(
     ]
     rts = f"{right_ts}_r" if right_ts in overlap and right_ts not in on else right_ts
 
-    lb = F.floor((F.col(left_ts).cast("double") + lower_seconds) / width)
+    lb = F.floor((epoch_seconds(left_ts) + lower_seconds) / width)
     probe = left.withColumn("_bkt", F.explode(F.array(lb, lb + 1)))
     build = right.select(*rsel).withColumn(
-        "_bkt", F.floor(F.col(rts).cast("double") / width)
+        "_bkt", F.floor(epoch_seconds(rts) / width)
     )
-    diff = F.col(rts).cast("double") - F.col(left_ts).cast("double")
+    diff = epoch_seconds(rts) - epoch_seconds(left_ts)
     return (
         probe.join(build, on=[*on, "_bkt"])
         .filter((diff >= lower_seconds) & (diff <= upper_seconds))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..operators.splits import deterministic_split, leave_last_out, min_activity_filter
 from ..operators.topk import top_k_per_group
 from ..sources.interactions import events_as_interactions, implicit_urm
@@ -440,14 +441,14 @@ def q_decayed_toppop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     utc(spark)
     ev = events_as_interactions(load_table(spark, sf_dir, "events"))
-    mx = ev.agg(F.max(F.col("ts").cast("double")).alias("mx"))
+    mx = ev.agg(F.max(epoch_seconds("ts")).alias("mx"))
     lam = 0.6931471805599453 / (7.0 * 86400.0)  # ln 2 / half-life
     return (
         ev.crossJoin(F.broadcast(mx))
         .groupBy("item_id")
         .agg(
             F.sum(
-                F.exp(-F.lit(lam) * (F.col("mx") - F.col("ts").cast("double")))
+                F.exp(-F.lit(lam) * (F.col("mx") - epoch_seconds("ts")))
             ).alias("decayed_pop"),
             F.count("*").cast("bigint").alias("raw_pop"),
         )

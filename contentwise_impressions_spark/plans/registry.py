@@ -52,21 +52,111 @@ def _load_all_modules() -> None:
     from . import pipelineops  # noqa: F401
 
 
+#: Names surfaced FIRST to the correctness driver, which verifies queries in
+#: registration order up to a fixed budget (50 in rounds 1-2).  Rounds 1-2
+#: verified the first-registered ~50 (relational/recsys/textops); this list
+#: rotates the so-far-unverified queries to the front — recently-fixed
+#: queries first, then the §2 evaluation / KNN / graph / dedup core, then
+#: the remaining unverified oracled queries, then rows-only specs.  Already
+#: driver-green queries keep their registration order after these.
+DRIVER_PRIORITY: list[str] = [
+    # fixed this round — need fresh driver evidence
+    "click_attribution",
+    "view_to_click_conversions",
+    "decayed_toppop",
+    "doc_fingerprints",
+    # §2 crown jewels with zero driver verdicts so far
+    "toppop_eval_metrics",
+    "p3alpha_topk",
+    "rp3beta_topk",
+    "minhash_lsh_candidates",
+    "minhash_dedup_clusters",
+    "itemknn_recommendations",
+    "userknn_recommendations",
+    "negative_sample_eval",
+    # remaining unverified oracled queries (most-critical first)
+    "toppop_eval_multi_cutoff",
+    "toppop_beyond_accuracy",
+    "weighted_ndcg",
+    "rmse_global_effects",
+    "diversity_similarity",
+    "centered_similarities",
+    "user_cosine_topk",
+    "itemcbf_cosine_topk",
+    "cfcbf_hybrid_topk",
+    "bm25_weighted_itemknn",
+    "global_effects_item_bias",
+    "global_effects_user_bias",
+    "toppop_recommendations",
+    "confidence_matrix",
+    "remove_top_popular",
+    "negative_samples",
+    "item_pagerank",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "ngram_jaccard_topn",
+    "tfidf_weights",
+    "bm25_weights",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_assignments",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "embedding_neardup_pairs",
+    "impression_urm",
+    "click_position_heatmap",
+    "impression_list_invariants",
+    "cold_entities",
+    "feature_pruning",
+    "user_holdout_sizes",
+    "props_json_stats",
+    "hash_split_sizes",
+    "corpus_bigrams",
+    "doc_bpe_token_stats",
+    "stratified_sample_sizes",
+    "tumbling_window_counts",
+    "hopping_window_counts",
+    "bpr_triplets_inside",
+    "bpr_triplets_outside",
+    "user_sessions",
+    "zorder_layout_stats",
+    # rows-only specs (weaker check — after every oracled one)
+    "sketch_summary",
+    "random_recommendations",
+    "ials_recommendations",
+    "pure_svd_factors",
+    "nmf_user_factors",
+    "slim_elasticnet_weights",
+    "ease_r_weights",
+    "ease_r_blocked_weights",
+    "ease_r_cg_weights",
+    "slim_bpr_weights",
+    "bpr_mf_recommendations",
+    "custom_w_recommendations",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    front = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(front)]
+    return {n: _REGISTRY[n] for n in [*front, *rest]}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_modules()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
     _load_all_modules()
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
+        name: spec.oracle for name, spec in _ordered().items() if spec.oracle
     }
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_modules()
-    return {n: s.fn for n, s in _REGISTRY.items() if s.bench}
+    return {n: s.fn for n, s in _ordered().items() if s.bench}
 
 
 def utc(spark: SparkSession) -> SparkSession:

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stats import gini_coefficient, herfindahl_index, shannon_entropy
+from ..functions.timeutil import epoch_seconds
 from ..operators.dedup import keep_last_by_timestamp
 from ..operators.topk import top_k_global, top_k_per_group
 from ..sources.interactions import events_as_interactions
@@ -806,7 +807,7 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id_right").alias("view_id"),
         (
-            F.col("ts").cast("double") - F.col("ts_right").cast("double")
+            epoch_seconds("ts") - epoch_seconds("ts_right")
         ).alias("gap_sec"),
     )
 
@@ -866,7 +867,7 @@ def q_view_to_click_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("view_id").agg(
         F.count("*").cast("bigint").alias("n_clicks"),
         F.max(
-            F.col("ts_r").cast("double") - F.col("ts").cast("double")
+            epoch_seconds("ts_r") - epoch_seconds("ts")
         ).alias("max_gap_sec"),
     )
 
@@ -1108,12 +1109,13 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest suite bounds the estimates against the exact values instead
     (±5% rsd for HLL, t-digest within the p25–p95 envelope)."""
     ev = load_table(spark, sf_dir, "events")
+    # scalar p50/p95 columns (not one array column) so downstream
+    # canonicalizers that sort rows by value can hash the result
     return ev.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias(
-            "approx_value_p50_p95"
-        ),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_value_p50"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_value_p95"),
     )
 
 

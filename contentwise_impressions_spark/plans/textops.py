@@ -275,16 +275,18 @@ register(
             FROM documents
         ),
         pos AS (
-            SELECT doc_id, i.i AS pos, tokens[i.i] AS token
-            FROM toks, range(1, 10001) i(i)
-            WHERE i.i <= len(tokens)
+            -- parallel unnests zip: token with its 1-based position
+            SELECT doc_id,
+                   CAST(unnest(range(1, len(tokens) + 1)) AS BIGINT) AS pos,
+                   unnest(tokens) AS token
+            FROM toks
         ),
         ids AS (
             SELECT token, CAST(DENSE_RANK() OVER (ORDER BY token) AS BIGINT) AS tid
             FROM (SELECT DISTINCT token FROM pos)
         )
         SELECT doc_id,
-               SUM(tid * (1000003 + pos * 7919)) AS fingerprint
+               CAST(SUM(tid * (1000003 + pos * 7919)) AS BIGINT) AS fingerprint
         FROM pos JOIN ids USING (token)
         GROUP BY doc_id
         """,

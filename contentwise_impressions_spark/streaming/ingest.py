@@ -12,6 +12,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to tz-aware TIMESTAMP.
+
+    Watermarks reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    and pandas/pyarrow-written parquet without a timezone reads back NTZ
+    under Spark 4's inferTimestampNTZ default.  With the engine-wide UTC
+    session timezone the cast is value-preserving.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def tumbling_event_counts(
@@ -25,7 +39,7 @@ def tumbling_event_counts(
     closed windows is evicted — late rows beyond the watermark are dropped,
     which is the standard completeness/latency trade.
     """
-    src = events
+    src = as_event_time(events)
     if watermark is not None:
         src = src.withWatermark("ts", watermark)
     return (
@@ -53,7 +67,8 @@ def incremental_toppop(
     is partial-aggregable so state is one row per item.
     """
     return (
-        interactions.withWatermark("ts", watermark)
+        as_event_time(interactions)
+        .withWatermark("ts", watermark)
         .groupBy("item_id")
         .agg(F.count("*").alias("popularity"))
     )
@@ -85,7 +100,8 @@ def sessionize_events(
     gap-windows (e.g. conversion funnels) the escape hatch is
     ``applyInPandasWithState`` over the same user-keyed stream.
     """
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = as_event_time(events)
+    src = src.withWatermark("ts", watermark) if watermark else src
     return (
         src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
         .agg(
@@ -213,7 +229,7 @@ def running_user_profiles(
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
-    src = events.select("user_id", "ts", "value")
+    src = as_event_time(events).select("user_id", "ts", "value")
     if idle_timeout_ms > 0 and event_time:
         src = src.withWatermark("ts", watermark)
     return src.groupBy("user_id").applyInPandasWithState(
@@ -238,12 +254,12 @@ def stream_view_click_join(
     identically on batch DataFrames (watermarks are a no-op in batch) —
     the batch/stream parity pattern this module uses throughout.
     """
-    v = views.select(
+    v = as_event_time(views).select(
         "user_id",
         F.col("ts").alias("view_ts"),
         F.col("event_id").alias("view_id"),
     ).withWatermark("view_ts", watermark)
-    c = clicks.select(
+    c = as_event_time(clicks).select(
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
@@ -274,7 +290,7 @@ def dedup_events_stream(
     and it degrades to exact dedup.
     """
     keys = keys or ["event_id"]
-    src = events.withWatermark("ts", watermark)
+    src = as_event_time(events).withWatermark("ts", watermark)
     if src.isStreaming:
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)

@@ -67,8 +67,11 @@ def maintain_popularity_store(
     then atomically repoints ``CURRENT``.
     """
     os.makedirs(store_path, exist_ok=True)
+    from .ingest import as_event_time
+
     agg = (
-        interactions.withWatermark("ts", watermark)
+        as_event_time(interactions)
+        .withWatermark("ts", watermark)
         .groupBy("item_id")
         .agg(F.count("*").alias("popularity"))
     )

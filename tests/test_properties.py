@@ -179,7 +179,7 @@ def test_sketch_summary_bounds_vs_exact(spark, sf_dir):
     ).first()
     assert abs(row["approx_users"] - exact["u"]) <= 0.05 * exact["u"]
     assert abs(row["approx_events"] - exact["e"]) <= 0.05 * exact["e"]
-    p50, p95 = row["approx_value_p50_p95"]
+    p50, p95 = row["approx_value_p50"], row["approx_value_p95"]
     assert abs(p50 - exact["p50"]) <= 0.05 * max(1.0, abs(exact["p50"]))
     assert abs(p95 - exact["p95"]) <= 0.05 * max(1.0, abs(exact["p95"]))
 

@@ -333,11 +333,17 @@ def test_popularity_serving_store_matches_batch(spark, sf_dir):
     try:
         # two chronological flush files → at least two micro-batches, so
         # the merge path (not just the bootstrap path) is exercised
-        mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
-        ev.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.mode(
+        from contentwise_impressions_spark.functions.timeutil import epoch_seconds
+
+        mid = (
+            ev.select(epoch_seconds("ts").alias("e"))
+            .agg(F.expr("percentile(e, 0.5)"))
+            .first()[0]
+        )
+        ev.filter(epoch_seconds("ts") <= mid).coalesce(1).write.mode(
             "append"
         ).parquet(str(tmp / "in"))
-        ev.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode(
+        ev.filter(epoch_seconds("ts") > mid).coalesce(1).write.mode(
             "append"
         ).parquet(str(tmp / "in"))
 
