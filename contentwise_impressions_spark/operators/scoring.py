@@ -83,17 +83,39 @@ def recommend_top_k(
     )
 
 
-def toppop_scores(train: DataFrame, users: DataFrame) -> DataFrame:
-    """Popularity score for every (eval user × item) candidate.
+def toppop_scores(
+    train: DataFrame, users: DataFrame, cutoff: int | None = None
+) -> DataFrame:
+    """Popularity score for each eval-user candidate item.
 
     Reference: TopPop fit = item nnz vector (NonPersonalizedRecommender
     .py:18-47); recommend broadcasts the same score row to every user.
-    The popularity table is |items| rows → broadcast; the crossJoin emits
-    |users|·|items| candidates, which the subsequent top-K window reduces —
-    at scale, pre-truncate the popularity table to the max cutoff + max
-    profile length to bound the fan-out.
+
+    With `cutoff` set, the popularity table is truncated to the top
+    ``cutoff + max per-user train degree`` items BEFORE the crossJoin — a
+    correct upper bound because remove-seen can strike at most
+    max-profile-length items from any user's list, so every user's final
+    top-`cutoff` after remove-seen is provably inside the kept prefix.
+    The truncation uses the same (score desc, item_id asc) order as
+    recommend_top_k, keeping ties deterministic, and lowers to
+    TakeOrderedAndProject (no global sort).  This bounds the candidate
+    fan-out at |users|·(cutoff+max_deg) instead of |users|·|items| — the
+    difference between a window over ~50 rows/user and one over the whole
+    catalog per user at 100 TB.  Without `cutoff` the full table is kept
+    (exact legacy shape).
     """
     pop = train.groupBy("item_id").agg(
         F.count("*").cast("double").alias("score")
     )
+    if cutoff is not None:
+        max_deg = (
+            train.groupBy("user_id")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+            or 0
+        )
+        pop = pop.orderBy(
+            F.col("score").desc(), F.col("item_id").asc()
+        ).limit(int(cutoff) + int(max_deg))
     return users.select("user_id").crossJoin(F.broadcast(pop))

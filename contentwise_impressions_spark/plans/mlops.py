@@ -367,7 +367,7 @@ def q_toppop_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=10)
     return recommend_top_k(cand, 10, train=train)
 
 
@@ -468,7 +468,7 @@ register(
 def q_toppop_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=10)
     recs = recommend_top_k(cand, 10, train=train).select(
         "user_id", "item_id", "rank"
     )
@@ -579,7 +579,7 @@ def q_toppop_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=10)
     recs = recommend_top_k(cand, 10, train=train).select(
         "user_id", "item_id", "rank"
     )
@@ -1052,7 +1052,7 @@ register(
 def q_diversity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=5)
     recs = recommend_top_k(cand, 5, train=train).select(
         "user_id", "item_id"
     )
@@ -1138,7 +1138,7 @@ def q_toppop_eval_multi_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=20)
     recs = recommend_top_k(cand, 20, train=train).select(
         "user_id", "item_id", "rank"
     )
@@ -1253,7 +1253,7 @@ def q_weighted_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "item_id", "rating"
     )
     users = test_rated.select("user_id").distinct()
-    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users)
+    cand = toppop_scores(train.withColumn("value", F.lit(1.0)), users, cutoff=10)
     recs = recommend_top_k(cand, 10, train=train).select(
         "user_id", "item_id", "rank"
     )
