@@ -35,10 +35,17 @@ def item_based_scores(train: DataFrame, w_sparse: DataFrame) -> DataFrame:
 
 
 def user_based_scores(train: DataFrame, w_users: DataFrame) -> DataFrame:
-    """scores[u, j] = Σ_v W[u, v] · URM[v, j] (W over user pairs)."""
+    """scores[u, j] = Σ_v W[u, v] · URM[v, j] (W over user pairs).
+
+    Joined on renamed string keys, not dataset-qualified refs: W's lineage
+    may itself contain `train` (the KNN kernel is fit on it), and qualified
+    refs against a shared ancestor trip Spark's ambiguous-self-join check."""
+    t = train.select(
+        F.col("user_id").alias("user_j"), "item_id", "value"
+    )
     return (
-        w_users.join(train, w_users.user_j == train.user_id)
-        .groupBy(w_users.user_i, train.item_id)
+        w_users.join(t, "user_j")
+        .groupBy("user_i", "item_id")
         .agg(F.sum(F.col("sim") * F.col("value")).alias("score"))
         .select(F.col("user_i").alias("user_id"), "item_id", "score")
     )

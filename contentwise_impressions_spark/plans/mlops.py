@@ -674,20 +674,20 @@ register(
 def q_user_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same kernel with roles swapped: user-user cosine, top-10 per user.
 
-    Routed through the blocked kernel (operators/cbf_kernel.py): the item
-    catalog here is small, so user rows are short dense vectors and the
-    GEMM formulation avoids the Σ deg² self-join blow-up on hot items —
-    identical cosines (the oracle keeps the join formulation).
+    Routed through the distributed blocked kernel (operators/blocked_topk
+    .py) as pure ADJACENCY (user → item list): the sparse intersection
+    path avoids both the Σ deg² self-join blow-up on hot items and any
+    dependence on catalog size — identical cosines (the oracle keeps the
+    join formulation).
     """
-    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+    from ..operators.blocked_topk import blocked_cosine_topk
 
     urm = _urm(spark, sf_dir)
-    as_icm = urm.select(
+    as_adj = urm.select(
         F.col("user_id").alias("item_id"),
-        F.col("item_id").cast("string").alias("feature"),
-        "value",
+        F.col("item_id").alias("nbr"),
     )
-    out = hybrid_cosine_topk_kernel(as_icm, None, k=10, icm_weight=1.0)
+    out = blocked_cosine_topk(adj=as_adj, k=10)
     return out.select(
         F.col("item_i").alias("user_i"),
         F.col("item_j").alias("user_j"),
@@ -1322,21 +1322,20 @@ def q_userknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UserKNN-CF top-10: user-user cosine W (topK=10 per user_j) →
     scores = W·URM → remove seen → per-user ranking.
 
-    W comes from the blocked kernel (operators/cbf_kernel.py — user rows
-    over the item vocabulary, same routing rationale as user_cosine_topk);
-    scoring + ranking are the relational join/window path.  Scores are
-    float sums → ranked on round(score, 9)."""
-    from ..operators.cbf_kernel import hybrid_cosine_topk_kernel
+    W comes from the distributed blocked kernel (operators/blocked_topk
+    .py — user adjacency over items, same routing rationale as
+    user_cosine_topk); scoring + ranking are the relational join/window
+    path.  Scores are float sums → ranked on round(score, 9)."""
+    from ..operators.blocked_topk import blocked_cosine_topk
     from ..operators.scoring import user_based_scores
 
     train, test = _train_test(spark, sf_dir)
     train_v = train.withColumn("value", F.lit(1.0))
-    as_icm = train_v.select(
+    as_adj = train_v.select(
         F.col("user_id").alias("item_id"),
-        F.col("item_id").cast("string").alias("feature"),
-        "value",
+        F.col("item_id").alias("nbr"),
     )
-    w = hybrid_cosine_topk_kernel(as_icm, None, k=10, icm_weight=1.0).select(
+    w = blocked_cosine_topk(adj=as_adj, k=10).select(
         F.col("item_i").alias("user_i"),
         F.col("item_j").alias("user_j"),
         "sim",
