@@ -243,27 +243,34 @@ register(
         q_ann_cosine_topk,
         """
         WITH e AS (
-            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
             FROM embeddings, range(1, 1025) i(i)
             WHERE i.i <= len(embedding)
         ),
-        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
         dots AS (
-            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
             FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
             GROUP BY 1, 2
         )
         SELECT d.vec_id, d.neighbor_id,
                d.dot / (na.nrm * nb.nrm) AS cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
                              d.neighbor_id ASC) AS INT) AS rank
         FROM dots d
         JOIN norms na ON d.vec_id = na.vec_id
         JOIN norms nb ON d.neighbor_id = nb.vec_id
         QUALIFY rank <= 5
         """,
-        doc="brute-force cosine top-k over embeddings (pipeline extension)",
+        doc="brute-force cosine top-k over embeddings (pipeline extension; "
+        "2^22 fixed-point entries → bit-reproducible ranking, see "
+        "operators/ann.QUANT)",
     )
 )
 
@@ -274,11 +281,13 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_plane_sql() -> str:
+    # integer projection: Σ x·(k/P − ½) > 0 ⟺ Σ xq·(2k − P) > 0 — exact,
+    # order-independent in any engine (see operators/ann.QUANT)
     bits = []
     for j in range(N_PLANES):
         bits.append(
-            f"(CASE WHEN SUM(x * (((pos * {PLANE_A} + {j * PLANE_B}) % {PLANE_P})"
-            f" * 1.0 / {PLANE_P} - 0.5)) > 0 THEN {2**j} ELSE 0 END)"
+            f"(CASE WHEN SUM(xq * (2 * ((pos * {PLANE_A} + {j * PLANE_B})"
+            f" % {PLANE_P}) - {PLANE_P})) > 0 THEN {2**j} ELSE 0 END)"
         )
     return " + ".join(bits)
 
@@ -289,14 +298,16 @@ register(
         q_ann_lsh_buckets,
         f"""
         WITH e AS (
-            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
             FROM embeddings, range(1, 1025) i(i)
             WHERE i.i <= len(embedding)
         )
         SELECT vec_id, CAST({_lsh_plane_sql()} AS BIGINT) AS bucket
         FROM e GROUP BY vec_id
         """,
-        doc="random-hyperplane LSH bucket signatures (scale path for ANN)",
+        doc="random-hyperplane LSH bucket signatures (scale path for ANN; "
+        "integer sign test, see operators/ann.QUANT)",
     )
 )
 
@@ -373,7 +384,8 @@ def _ivf_sql_ctes(n_list: int = 8, n_iters: int = 2) -> str:
 
     ctes = [
         """e AS (
-            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
             FROM embeddings, range(1, 65) i(i)
             WHERE i.i <= len(embedding)
         )""",
@@ -473,9 +485,13 @@ register(
         f"""
         WITH {_ivf_sql_ctes(8, 2)},
         ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
-        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
         dots AS (
-            SELECT a.vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
             FROM ea a JOIN ea b
               ON a.pos = b.pos AND a.list_id = b.list_id
              AND a.vec_id <> b.vec_id
@@ -484,7 +500,7 @@ register(
         SELECT d.vec_id, d.neighbor_id,
                d.dot / (na.nrm * nb.nrm) AS cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
                              d.neighbor_id ASC) AS INT) AS rank
         FROM dots d
         JOIN norms na ON d.vec_id = na.vec_id
@@ -492,7 +508,7 @@ register(
         QUALIFY rank <= 3
         """,
         doc="IVF-restricted cosine top-k: same-list candidates re-scored "
-        "exactly (n_probe=1)",
+        "exactly (n_probe=1; quantized entries, see operators/ann.QUANT)",
     )
 )
 
@@ -529,9 +545,13 @@ register(
             ) WHERE rn <= 2
         ),
         ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
-        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
         dots AS (
-            SELECT p.vec_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+            SELECT p.vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
             FROM probes p
             JOIN ea b ON b.list_id = p.list_id AND b.vec_id <> p.vec_id
             JOIN e a ON a.vec_id = p.vec_id AND a.pos = b.pos
@@ -540,7 +560,7 @@ register(
         SELECT d.vec_id, d.neighbor_id,
                d.dot / (na.nrm * nb.nrm) AS cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
-                    ORDER BY round(d.dot / (na.nrm * nb.nrm), 9) DESC,
+                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
                              d.neighbor_id ASC) AS INT) AS rank
         FROM dots d
         JOIN norms na ON d.vec_id = na.vec_id
@@ -548,7 +568,8 @@ register(
         QUALIFY rank <= 3
         """,
         doc="IVF cosine top-k with n_probe=2: candidate union of the two "
-        "nearest inverted lists, exact re-score",
+        "nearest inverted lists, exact re-score (quantized entries, see "
+        "operators/ann.QUANT)",
     )
 )
 
@@ -569,13 +590,18 @@ register(
         q_embedding_neardup_pairs,
         """
         WITH e AS (
-            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
             FROM embeddings, range(1, 65) i(i)
             WHERE i.i <= len(embedding)
         ),
-        norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM e GROUP BY 1),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
         dots AS (
-            SELECT a.vec_id AS doc_i, b.vec_id AS doc_j, SUM(a.x * b.x) AS dot
+            SELECT a.vec_id AS doc_i, b.vec_id AS doc_j,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
             FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
             GROUP BY 1, 2
         )
@@ -583,10 +609,11 @@ register(
         FROM dots d
         JOIN norms na ON d.doc_i = na.vec_id
         JOIN norms nb ON d.doc_j = nb.vec_id
-        WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.4
+        WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
         """,
         doc="embedding-cosine near-dup pairs (pipeline extension; "
-        "round-9 threshold for engine portability)",
+        "quantized entries → bit-reproducible threshold, see "
+        "operators/ann.QUANT)",
     )
 )
 
