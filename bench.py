@@ -70,17 +70,22 @@ def main() -> None:
                 .count()
             )
             extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
-        except Exception:
-            pass
+        except Exception as exc:
+            errors["eval_users_per_sec"] = f"{type(exc).__name__}: {exc}"[:500]
+            extras["errors"] = errors
 
+    # a failed query makes 'value' an unequal workload vs other rounds:
+    # flag it and report only the successfully-timed subtotal
+    valid = not errors
     print(
         json.dumps(
             {
                 "metric": "headline_query_suite_wall_clock",
-                "value": total,
+                "value": total if valid else round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "valid": valid,
                 **extras,
             }
         )
