@@ -7,6 +7,7 @@ the tag-tokenize operator mirrors Data_manager/TagPreprocessing.py:20-62.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -338,5 +339,54 @@ register(
         GROUP BY 1
         """,
         doc="tag tokenize + stem (TagPreprocessing.py:20-62)",
+    )
+)
+
+
+def q_tag_tokens_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter-faithful twin of `tag_tokens` (TagPreprocessing.py:20-62
+    Porter-stems every tag with NLTK; functions/porter.py implements the
+    published 1980 algorithm, golden-tested against the paper's examples).
+
+    Scale shape: the stemmer is a per-token Python rewrite, so it runs as
+    an Arrow-batched pandas UDF over the DISTINCT token vocabulary only —
+    |vocab| ≪ |token stream| — and the stream is mapped through the
+    stemmed vocabulary with a broadcast join.  Rows-only driver check: a
+    SQL oracle cannot express Porter (DuckDB's fts/stem extension is not
+    loadable offline); the stemmer itself is validated by the golden
+    pytest, the surrounding plan by the oracled `tag_tokens`.
+    """
+    from ..functions.porter import porter_stem
+
+    part = load_table(spark, sf_dir, "part")
+    toks = part.select(
+        "p_partkey",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("p_type")), r"[^a-z ]", ""), " ")
+        ).alias("tag"),
+    ).filter(F.col("tag") != "")
+
+    @F.pandas_udf("string")
+    def stem_udf(s: pd.Series) -> pd.Series:
+        return s.map(porter_stem)
+
+    vocab = toks.select("tag").distinct().withColumn("stem", stem_udf("tag"))
+    return (
+        toks.join(F.broadcast(vocab), "tag")
+        .groupBy("stem")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "tag_tokens_porter",
+        q_tag_tokens_porter,
+        None,
+        doc="Porter-stemmed tag tokens (TagPreprocessing.py:20-62); "
+        "rows-only — Porter is not SQL-expressible offline",
     )
 )
