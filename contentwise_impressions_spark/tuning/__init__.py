@@ -2,6 +2,7 @@ from .search import (
     Categorical,
     Integer,
     Real,
+    bayesian_search,
     fit_with_early_stopping,
     latex_results,
     random_search,
@@ -13,6 +14,7 @@ __all__ = [
     "Categorical",
     "Integer",
     "Real",
+    "bayesian_search",
     "random_search",
     "random_search_resumable",
     "fit_with_early_stopping",

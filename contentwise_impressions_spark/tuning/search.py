@@ -10,13 +10,15 @@ Reference (SURVEY.md §2.10):
   validate every N epochs, keep best, stop after K non-improving rounds.
 - Results gathering — run_results_gathering.py / Utils/ResultFolderLoader.
 
-skopt isn't available in this environment, so the search strategy is seeded
-random search over the same space vocabulary (the reference's own first 15
-evaluations are exactly this); the TRIAL LOOP structure — each case = one
-Spark fit job + one evaluation job, driver-side state only — is the part
-that transfers to gp_minimize unchanged.  Trials are independent Spark
-jobs, so a ThreadPool can overlap them (scheduler pools), mirroring the
-reference's process-pool KNN sweep (run_parameter_search.py:470-475).
+skopt isn't available in this environment, so `bayesian_search` implements
+the same loop shape with a dependency-free numpy surrogate: 15 random
+starts, then a GP (RBF kernel, Cholesky posterior) + Expected-Improvement
+acquisition over candidate samples — the gp_minimize contract (n_random
+starts, per-case metadata, resumability) without skopt.  `random_search`
+remains as the baseline strategy (the reference's own first 15 evaluations
+are exactly this).  Trials are independent Spark jobs, so a ThreadPool can
+overlap them (scheduler pools), mirroring the reference's process-pool KNN
+sweep (run_parameter_search.py:470-475).
 """
 
 from __future__ import annotations
@@ -102,6 +104,197 @@ def random_search(
                 "is_best": better,
             }
         )
+    return best_params, pd.DataFrame(rows)
+
+
+def _encode(params: dict[str, Any], space: dict[str, Any]) -> np.ndarray:
+    """Map params to [0,1]^D: Real → min-max (log-space for log-uniform
+    priors), Integer → min-max, Categorical → one-hot (the skopt
+    convention)."""
+    vec: list[float] = []
+    for name in sorted(space):
+        dim = space[name]
+        v = params[name]
+        if isinstance(dim, Real):
+            lo, hi = dim.low, dim.high
+            if dim.prior == "log-uniform":
+                vec.append(
+                    (np.log(v) - np.log(lo)) / (np.log(hi) - np.log(lo))
+                )
+            else:
+                vec.append((v - lo) / (hi - lo))
+        elif isinstance(dim, Integer):
+            rng_ = max(1, dim.high - dim.low)
+            vec.append((v - dim.low) / rng_)
+        elif isinstance(dim, Categorical):
+            vec.extend(
+                1.0 if c == v else 0.0 for c in dim.choices
+            )
+    return np.asarray(vec, dtype=np.float64)
+
+
+class _GP:
+    """Minimal RBF-kernel Gaussian process for the EI surrogate.
+
+    y is standardized internally; the length scale is the median pairwise
+    distance of the observed points (the standard heuristic), so no
+    hyper-hyperparameter fitting is needed for a 50-case budget."""
+
+    def __init__(self, noise: float = 1e-6):
+        self.noise = noise
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "_GP":
+        self.X = X
+        self.y_mu, self.y_sd = float(np.mean(y)), float(np.std(y) or 1.0)
+        yz = (y - self.y_mu) / self.y_sd
+        d = np.sqrt(
+            ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        )
+        off = d[~np.eye(len(X), dtype=bool)]
+        self.ls = float(np.median(off[off > 0])) if (off > 0).any() else 1.0
+        K = np.exp(-0.5 * (d / self.ls) ** 2) + (
+            self.noise + 1e-8
+        ) * np.eye(len(X))
+        self.L = np.linalg.cholesky(K)
+        self.alpha = np.linalg.solve(
+            self.L.T, np.linalg.solve(self.L, yz)
+        )
+        return self
+
+    def predict(self, Xc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        d = np.sqrt(((Xc[:, None, :] - self.X[None, :, :]) ** 2).sum(-1))
+        Ks = np.exp(-0.5 * (d / self.ls) ** 2)
+        mu = Ks @ self.alpha
+        v = np.linalg.solve(self.L, Ks.T)
+        var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+        return (
+            mu * self.y_sd + self.y_mu,
+            np.sqrt(var) * self.y_sd,
+        )
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    import math
+
+    return np.vectorize(
+        lambda t: 0.5 * (1.0 + math.erf(t / math.sqrt(2.0)))
+    )(z)
+
+
+def _expected_improvement(
+    mu: np.ndarray, sigma: np.ndarray, best: float
+) -> np.ndarray:
+    z = (mu - best) / sigma
+    pdf = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+    return (mu - best) * _norm_cdf(z) + sigma * pdf
+
+
+def bayesian_search(
+    space: dict[str, Any],
+    objective: Callable[[dict[str, Any]], float],
+    n_cases: int = 50,
+    n_random_starts: int = 15,
+    seed: int = 42,
+    maximize: bool = True,
+    n_candidates: int = 256,
+    history_path: str | None = None,
+) -> tuple[dict[str, Any], pd.DataFrame]:
+    """GP-EI Bayesian optimization over the same space vocabulary as
+    `random_search` — the SearchBayesianSkopt contract
+    (ParameterTuning/SearchBayesianSkopt.py:21-271: gp_minimize, 50 cases
+    / 15 random starts) without the skopt dependency.
+
+    After `n_random_starts` seeded random cases, each case fits the GP on
+    all observations and evaluates the candidate (from `n_candidates`
+    fresh space samples) with the highest Expected Improvement.  With
+    `history_path`, completed cases replay from the persisted parquet
+    (params are stored per case — unlike seeded random search the chosen
+    points depend on observed metrics), mirroring SearchBayesianSkopt's
+    metadata-zip resume (:72-130).
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    rows: list[dict[str, Any]] = []
+    X: list[np.ndarray] = []
+    ys: list[float] = []
+    best_metric, best_params = None, None
+
+    replay: list[dict[str, Any]] = []
+    if history_path and os.path.exists(history_path):
+        prev = pd.read_parquet(history_path)
+        for _, r in prev.iterrows():
+            replay.append(
+                {
+                    "params": {
+                        k.replace("param_", ""): r[k]
+                        for k in prev.columns
+                        if k.startswith("param_")
+                    },
+                    "metric": float(r["metric"]),
+                }
+            )
+
+    def _coerce(params: dict[str, Any]) -> dict[str, Any]:
+        # parquet round-trip loses python types; restore per dimension
+        out = {}
+        for name, dim in space.items():
+            v = params[name]
+            if isinstance(dim, Real):
+                out[name] = float(v)
+            elif isinstance(dim, Integer):
+                out[name] = int(v)
+            else:
+                out[name] = v
+        return out
+
+    for case in range(n_cases):
+        resumed = case < len(replay)
+        if resumed:
+            params = _coerce(replay[case]["params"])
+            metric, elapsed = replay[case]["metric"], 0.0
+            # keep the RNG stream aligned so post-resume cases see the
+            # same candidate draws as an uninterrupted run
+            if case < n_random_starts:
+                _sample(space, rng)
+            else:
+                for _ in range(n_candidates):
+                    _sample(space, rng)
+        else:
+            if case < n_random_starts or len(set(ys)) < 2:
+                params = _sample(space, rng)
+            else:
+                cands = [_sample(space, rng) for _ in range(n_candidates)]
+                sign = 1.0 if maximize else -1.0
+                gp = _GP().fit(np.vstack(X), sign * np.asarray(ys))
+                mu, sigma = gp.predict(
+                    np.vstack([_encode(c, space) for c in cands])
+                )
+                ei = _expected_improvement(mu, sigma, sign * best_metric)
+                params = cands[int(np.argmax(ei))]
+            t0 = time.perf_counter()
+            metric = float(objective(params))
+            elapsed = time.perf_counter() - t0
+        X.append(_encode(params, space))
+        ys.append(metric)
+        better = (
+            best_metric is None
+            or (metric > best_metric if maximize else metric < best_metric)
+        )
+        if better:
+            best_metric, best_params = metric, params
+        rows.append(
+            {
+                "case": case,
+                **{f"param_{k}": v for k, v in params.items()},
+                "metric": metric,
+                "train_eval_sec": round(elapsed, 3),
+                "is_best": better,
+                "resumed": resumed,
+            }
+        )
+        if history_path:
+            pd.DataFrame(rows).to_parquet(history_path, index=False)
     return best_params, pd.DataFrame(rows)
 
 

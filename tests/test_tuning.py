@@ -157,3 +157,66 @@ def test_seconds_to_biggest_unit():
         return x + 1
 
     assert f(1) == 2 and f.__name__ == "f"
+
+
+# ---------------------------------------------------------------------------
+# GP-EI Bayesian search (SearchBayesianSkopt.py:21-271 without skopt)
+# ---------------------------------------------------------------------------
+def _smooth_objective(params):
+    # smooth unimodal surface over the mixed space: optimum at
+    # (alpha=0.3, topk=40, kind='cosine')
+    import math
+
+    x = params["alpha"]
+    t = params["topk"]
+    bonus = 0.2 if params["kind"] == "cosine" else 0.0
+    return -((x - 0.3) ** 2) - ((t - 40) / 100.0) ** 2 + bonus
+
+
+_SPACE = {
+    "alpha": Real(0.0, 1.0),
+    "topk": Integer(5, 100),
+    "kind": Categorical(("cosine", "jaccard", "dice")),
+}
+
+
+def test_bayesian_beats_random_fixed_budget():
+    from contentwise_impressions_spark.tuning import bayesian_search
+
+    budget = 30
+    best_b, hist_b = bayesian_search(
+        _SPACE, _smooth_objective, n_cases=budget, n_random_starts=10, seed=7
+    )
+    best_r, hist_r = random_search(
+        _SPACE, _smooth_objective, n_cases=budget, seed=7
+    )
+    assert len(hist_b) == budget
+    assert hist_b["metric"].max() > hist_r["metric"].max()
+    # the GP phase should concentrate near the optimum
+    assert abs(best_b["alpha"] - 0.3) < abs(best_r["alpha"] - 0.3) + 0.05
+    assert best_b["kind"] == "cosine"
+
+
+def test_bayesian_search_resumable(tmp_path):
+    from contentwise_impressions_spark.tuning import bayesian_search
+
+    path = str(tmp_path / "bayes_history.parquet")
+    calls = []
+
+    def obj(params):
+        calls.append(params)
+        return _smooth_objective(params)
+
+    full_best, full_hist = bayesian_search(
+        _SPACE, obj, n_cases=18, n_random_starts=8, seed=11, history_path=path
+    )
+    n_first = len(calls)
+    assert n_first == 18
+
+    # resume with a larger budget: the 18 finished cases replay for free
+    best2, hist2 = bayesian_search(
+        _SPACE, obj, n_cases=24, n_random_starts=8, seed=11, history_path=path
+    )
+    assert len(calls) == n_first + 6
+    assert hist2["resumed"].sum() == 18
+    assert hist2["metric"].max() >= full_hist["metric"].max()
