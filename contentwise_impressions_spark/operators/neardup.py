@@ -72,16 +72,34 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    doc_shingles: DataFrame, top_n: int | None = None
+    doc_shingles: DataFrame,
+    top_n: int | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over shingle sets: (doc_i, doc_j, inter, n_i, n_j,
     jaccard), doc_i < doc_j.
 
     The candidate join is on the shingle value — only docs SHARING a
-    shingle ever meet, so the cost is Σ_shingle deg² not |docs|²; hot
-    shingles (stopword runs) are the skew risk, capped upstream by using
-    n >= 3.
+    shingle ever meet, so the cost is Σ_shingle deg², not |docs|².  That
+    sum is quadratic in per-shingle document frequency, so hot shingles
+    (boilerplate runs) dominate it; `max_shingle_df` removes shingles with
+    df above the cap from the shingle SETS (both intersection and sizes —
+    jaccard stays a true Jaccard over the filtered sets, the stop-word
+    convention of near-dup mining).  A df-capped shingle carries almost no
+    similarity signal (it co-occurs everywhere) while contributing df²
+    join rows — the cap bounds the hottest key at df², making the pair
+    join skew-safe at any corpus size.
     """
+    if max_shingle_df is not None:
+        keep = (
+            doc_shingles.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # same key as the pair join below — the shuffle partitioning is
+        # produced once and reused by AQE
+        doc_shingles = doc_shingles.join(keep, "shingle")
     sizes = doc_shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = doc_shingles.select(F.col("doc_id").alias("doc_i"), "shingle")
     b = doc_shingles.select(F.col("doc_id").alias("doc_j"), "shingle")

@@ -82,9 +82,14 @@ def _sids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 def q_ngram_jaccard_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """50 most-similar doc pairs by 3-gram Jaccard."""
+    """50 most-similar doc pairs by 3-gram Jaccard.
+
+    Stop-shingle cap df ≤ 100: shingles in >100 docs are boilerplate, and
+    each contributes df² rows to the pair join while carrying no signal —
+    the cap is what keeps Σ deg² bounded at corpus scale (the declared
+    scale path beyond that is minhash_lsh_candidates)."""
     sh = _shingles3(spark, sf_dir)
-    return ngram_jaccard_pairs(sh, top_n=50)
+    return ngram_jaccard_pairs(sh, top_n=50, max_shingle_df=100)
 
 
 register(
@@ -93,10 +98,15 @@ register(
         q_ngram_jaccard_topn,
         f"""
         WITH {_SHINGLE_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+        shing_f AS (
+            SELECT s.* FROM shing s JOIN (
+                SELECT shingle FROM shing GROUP BY 1 HAVING COUNT(*) <= 100
+            ) k USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing_f GROUP BY 1),
         inter AS (
             SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS inter
-            FROM shing a JOIN shing b
+            FROM shing_f a JOIN shing_f b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
@@ -111,7 +121,8 @@ register(
         ORDER BY jaccard DESC, doc_i ASC, doc_j ASC
         LIMIT 50
         """,
-        doc="n-gram Jaccard near-dup (pipeline extension)",
+        doc="n-gram Jaccard near-dup (pipeline extension; stop-shingle "
+        "cap df<=100 bounds the hot-key pair blowup)",
     )
 )
 
