@@ -120,12 +120,29 @@ def _topk_task(probes: pd.DataFrame, index: pd.DataFrame, k: int) -> pd.DataFram
     p_norm = np.sqrt((pq * pq).sum(axis=1))
     i_norm = np.sqrt((iq * iq).sum(axis=1))
     cos = (pq @ iq.T) / np.outer(p_norm, i_norm)
+    n_p, n_i = len(p_ids), len(i_ids)
+    masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
+    m = min(n_i, k + 1)  # +1 allows dropping a self-pair
+    # vectorized selection (axis-1 argpartition); only the m-element final
+    # sort stays per-row.  Boundary ties fall back to the full row so the
+    # id tiebreak is applied over every tied candidate.
+    if n_i > m:
+        part = np.argpartition(-masked, m - 1, axis=1)[:, :m]
+        pvals = np.take_along_axis(masked, part, axis=1)
+        bnd = pvals.min(axis=1)
+        need_full = (masked == bnd[:, None]).sum(axis=1) > (
+            pvals == bnd[:, None]
+        ).sum(axis=1)
+    else:
+        part = np.broadcast_to(np.arange(n_i), (n_p, n_i))
+        need_full = np.zeros(n_p, dtype=bool)
     out_p, out_n, out_c = [], [], []
-    for r in range(len(p_ids)):
-        row = np.where(i_ids == p_ids[r], -np.inf, cos[r])
-        order = np.lexsort((i_ids, -row))
+    full = np.arange(n_i)
+    for r in range(n_p):
+        cand = full if need_full[r] else part[r]
+        order = np.lexsort((i_ids[cand], -masked[r][cand]))
         taken = 0
-        for j in order[: k + 1]:
+        for j in cand[order]:
             if i_ids[j] == p_ids[r]:
                 continue
             out_p.append(p_ids[r])
@@ -164,11 +181,16 @@ def _hash_blocks(
     (pblk, iblk) holds exactly one probe slab (_side=1) and one index slab
     (_side=0).  Tagged union + one groupBy, NOT a self-cogroup (which trips
     Spark's ambiguous-self-join detection on shared lineage)."""
+    from pyspark import StorageLevel
+
+    payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
     spark = payload.sparkSession
     n = payload.count()
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
-        min_blocks = max(2, int(math.ceil(math.sqrt(par))))
+        # n_blk² tasks ≈ 3× core count — over-decomposition beats an
+        # exact-fit grid whose last wave straggles (see blocked_topk)
+        min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
     n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
     idx = payload.withColumn("_side", F.lit(0)).withColumn(
         "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")

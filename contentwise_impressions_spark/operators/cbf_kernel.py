@@ -20,10 +20,13 @@ Kernel layout (per probe batch, inside Arrow-batched mapInPandas):
   support, never all-pairs, and no Python-level per-row loop.
 - combined scores → round(9) → argpartition top-K, id tiebreak.
 
-Scale ceiling: broadcast is O(n_items·n_features + nnz_cf).  Past that,
-shard the probe side (this already happens — it's the distributed input)
-and the index side by item range, merging per-shard top-K — noted, not
-needed at harness scale.
+Scale ceiling: broadcast is O(n_items·n_features + nnz_cf) DRIVER memory.
+STATUS: opt-in small-data twin.  The production path for every registered
+query is operators/blocked_topk.blocked_cosine_topk — the same block
+decomposition expressed as a cogrouped shuffle, so no full matrix ever
+exists in one process.  This kernel remains for single-node workloads
+where the one-broadcast BLAS shape is faster than a shuffle (same
+results, equivalence implied by both matching the same oracles).
 """
 
 from __future__ import annotations
