@@ -191,3 +191,38 @@ def test_popularity_bias_has_no_per_row_global_sort(spark, sf_dir):
     # no row_number anywhere in the plan
     plan = _formatted_plan(QUERIES["popularity_bias_stats"](spark, sf_dir))
     assert "row_number" not in plan
+
+
+def test_blocked_kernel_is_cogrouped_not_driver_side(spark, sf_dir):
+    # the CBF/hybrid kernel must be a shuffled block product
+    # (FlatMapGroupsInPandas after one exchange on the block keys) with no
+    # cartesian/nested-loop fallback — and never a collected driver matrix
+    plan = _formatted_plan(QUERIES["itemcbf_cosine_topk"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_rescore_shuffles_on_list_key(spark, sf_dir):
+    # IVF re-score = cogrouped per-list GEMM; the full index must not be
+    # broadcast (only the tiny centroid join may broadcast)
+    plan = _formatted_plan(QUERIES["ann_ivf_topk"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "list_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_stop_shingle_filter_before_pair_join(spark, sf_dir):
+    # the df cap must land before the pair self-join: a filter on the
+    # aggregated document frequency feeding the shingle equi-join
+    plan = _formatted_plan(QUERIES["ngram_jaccard_topn"](spark, sf_dir))
+    assert "_df" in plan
+    # the pair join stays an equi-join of some kind (broadcast at tiny SF,
+    # shuffled at scale) — never a nested-loop/cartesian
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins >= 1
+    assert "CartesianProduct" not in plan
