@@ -8,7 +8,7 @@ the tag-tokenize operator mirrors Data_manager/TagPreprocessing.py:20-62.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -388,5 +388,244 @@ register(
         None,
         doc="Porter-stemmed tag tokens (TagPreprocessing.py:20-62); "
         "rows-only — Porter is not SQL-expressible offline",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality (training-data-pipeline extension)
+# ---------------------------------------------------------------------------
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition features + keep flag — the Gopher/C4 family
+    of repetition filters (Rae et al. 2021 §A1.1) adapted to occurrence
+    fractions: top-unigram share, top-bigram share, duplicate-token share.
+
+    keep ⟺ top_unigram_frac ≤ 0.12 ∧ top_bigram_frac ≤ 0.20 ∧
+    dup_token_frac ≤ 0.60 (thresholds sit inside this corpus's observed
+    range so both outcomes occur; at 100 TB they are config).  Everything
+    is one explode + two grouped counts per n-gram order — map-side
+    combinable, no shuffle beyond the doc_id key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tokens"),
+    )
+    uni = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("_mx_uni"),
+            F.sum("count").alias("n_tokens"),
+            F.count("*").alias("_nd"),
+        )
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("tokens") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bgs"),
+    )
+    bi = (
+        bigrams.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_mx_bi"), F.sum("count").alias("_nb"))
+    )
+    out = (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("_mx_uni") / F.col("n_tokens")).alias("top_unigram_frac"),
+            F.coalesce(F.col("_mx_bi") / F.col("_nb"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            (F.lit(1.0) - F.col("_nd") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_unigram_frac") <= 0.12)
+            & (F.col("top_bigram_frac") <= 0.20)
+            & (F.col("dup_token_frac") <= 0.60),
+        )
+    )
+    return out
+
+
+register(
+    QuerySpec(
+        "doc_repetition_stats",
+        q_doc_repetition_stats,
+        """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, tokens[i.i] AS tok
+            FROM toks, range(1, 100001) i(i) WHERE i.i <= len(tokens)
+        ),
+        uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+        us AS (
+            SELECT doc_id, MAX(c) AS mx_uni, SUM(c) AS n, COUNT(*) AS nd
+            FROM uc GROUP BY 1
+        ),
+        big AS (
+            SELECT doc_id, tokens[i.i] || ' ' || tokens[i.i + 1] AS bg
+            FROM toks, range(1, 100000) i(i) WHERE i.i <= len(tokens) - 1
+        ),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+        bs AS (
+            SELECT doc_id, MAX(c) AS mx_bi, SUM(c) AS nb FROM bc GROUP BY 1
+        )
+        SELECT us.doc_id,
+               CAST(us.n AS BIGINT) AS n_tokens,
+               us.mx_uni * 1.0 / us.n AS top_unigram_frac,
+               COALESCE(bs.mx_bi * 1.0 / bs.nb, 0.0) AS top_bigram_frac,
+               1.0 - us.nd * 1.0 / us.n AS dup_token_frac,
+               (us.mx_uni * 1.0 / us.n <= 0.12
+                AND COALESCE(bs.mx_bi * 1.0 / bs.nb, 0.0) <= 0.20
+                AND 1.0 - us.nd * 1.0 / us.n <= 0.60) AS keep
+        FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        """,
+        doc="Gopher-style repetition filters: top-unigram/bigram share, "
+        "duplicate-token share, keep flag (pipeline extension)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning funnel (training-data-pipeline extension)
+# ---------------------------------------------------------------------------
+def q_corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel of documents surviving each cleaning stage
+    cumulatively: total → language-ID 'en' → quality (stopword ratio ≥
+    0.05) → repetition keep → exact-dedup representative (min doc_id per
+    identical text).  The composition every training-data pipeline runs
+    before tokenization; each stage reuses the registered operator's exact
+    predicate, and the whole funnel is ONE pass over per-doc flags (a
+    five-counter aggregate, no per-stage rescan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = q_langid(spark, sf_dir).select(
+        "doc_id", (F.col("predicted_lang") == "en").alias("_lang_ok")
+    )
+    qual = q_doc_quality(spark, sf_dir).select(
+        "doc_id", (F.col("stopword_ratio") >= 0.05).alias("_q_ok")
+    )
+    rep = q_doc_repetition_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_rep_ok")
+    )
+    w_rep = Window.partitionBy("text")
+    dedup = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w_rep)).alias("_rep_first"),
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(dedup, "doc_id")
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("_lang_ok").cast("int")).cast("bigint").alias("n_lang"),
+        F.sum((F.col("_lang_ok") & F.col("_q_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_quality"),
+        F.sum((F.col("_lang_ok") & F.col("_q_ok") & F.col("_rep_ok")).cast("int"))
+        .cast("bigint")
+        .alias("n_repetition"),
+        F.sum(
+            (
+                F.col("_lang_ok")
+                & F.col("_q_ok")
+                & F.col("_rep_ok")
+                & F.col("_rep_first")
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_dedup_rep"),
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_cleaning_funnel",
+        q_corpus_cleaning_funnel,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        lang AS (
+            SELECT doc_id,
+                   ({_lang_hits_sql("en")} >= {_lang_hits_sql("es")}
+                    AND {_lang_hits_sql("en")} >= {_lang_hits_sql("fr")}
+                    AND {_lang_hits_sql("en")} > 0) AS lang_ok
+            FROM toks
+        ),
+        qual AS (
+            SELECT doc_id,
+                   (CAST(len(list_filter(tokens,
+                        t -> list_contains({list(_STOPWORDS)!r}, t))) AS DOUBLE)
+                     / len(tokens) >= 0.05) AS q_ok
+            FROM toks
+        ),
+        uni AS (
+            SELECT doc_id, tokens[i.i] AS tok
+            FROM toks, range(1, 100001) i(i) WHERE i.i <= len(tokens)
+        ),
+        uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+        us AS (
+            SELECT doc_id, MAX(c) AS mx_uni, SUM(c) AS n, COUNT(*) AS nd
+            FROM uc GROUP BY 1
+        ),
+        big AS (
+            SELECT doc_id, tokens[i.i] || ' ' || tokens[i.i + 1] AS bg
+            FROM toks, range(1, 100000) i(i) WHERE i.i <= len(tokens) - 1
+        ),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+        bs AS (SELECT doc_id, MAX(c) AS mx_bi, SUM(c) AS nb FROM bc GROUP BY 1),
+        rep AS (
+            SELECT us.doc_id,
+                   (us.mx_uni * 1.0 / us.n <= 0.12
+                    AND COALESCE(bs.mx_bi * 1.0 / bs.nb, 0.0) <= 0.20
+                    AND 1.0 - us.nd * 1.0 / us.n <= 0.60) AS rep_ok
+            FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+        ),
+        ded AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY text) AS rep_first
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN l.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(SUM(CASE WHEN l.lang_ok AND q.q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN l.lang_ok AND q.q_ok AND r.rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+               CAST(SUM(CASE WHEN l.lang_ok AND q.q_ok AND r.rep_ok AND d.rep_first THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_rep
+        FROM documents doc
+        JOIN lang l USING (doc_id)
+        JOIN qual q USING (doc_id)
+        JOIN rep r USING (doc_id)
+        JOIN ded d USING (doc_id)
+        """,
+        doc="corpus cleaning funnel: langid -> quality -> repetition -> "
+        "exact-dedup representative, one-pass five-counter aggregate "
+        "(pipeline extension)",
     )
 )
