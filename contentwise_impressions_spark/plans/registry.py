@@ -65,6 +65,9 @@ DRIVER_PRIORITY: list[str] = [
     "view_to_click_conversions",
     "decayed_toppop",
     "doc_fingerprints",
+    # NEW this round — zero driver evidence yet
+    "doc_repetition_stats",
+    "corpus_cleaning_funnel",
     # §2 crown jewels with zero driver verdicts so far
     "toppop_eval_metrics",
     "p3alpha_topk",
