@@ -19,6 +19,16 @@ broadcast join — Python cost is O(|vocab|), not O(|corpus|).
 
 from __future__ import annotations
 
+import sys
+
+try:  # by-value pickling: pandas-UDF closures reference this module, and
+    # workers may not have the repo on their import path (see slim.py note)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 _VOWELS = "aeiou"
 
 
