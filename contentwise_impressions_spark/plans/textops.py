@@ -519,27 +519,38 @@ def q_corpus_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, and the whole funnel is ONE pass over per-doc flags (a
     five-counter aggregate, no per-stage rescan)."""
     docs = load_table(spark, sf_dir, "documents")
-    lang = q_langid(spark, sf_dir).select(
-        "doc_id", (F.col("predicted_lang") == "en").alias("_lang_ok")
+    # langid + quality are per-row expressions and exact-dedup is a window
+    # over text — all three flags come from ONE corpus scan; only the
+    # repetition flag (grouped n-gram counts) needs a second branch + join
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    hits = {}
+    for lang_key, words in _LANG_WORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits[lang_key] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        )
+    lang_ok = (
+        (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0)
     )
-    qual = q_doc_quality(spark, sf_dir).select(
-        "doc_id", (F.col("stopword_ratio") >= 0.05).alias("_q_ok")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    q_ok = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / F.size(toks)
+        >= 0.05
+    )
+    w_rep = Window.partitionBy("text")
+    base = docs.select(
+        "doc_id",
+        lang_ok.alias("_lang_ok"),
+        q_ok.alias("_q_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w_rep)).alias("_rep_first"),
     )
     rep = q_doc_repetition_stats(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("_rep_ok")
     )
-    w_rep = Window.partitionBy("text")
-    dedup = docs.select(
-        "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(w_rep)).alias("_rep_first"),
-    )
-    flags = (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
-        .join(dedup, "doc_id")
-    )
+    flags = base.join(rep, "doc_id")
     return flags.agg(
         F.count("*").cast("bigint").alias("n_total"),
         F.sum(F.col("_lang_ok").cast("int")).cast("bigint").alias("n_lang"),
