@@ -1,0 +1,120 @@
+"""Unit tests for the distributed blocked cosine top-K kernel — edge cases
+the parametrized oracle-parity suite doesn't isolate: k > n, tiny inputs,
+feat-only vs adj-only vs hybrid agreement with a naive numpy computation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from contentwise_impressions_spark.operators.blocked_topk import blocked_cosine_topk
+
+
+def _naive_hybrid(feat_rows, adj_rows, icm_weight, k, eps=1e-6):
+    """Reference computation over dicts: cosine of hstack([ICM·w, adjᵀ])."""
+    items = sorted(
+        {i for i, _, _ in feat_rows} | {i for i, _ in adj_rows}
+    )
+    feats = sorted({f for _, f, _ in feat_rows})
+    vecs = {}
+    for it in items:
+        fv = {f: 0.0 for f in feats}
+        for i, f, v in feat_rows:
+            if i == it:
+                fv[f] += v * icm_weight
+        nbrs = {n for i, n in adj_rows if i == it}
+        vecs[it] = (np.array([fv[f] for f in feats]), nbrs)
+    out = []
+    for j in items:
+        sims = []
+        for i in items:
+            if i == j:
+                continue
+            fi, ni = vecs[i]
+            fj, nj = vecs[j]
+            dot = float(fi @ fj) + len(ni & nj)
+            norm_i = math.sqrt(float(fi @ fi) + len(ni))
+            norm_j = math.sqrt(float(fj @ fj) + len(nj))
+            sims.append((i, dot / (norm_i * norm_j + eps)))
+        sims.sort(key=lambda t: (-round(t[1], 9), t[0]))
+        for rank, (i, s) in enumerate(sims[:k], start=1):
+            out.append((i, j, round(s, 6), rank))
+    return sorted(out)
+
+
+def _collected(df):
+    return sorted(
+        (r["item_i"], r["item_j"], round(r["sim"], 6), r["rank"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def tiny(spark):
+    feat_rows = [
+        (1, "a", 1.0), (1, "b", 1.0),
+        (2, "a", 1.0),
+        (3, "b", 1.0), (3, "c", 1.0),
+        (4, "c", 1.0),
+    ]
+    adj_rows = [(1, 10), (1, 11), (2, 10), (3, 11), (4, 12)]
+    feat = spark.createDataFrame(feat_rows, "item_id long, feature string, value double")
+    adj = spark.createDataFrame(adj_rows, "item_id long, nbr long")
+    return feat_rows, adj_rows, feat, adj
+
+
+def test_k_exceeds_n(tiny, spark):
+    feat_rows, _, feat, _ = tiny
+    out = _collected(blocked_cosine_topk(feat=feat, k=50))
+    # 4 items, k=50 → each probe gets all 3 non-self neighbors
+    per_probe = {}
+    for i, j, s, r in out:
+        per_probe.setdefault(j, []).append(r)
+    assert all(sorted(v) == [1, 2, 3] for v in per_probe.values())
+    assert out == _naive_hybrid(feat_rows, [], 1.0, 50)
+
+
+def test_feat_only_matches_naive(tiny):
+    feat_rows, _, feat, _ = tiny
+    assert _collected(blocked_cosine_topk(feat=feat, k=2)) == _naive_hybrid(
+        feat_rows, [], 1.0, 2
+    )
+
+
+def test_adj_only_matches_naive(tiny):
+    _, adj_rows, _, adj = tiny
+    assert _collected(blocked_cosine_topk(adj=adj, k=2)) == _naive_hybrid(
+        [], adj_rows, 1.0, 2
+    )
+
+
+def test_hybrid_matches_naive(tiny):
+    feat_rows, adj_rows, feat, adj = tiny
+    assert _collected(
+        blocked_cosine_topk(feat=feat, adj=adj, k=3, icm_weight=0.5)
+    ) == _naive_hybrid(feat_rows, adj_rows, 0.5, 3)
+
+
+def test_single_item_emits_nothing(spark):
+    feat = spark.createDataFrame(
+        [(1, "a", 1.0)], "item_id long, feature string, value double"
+    )
+    assert blocked_cosine_topk(feat=feat, k=5).count() == 0
+
+
+def test_blocking_invariance(tiny):
+    # results must not depend on the block decomposition
+    feat_rows, adj_rows, feat, adj = tiny
+    a = _collected(blocked_cosine_topk(feat=feat, adj=adj, k=2, block_rows=2))
+    b = _collected(
+        blocked_cosine_topk(feat=feat, adj=adj, k=2, block_rows=4096, min_blocks=2)
+    )
+    assert a == b
+
+
+def test_requires_some_input():
+    with pytest.raises(ValueError):
+        blocked_cosine_topk()
