@@ -281,3 +281,62 @@ def simhash_fingerprints(doc_sids: DataFrame) -> DataFrame:
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_i, doc_j, hamming): pairs of documents whose SimHash
+    fingerprints differ in ≤ `max_hamming` bits — the standard bit-block
+    candidate generation (Manku et al., WWW'07 "Detecting near-duplicates
+    for web crawling" §3).
+
+    Fingerprints split into `n_blocks` equal bit blocks; by pigeonhole any
+    pair within hamming d < n_blocks shares at least one identical block,
+    so an equi-join on (block_index, block_value) finds EVERY qualifying
+    pair (exact recall for max_hamming ≤ n_blocks − 1) while only
+    same-block docs ever meet — Σ_bucket deg² work, never all-pairs.
+    The verify step is one codegen expression (bit_count of xor).
+    """
+    assert max_hamming <= n_blocks - 1, "banding guarantee requires d < blocks"
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_blocks)
+            ]
+        )
+    ).alias("bk")
+    blocks = fingerprints.select("doc_id", "simhash", blk).select(
+        "doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val")
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_i"), F.col("simhash").alias("h_i"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_j"), F.col("simhash").alias("h_j"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", "h_i", "h_j")
+        .distinct()
+        .select(
+            "doc_i",
+            "doc_j",
+            F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -206,7 +206,9 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(sids)
 
 
-def _simhash_sql() -> str:
+def _simhash_fp_cte() -> str:
+    """CTEs `sums`, `fp(doc_id, simhash)` — shared by the fingerprint and
+    near-dup-pair oracles."""
     half = MINHASH_P // 2
     sums = ",\n                   ".join(
         f"SUM(CASE WHEN (sid * {a} + {b}) % {MINHASH_P} > {half} "
@@ -221,9 +223,13 @@ def _simhash_sql() -> str:
             SELECT doc_id,
                    {sums}
             FROM sids GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+        ),
+        fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)
     """
+
+
+def _simhash_sql() -> str:
+    return f"{_simhash_fp_cte()} SELECT doc_id, simhash FROM fp"
 
 
 register(
@@ -236,6 +242,47 @@ register(
         {_simhash_sql()}
         """,
         doc="SimHash 16-bit fingerprints",
+    )
+)
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs via bit-block banding (Manku et
+    al. WWW'07): 16 bits → 4 blocks; pigeonhole guarantees every pair
+    within hamming 3 shares a block, so the equi-join on (block, value)
+    has exact recall at the threshold and only same-bucket docs meet."""
+    from ..operators.neardup import simhash_neardup_pairs
+
+    fp = simhash_fingerprints(_sids(spark, sf_dir))
+    return simhash_neardup_pairs(fp, max_hamming=3)
+
+
+register(
+    QuerySpec(
+        "simhash_neardup_pairs",
+        q_simhash_neardup_pairs,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        {_simhash_fp_cte()},
+        blk AS (
+            SELECT doc_id, simhash, b.b AS blk,
+                   (simhash >> (b.b * 4)) & 15 AS val
+            FROM fp, range(0, 4) b(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                   a.simhash AS h_i, b.simhash AS h_j
+            FROM blk a JOIN blk b
+              ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_i, doc_j,
+               CAST(bit_count(CAST(xor(h_i, h_j) AS BIGINT)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(CAST(xor(h_i, h_j) AS BIGINT)) <= 3
+        """,
+        doc="SimHash near-dup pairs: bit-block banding candidates + exact "
+        "hamming verify (Manku WWW'07; completes the SimHash modality)",
     )
 )
 

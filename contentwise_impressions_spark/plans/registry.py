@@ -68,6 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     # NEW this round — zero driver evidence yet
     "doc_repetition_stats",
     "corpus_cleaning_funnel",
+    "simhash_neardup_pairs",
     # §2 crown jewels with zero driver verdicts so far
     "toppop_eval_metrics",
     "p3alpha_topk",
