@@ -404,7 +404,19 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_token_frac ≤ 0.60 (thresholds sit inside this corpus's observed
     range so both outcomes occur; at 100 TB they are config).  Everything
     is one explode + two grouped counts per n-gram order — map-side
-    combinable, no shuffle beyond the doc_id key."""
+    combinable, no shuffle beyond the doc_id key.  Materialized per
+    session (plans/shared.py): the cleaning funnel is a second consumer."""
+    from . import shared
+
+    return shared.materialized(
+        spark,
+        sf_dir,
+        "doc_repetition",
+        lambda: _build_repetition_stats(spark, sf_dir),
+    )
+
+
+def _build_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
