@@ -69,6 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "doc_repetition_stats",
     "corpus_cleaning_funnel",
     "simhash_neardup_pairs",
+    "doc_packing_stats",
     # §2 crown jewels with zero driver verdicts so far
     "toppop_eval_metrics",
     "p3alpha_topk",

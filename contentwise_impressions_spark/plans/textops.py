@@ -652,3 +652,94 @@ register(
         "(pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-data-pipeline extension)
+# ---------------------------------------------------------------------------
+def q_doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenated in doc_id order
+    and chunked into fixed context windows of C=1024 tokens.  Per doc:
+    its start offset in the token stream, the first window it lands in,
+    and how many windows it spans (boundary-crossing docs span > 1).
+
+    Scale shape: the global running sum is NOT an empty-frame window
+    (which funnels the corpus through one task) — docs hash into doc_id
+    range groups, cumsum runs per group in parallel, and each group adds
+    a precomputed offset (per-group totals are tiny: broadcast join).
+    The oracle uses the plain global window — identical output.
+    """
+    C = 1024
+    group_width = 1000
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / group_width).cast("bigint").alias("_g"),
+    )
+    w_in = (
+        Window.partitionBy("_g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    totals = toks.groupBy("_g").agg(F.sum("n_tokens").alias("_gt"))
+    w_g = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # offsets = totals of PRECEDING groups; |groups| rows — tiny window
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_gt").over(w_g), F.lit(0))
+    ).select("_g", "_off")
+    packed = local.join(F.broadcast(offsets), "_g").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_cum_in") + F.col("_off") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / C).cast("bigint").alias("first_window"),
+        F.when(F.col("n_tokens") > 0,
+            ((F.col("start_offset") + F.col("n_tokens") - 1) / C).cast("bigint")
+            - (F.col("start_offset") / C).cast("bigint")
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_windows_spanned"),
+    )
+
+
+register(
+    QuerySpec(
+        "doc_packing_stats",
+        q_doc_packing_stats,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               CAST(start_offset // 1024 AS BIGINT) AS first_window,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 1024
+                         - start_offset // 1024 + 1
+                    ELSE 0 END AS BIGINT) AS n_windows_spanned
+        FROM cum
+        """,
+        doc="GPT-style sequence packing: concat-and-chunk window "
+        "assignment, two-phase distributed cumsum (pipeline extension)",
+    )
+)
