@@ -735,3 +735,96 @@ register(
         "(large-star/small-star) over MinHash-LSH candidate pairs",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (training-data-pipeline extension)
+# ---------------------------------------------------------------------------
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every held-out eval document
+    (doc_id % 50 == 0, a 2% split), how many TRAINING documents share at
+    least one 8-gram with it, and the largest per-doc overlap.
+
+    The GPT-3-style contamination check (long-n-gram membership) as an
+    asymmetric join: 8-grams are rare by construction, so the equi-join on
+    the shingle value is skew-safe without any df cap (unlike 3-gram
+    Jaccard), and only eval×train docs sharing an 8-gram ever meet.  Eval
+    docs with zero contamination are kept via the left join (the output a
+    decontamination pipeline acts on is exactly this table).
+    """
+    from ..operators.neardup import shingles
+
+    sh8 = shared.materialized(
+        spark,
+        sf_dir,
+        "shingles8",
+        lambda: shingles(_docs(spark, sf_dir), n=8),
+    )
+    ev = sh8.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    tr = sh8.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    overlaps = (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("shared"))
+        .groupBy("eval_doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_contaminating_docs"),
+            F.max("shared").cast("bigint").alias("max_shared_ngrams"),
+        )
+    )
+    eval_docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"))
+    )
+    return eval_docs.join(overlaps, "eval_doc_id", "left").select(
+        "eval_doc_id",
+        F.coalesce("n_contaminating_docs", F.lit(0)).alias("n_contaminating_docs"),
+        F.coalesce("max_shared_ngrams", F.lit(0)).alias("max_shared_ngrams"),
+    )
+
+
+register(
+    QuerySpec(
+        "eval_contamination",
+        q_eval_contamination,
+        """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        sh8 AS (
+            SELECT DISTINCT doc_id,
+                   tokens[i.i] || ' ' || tokens[i.i+1] || ' ' || tokens[i.i+2] || ' ' ||
+                   tokens[i.i+3] || ' ' || tokens[i.i+4] || ' ' || tokens[i.i+5] || ' ' ||
+                   tokens[i.i+6] || ' ' || tokens[i.i+7] AS shingle
+            FROM toks, range(1, 10001) i(i)
+            WHERE i.i <= len(tokens) - 7
+        ),
+        ov AS (
+            SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id,
+                   COUNT(*) AS shared
+            FROM sh8 e JOIN sh8 t ON e.shingle = t.shingle
+            WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+            GROUP BY 1, 2
+        ),
+        per_eval AS (
+            SELECT eval_doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_contaminating_docs,
+                   CAST(MAX(shared) AS BIGINT) AS max_shared_ngrams
+            FROM ov GROUP BY 1
+        )
+        SELECT d.doc_id AS eval_doc_id,
+               COALESCE(p.n_contaminating_docs, 0) AS n_contaminating_docs,
+               COALESCE(p.max_shared_ngrams, 0) AS max_shared_ngrams
+        FROM documents d LEFT JOIN per_eval p ON d.doc_id = p.eval_doc_id
+        WHERE d.doc_id % 50 = 0
+        """,
+        doc="benchmark decontamination: 8-gram overlap of eval split vs "
+        "training docs (pipeline extension)",
+    )
+)

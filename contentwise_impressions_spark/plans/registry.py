@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_cleaning_funnel",
     "simhash_neardup_pairs",
     "doc_packing_stats",
+    "eval_contamination",
     # §2 crown jewels with zero driver verdicts so far
     "toppop_eval_metrics",
     "p3alpha_topk",
