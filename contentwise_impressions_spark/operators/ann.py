@@ -174,18 +174,31 @@ def _merge_topk(partials: DataFrame, k: int) -> DataFrame:
 
 
 def _hash_blocks(
-    payload: DataFrame, block_rows: int, min_blocks: int | None
+    payload: DataFrame,
+    block_rows: int,
+    min_blocks: int | None,
+    key: str | None = None,
 ) -> DataFrame:
     """All-pairs block decomposition: each side hashed into n_blk blocks on
     its own key and replicated across the other dimension, so task
     (pblk, iblk) holds exactly one probe slab (_side=1) and one index slab
     (_side=0).  Tagged union + one groupBy, NOT a self-cogroup (which trips
-    Spark's ambiguous-self-join detection on shared lineage)."""
+    Spark's ambiguous-self-join detection on shared lineage).
+
+    `key`: optional session-cache key — callers over the same embeddings
+    table share ONE persisted payload + sizing count (vs re-persisting and
+    re-counting per invocation; see blocked_topk._cached)."""
     from pyspark import StorageLevel
 
-    payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
+    from .blocked_topk import _cached
+
     spark = payload.sparkSession
-    n = payload.count()
+
+    def build() -> tuple[DataFrame, int]:
+        p = payload.persist(StorageLevel.MEMORY_AND_DISK)
+        return p, p.count()
+
+    payload, n = _cached(spark, key and ("emb", key), build)
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
         # n_blk² tasks ≈ 3× core count — over-decomposition beats an
@@ -207,6 +220,7 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     block_rows: int = 4096,
     min_blocks: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id,
     cosine, rank).
@@ -217,10 +231,14 @@ def cosine_topk_bruteforce(
     At 100 TB prefer `ivf_topk` / `lsh_bucket_signatures`, which cut the
     candidate set before this same kernel shape re-scores it.
 
-    Ranked on round(cosine, 9) + id tiebreak for engine portability
-    (cosine is a float sum; last ulp depends on accumulation order).
+    Ranked on the RAW quantized cosine + id tiebreak: entries are
+    fixed-point quantized (see QUANT), so every dot product is exact
+    integer arithmetic and the cosine is bit-identical across engines —
+    a total order with no rounding step needed.
     """
-    both = _hash_blocks(_norm_payload(embeddings, vec_col), block_rows, min_blocks)
+    both = _hash_blocks(
+        _norm_payload(embeddings, vec_col), block_rows, min_blocks, key=cache_key
+    )
     kk = int(k)
 
     def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -462,19 +480,25 @@ def cosine_pairs_above(
     vec_col: str = "embedding",
     block_rows: int = 4096,
     min_blocks: int | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """(doc_i, doc_j, cosine) for every pair with round(cosine, 9) ≥
+    """(doc_i, doc_j, cosine) for every pair whose quantized cosine ≥
     threshold, doc_i < doc_j — embedding-cosine near-duplicate detection.
 
     Same blocked cogroup as `cosine_topk_bruteforce`; a task only emits
     pairs with probe id < index id, and pair (i, j) lands in exactly one
     (pblk(i), iblk(j)) task, so every qualifying pair is emitted once with
-    no merge step.  The threshold compares the ROUNDED cosine so a boundary
-    pair can't flip membership between engines (float-sum last-ulp rule).
-    Scale path: LSH-bucket or IVF-list the corpus first and run this same
-    kernel per bucket — the thresholding algebra is unchanged.
+    no merge step.  The threshold compares the RAW quantized cosine (no
+    rounding step): entries are fixed-point quantized (see QUANT), so the
+    cosine is exact integer arithmetic over integer-valued doubles —
+    bit-identical in any engine, and a boundary pair cannot flip
+    membership.  Scale path: LSH-bucket or IVF-list the corpus first and
+    run this same kernel per bucket — the thresholding algebra is
+    unchanged.
     """
-    both = _hash_blocks(_norm_payload(embeddings, vec_col), block_rows, min_blocks)
+    both = _hash_blocks(
+        _norm_payload(embeddings, vec_col), block_rows, min_blocks, key=cache_key
+    )
     thr = float(threshold)
 
     def split_task(pdf: pd.DataFrame) -> pd.DataFrame:

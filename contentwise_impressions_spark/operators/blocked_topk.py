@@ -15,20 +15,31 @@ This operator is the blocked matrix product the reference hand-rolls
 re-expressed as a Spark shuffle so NO full matrix ever exists in one
 process:
 
-- each row's payload = (dense feature sparse-pairs, adjacency list, norm),
-  built relationally;
+- each row's payload = (dense feature sparse-pairs, adjacency list,
+  Σv² and degree for the norm), built relationally;
 - rows are hashed into B index blocks and P probe blocks; the probe side
   is replicated B ways and the index side P ways, cogrouped on
   (probe_block, index_block) → P·B independent tasks, each holding ONE
   probe block and ONE index block (bounded memory, any n);
 - per task: dense part = one GEMM (rows × F) @ (F × rows_block); sparse
-  part = two-hop gather over a task-local CSR (Σ deg² work, never
-  all-pairs); per-probe partial top-K emitted (k rows per probe per
-  block);
-- global merge: groupBy probe → window top-K.  The partial/merge split is
-  exact because the ranking order (round(sim) desc, id asc) is total —
-  each block's local top-K is a superset of its contribution to the
-  global top-K.
+  part = ONE batched two-hop gather over a task-local CSR + a single 2-D
+  bincount (Σ deg² work, never all-pairs, no per-probe Python loop);
+- per-probe partial top-K emitted (k rows per probe per block), carrying
+  the task-side ROUNDED sim;
+- global merge: groupBy probe → window top-K ordered on the emitted
+  rounded value.  The partial/merge split is exact BY CONSTRUCTION: both
+  stages rank on the identical (rounded sim desc, id asc) doubles — no
+  re-rounding at merge, so no half-even-vs-half-up divergence between
+  numpy and Spark/DuckDB round conventions (half-up, away from zero, is
+  used task-side to match F.round / DuckDB round semantics).
+
+Payload sharing: the groupBy/collect_list payload build and its sizing
+count are cached per (session, semantic key) — the ICM feature payload is
+weight-independent (the weight is applied inside the task), so
+itemcbf/cfcbf share one build, and user-KNN queries over the same URM
+share one adjacency build.  Deliberately NOT unpersisted: one bounded
+cached copy per payload config per session replaces the former
+one-persist-per-invocation accumulation.
 
 Scaling knobs: block_rows bounds per-task memory (dense block =
 block_rows × n_features doubles); P·B grows with n so per-task work is
@@ -40,6 +51,7 @@ from __future__ import annotations
 
 import math
 import sys
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -74,25 +86,36 @@ _PARTIAL = StructType(
         StructField("item_i", LongType()),
         StructField("item_j", LongType()),
         StructField("sim", DoubleType()),
+        StructField("rsim", DoubleType()),
     ]
 )
 
+#: session-scoped payload cache: (applicationId, semantic key) → built value.
+#: One persisted copy per payload CONFIG per session (vs per invocation).
+_CACHE: dict[tuple, object] = {}
 
-def _payload(
-    feat: DataFrame | None,
-    adj: DataFrame | None,
-    icm_weight: float,
+
+def _cached(spark, key: tuple | None, build: Callable):
+    if key is None:
+        return build()
+    k = (spark.sparkContext.applicationId, *key)
+    if k not in _CACHE:
+        _CACHE[k] = build()
+    return _CACHE[k]
+
+
+def _feat_payload(
+    feat: DataFrame, key: str | None
 ) -> tuple[DataFrame, int]:
-    """Per-item payload: (item_id, fcodes, fvals, nbrs, norm).
+    """(item_id, fcodes, fvals, sqf) with RAW values + the feature count.
 
-    `feat` (item_id, feature, value) → weighted sparse feature pairs with
-    integer feature codes; `adj` (item_id, nbr) binary → neighbor list.
-    norm² = Σ(w·v)² + deg(adj) — the hstack([ICM·w, URMᵀ]) column norm.
+    The icm_weight is applied inside the task so this build (groupBy +
+    collect_list + the vocabulary count job) is shared across weight
+    configurations and across queries (cached per session by `key`).
     """
-    spark = (feat or adj).sparkSession
-    parts = []
-    n_feats = 0
-    if feat is not None:
+    from pyspark import StorageLevel
+
+    def build() -> tuple[DataFrame, int]:
         feats = feat.select("feature").distinct()
         # the feature vocabulary is low-cardinality BY CONTRACT (that is
         # what makes the dense path the right one); a single-partition
@@ -106,49 +129,97 @@ def _payload(
             .groupBy("item_id")
             .agg(
                 F.collect_list(F.struct("fcode", "value")).alias("_fv"),
-                F.sum(F.col("value") * F.col("value")).alias("_sqf"),
+                F.sum(F.col("value") * F.col("value")).alias("sqf"),
             )
             .select(
                 "item_id",
                 F.transform("_fv", lambda s: s["fcode"]).alias("fcodes"),
-                F.transform(
-                    "_fv", lambda s: s["value"] * F.lit(icm_weight)
-                ).alias("fvals"),
-                (F.col("_sqf") * F.lit(icm_weight * icm_weight)).alias("sqf"),
+                F.transform("_fv", lambda s: s["value"]).alias("fvals"),
+                "sqf",
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        return fp, codes.count()
+
+    return _cached(feat.sparkSession, key and ("feat", key), build)
+
+
+def _adj_payload(adj: DataFrame, key: str | None) -> DataFrame:
+    """(item_id, nbrs, deg) adjacency payload, cached per session."""
+    from pyspark import StorageLevel
+
+    def build() -> DataFrame:
+        return (
+            adj.groupBy("item_id")
+            .agg(
+                F.collect_set("nbr").alias("nbrs"),
+                F.count("*").cast("double").alias("deg"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return _cached(adj.sparkSession, key and ("adj", key), build)
+
+
+def _payload(
+    feat: DataFrame | None,
+    adj: DataFrame | None,
+    feat_key: str | None,
+    adj_key: str | None,
+) -> tuple[DataFrame, int, int]:
+    """Joined per-item payload (item_id, fcodes, fvals, sqf, nbrs, deg),
+    its row count, and the feature-vocabulary size."""
+    from pyspark import StorageLevel
+
+    spark = (feat or adj).sparkSession
+    n_feats = 0
+    parts: list[DataFrame] = []
+    if feat is not None:
+        fp, n_feats = _feat_payload(feat, feat_key)
         parts.append(fp)
-        n_feats = codes.count()
     if adj is not None:
-        ap = adj.groupBy("item_id").agg(
-            F.collect_set("nbr").alias("nbrs"),
-            F.count("*").cast("double").alias("deg"),
+        parts.append(_adj_payload(adj, adj_key))
+
+    def build_joined() -> DataFrame:
+        base = parts[0]
+        if len(parts) == 2:
+            base = parts[0].join(parts[1], "item_id", "full_outer")
+        for c, t in [
+            ("fcodes", "array<int>"),
+            ("fvals", "array<double>"),
+            ("nbrs", "array<bigint>"),
+        ]:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast(t))
+        for c in ("sqf", "deg"):
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(0.0))
+        out = base.select(
+            "item_id",
+            "fcodes",
+            "fvals",
+            "nbrs",
+            F.coalesce("sqf", F.lit(0.0)).alias("sqf"),
+            F.coalesce("deg", F.lit(0.0)).alias("deg"),
         )
-        parts.append(ap)
-    base = parts[0]
-    if len(parts) == 2:
-        base = parts[0].join(parts[1], "item_id", "full_outer")
-    for c, t in [
-        ("fcodes", "array<int>"),
-        ("fvals", "array<double>"),
-        ("nbrs", "array<bigint>"),
-    ]:
-        if c not in base.columns:
-            base = base.withColumn(c, F.lit(None).cast(t))
-    if "sqf" not in base.columns:
-        base = base.withColumn("sqf", F.lit(0.0))
-    if "deg" not in base.columns:
-        base = base.withColumn("deg", F.lit(0.0))
-    payload = base.select(
-        "item_id",
-        "fcodes",
-        "fvals",
-        "nbrs",
-        F.sqrt(F.coalesce("sqf", F.lit(0.0)) + F.coalesce("deg", F.lit(0.0))).alias(
-            "norm"
-        ),
+        if len(parts) == 2:
+            # the full_outer join is a real shuffle with three consumers
+            # (count + both block branches) — persist the joined result;
+            # single-component payloads are a narrow projection over an
+            # already-persisted parent (no extra copy needed)
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        return out
+
+    cacheable = (feat is None or feat_key) and (adj is None or adj_key)
+    payload = _cached(
+        spark, ("join", feat_key, adj_key) if cacheable else None, build_joined
     )
-    return payload, n_feats
+    # sizing count: one job per payload config per session (cached); the
+    # components are persisted so the recount never re-runs the groupBys
+    n = _cached(
+        spark, ("n", feat_key, adj_key) if cacheable else None, payload.count
+    )
+    return payload, n, n_feats
 
 
 def _densify(pdf: pd.DataFrame, n_feats: int) -> np.ndarray:
@@ -166,6 +237,15 @@ def _densify(pdf: pd.DataFrame, n_feats: int) -> np.ndarray:
     return dense
 
 
+def _lens_flat(col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Array-column → (per-row lengths, concatenated int64 values)."""
+    lens = np.array([0 if a is None else len(a) for a in col], dtype=np.int64)
+    if lens.sum() == 0:
+        return lens, np.empty(0, dtype=np.int64)
+    flat = np.concatenate([a for a in col if a is not None and len(a)])
+    return lens, flat.astype(np.int64)
+
+
 def blocked_cosine_topk(
     feat: DataFrame | None = None,
     adj: DataFrame | None = None,
@@ -175,6 +255,8 @@ def blocked_cosine_topk(
     round_digits: int = 9,
     block_rows: int = 4096,
     min_blocks: int | None = None,
+    feat_key: str | None = None,
+    adj_key: str | None = None,
 ) -> DataFrame:
     """(item_i, item_j, sim, rank): top-K most-cosine-similar item_i per
     item_j over the implicit matrix [ICM·w ⊕ adjacency].
@@ -183,6 +265,8 @@ def blocked_cosine_topk(
     be low-cardinality (it is densified per block).  `adj`: (item_id, nbr)
     binary sparse part — nbr cardinality is unbounded (handled via CSR
     intersection counts, the sparse AᵀA support).  Either may be None.
+    `feat_key`/`adj_key`: optional session-cache keys — callers computing
+    the same payload (same source table + sf_dir) share one build.
 
     Exactly equals the feature-union join formulation
     (ItemKNN_CFCBF_Hybrid_Recommender.py:20-29 + Compute_Similarity_Python
@@ -191,13 +275,7 @@ def blocked_cosine_topk(
     """
     if feat is None and adj is None:
         raise ValueError("need at least one of feat/adj")
-    from pyspark import StorageLevel
-
-    payload, n_feats = _payload(feat, adj, icm_weight)
-    # three consumers (sizing count + both block branches) — persist so
-    # the groupBy/collect_list build runs once
-    payload = payload.persist(StorageLevel.MEMORY_AND_DISK)
-    n = payload.count()
+    payload, n, n_feats = _payload(feat, adj, feat_key, adj_key)
     spark = payload.sparkSession
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
@@ -223,97 +301,105 @@ def blocked_cosine_topk(
     )
     both = idx.unionByName(prb.select(idx.columns))
 
-    kk, nf, e, rd = int(k), int(n_feats), float(eps), int(round_digits)
+    kk, nf, e = int(k), int(n_feats), float(eps)
+    wgt, scale = float(icm_weight), 10.0 ** int(round_digits)
 
     def task(probes: pd.DataFrame, index: pd.DataFrame):
         if len(probes) == 0 or len(index) == 0:
             return pd.DataFrame(
-                {"item_i": [], "item_j": [], "sim": []}
-            ).astype({"item_i": "int64", "item_j": "int64", "sim": "float64"})
+                {"item_i": [], "item_j": [], "sim": [], "rsim": []}
+            ).astype(
+                {
+                    "item_i": "int64",
+                    "item_j": "int64",
+                    "sim": "float64",
+                    "rsim": "float64",
+                }
+            )
         p_ids = probes["item_id"].to_numpy()
         i_ids = index["item_id"].to_numpy()
-        p_norm = probes["norm"].to_numpy()
-        i_norm = index["norm"].to_numpy()
-        n_i = len(i_ids)
-        dots = np.zeros((len(p_ids), n_i))
-        if nf:
-            dots += _densify(probes, nf) @ _densify(index, nf).T
-        has_adj = "nbrs" in index.columns and any(
-            a is not None and len(a) for a in index["nbrs"].to_numpy()
+        p_norm = np.sqrt(
+            wgt * wgt * probes["sqf"].to_numpy(dtype=np.float64)
+            + probes["deg"].to_numpy(dtype=np.float64)
         )
-        if has_adj:
-            # task-local CSR: nbr → local index-row ids (sparse two-hop)
-            i_nbrs = index["nbrs"].to_numpy()
-            lens = np.array([0 if a is None else len(a) for a in i_nbrs])
-            flat = (
-                np.concatenate([a for a in i_nbrs if a is not None and len(a)])
-                if lens.sum()
-                else np.empty(0, dtype=np.int64)
+        i_norm = np.sqrt(
+            wgt * wgt * index["sqf"].to_numpy(dtype=np.float64)
+            + index["deg"].to_numpy(dtype=np.float64)
+        )
+        n_p, n_i = len(p_ids), len(i_ids)
+        dots = np.zeros((n_p, n_i))
+        if nf:
+            # dense GEMM on raw values; w² factored out of the bilinear form
+            dots += (wgt * wgt) * (
+                _densify(probes, nf) @ _densify(index, nf).T
             )
-            rows = np.repeat(np.arange(n_i), lens)
-            # compress nbr ids to 0..U-1 for bincount addressing
-            uniq, flat_c = np.unique(flat, return_inverse=True)
+        i_lens, i_flat = _lens_flat(index["nbrs"].to_numpy())
+        p_lens, p_flat = _lens_flat(probes["nbrs"].to_numpy())
+        if len(i_flat) and len(p_flat):
+            # task-local CSR over the index side: nbr → local row ids
+            rows = np.repeat(np.arange(n_i), i_lens)
+            uniq, flat_c = np.unique(i_flat, return_inverse=True)
             order = np.argsort(flat_c, kind="stable")
             indptr = np.searchsorted(flat_c[order], np.arange(len(uniq) + 1))
             by_nbr = rows[order]
-            for r, a in enumerate(probes["nbrs"].to_numpy()):
-                if a is None or not len(a):
-                    continue
-                a = np.asarray(a, dtype=np.int64)
-                pos = np.searchsorted(uniq, a)
-                ok = (pos < len(uniq)) & (
-                    uniq[np.clip(pos, 0, len(uniq) - 1)] == a
-                )
-                hit = pos[ok]
-                if not len(hit):
-                    continue
+            # batched two-hop across the WHOLE probe block: one gather +
+            # one 2-D bincount (the former per-probe Python loop was the
+            # task bottleneck — 18% of the entire bench at sf0.1)
+            p_rows = np.repeat(np.arange(n_p), p_lens)
+            pos = np.searchsorted(uniq, p_flat)
+            ok = (pos < len(uniq)) & (
+                uniq[np.clip(pos, 0, len(uniq) - 1)] == p_flat
+            )
+            hit, hrows = pos[ok], p_rows[ok]
+            if len(hit):
                 cnt = indptr[hit + 1] - indptr[hit]
                 total = int(cnt.sum())
-                if not total:
-                    continue
-                offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-                gather = np.repeat(indptr[hit] - offs, cnt) + np.arange(
-                    total, dtype=np.int64
-                )
-                dots[r] += np.bincount(by_nbr[gather], minlength=n_i)
+                if total:
+                    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                    gather = np.repeat(indptr[hit] - offs, cnt) + np.arange(
+                        total, dtype=np.int64
+                    )
+                    flat_ij = np.repeat(hrows, cnt) * n_i + by_nbr[gather]
+                    dots += np.bincount(
+                        flat_ij, minlength=n_p * n_i
+                    ).reshape(n_p, n_i)
         sims = dots / (np.outer(p_norm, i_norm) + e)
-        rounded = np.round(sims, rd)
-        n_p = len(p_ids)
+        # half-up (away from zero), matching F.round / DuckDB round — and
+        # the merge window ranks on THIS emitted value, so partial top-K
+        # is a superset of the global contribution by construction
+        rounded = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
         m = min(n_i, kk + 1)  # +1 allows dropping a self-pair
-        # vectorized candidate selection: one axis-1 argpartition for the
-        # whole block (the per-probe Python loop was the task bottleneck —
-        # only the m-element final sort stays per-row)
+        # fully vectorized top-K emission (no per-probe Python loop, which
+        # was quadratic-ish under large rounded-value tie groups — the
+        # feature-only cosine has many):
+        #   1. per-row boundary = m-th largest rounded value (argpartition);
+        #   2. candidates = everything >= boundary (covers all boundary
+        #      ties exactly), self-pairs masked out;
+        #   3. ONE global lexsort on (row, -rounded, id) + cumcount-within-
+        #      row keeps the first k per probe in total order.
         if n_i > m:
-            part = np.argpartition(-rounded, m - 1, axis=1)[:, :m]
-            pvals = np.take_along_axis(rounded, part, axis=1)
+            pvals = np.take_along_axis(
+                rounded, np.argpartition(-rounded, m - 1, axis=1)[:, :m], axis=1
+            )
             bnd = pvals.min(axis=1)
-            # ties at the selection boundary: fall back to the full row
-            need_full = (rounded == bnd[:, None]).sum(axis=1) > (
-                pvals == bnd[:, None]
-            ).sum(axis=1)
+            cand = rounded >= bnd[:, None]
         else:
-            part = np.broadcast_to(np.arange(n_i), (n_p, n_i))
-            need_full = np.zeros(n_p, dtype=bool)
-        out_i, out_j, out_s = [], [], []
-        full = np.arange(n_i)
-        for r in range(n_p):
-            cand = full if need_full[r] else part[r]
-            order2 = np.lexsort((i_ids[cand], -rounded[r][cand]))
-            taken = 0
-            for j in cand[order2]:
-                if i_ids[j] == p_ids[r]:
-                    continue
-                out_i.append(i_ids[j])
-                out_j.append(p_ids[r])
-                out_s.append(sims[r][j])
-                taken += 1
-                if taken >= kk:
-                    break
+            cand = np.ones((n_p, n_i), dtype=bool)
+        cand &= i_ids[None, :] != p_ids[:, None]
+        r_idx, j_idx = np.nonzero(cand)
+        rvals = rounded[r_idx, j_idx]
+        order = np.lexsort((i_ids[j_idx], -rvals, r_idx))
+        r_s, j_s = r_idx[order], j_idx[order]
+        starts = np.searchsorted(r_s, np.arange(n_p))
+        pos = np.arange(len(r_s)) - starts[r_s]
+        keep = pos < kk
+        r_k, j_k = r_s[keep], j_s[keep]
         return pd.DataFrame(
             {
-                "item_i": np.array(out_i, dtype=np.int64),
-                "item_j": np.array(out_j, dtype=np.int64),
-                "sim": np.array(out_s, dtype=np.float64),
+                "item_i": i_ids[j_k].astype(np.int64),
+                "item_j": p_ids[r_k].astype(np.int64),
+                "sim": sims[r_k, j_k].astype(np.float64),
+                "rsim": rvals[order][keep].astype(np.float64),
             }
         )
 
@@ -321,11 +407,14 @@ def blocked_cosine_topk(
         return task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0])
 
     partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _PARTIAL)
+    # rank on the task-emitted rounded value — identical doubles to the
+    # task-side ranking, so no cross-stage rounding-convention divergence
     w = Window.partitionBy("item_j").orderBy(
-        F.round(F.col("sim"), round_digits).desc(), F.col("item_i").asc()
+        F.col("rsim").desc(), F.col("item_i").asc()
     )
     out = (
         partials.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+        .drop("rsim")
     )
     return out

@@ -119,7 +119,9 @@ def q_itemcbf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.blocked_topk import blocked_cosine_topk
 
     icm = _icm(spark, sf_dir)
-    return blocked_cosine_topk(feat=icm, k=5, icm_weight=1.0)
+    return blocked_cosine_topk(
+        feat=icm, k=5, icm_weight=1.0, feat_key=f"{sf_dir}:icm"
+    )
 
 
 register(
@@ -167,7 +169,14 @@ def q_cfcbf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = _cf(spark, sf_dir).select(
         "item_id", F.col("user_id").alias("nbr")
     )
-    return blocked_cosine_topk(feat=icm, adj=cf, k=5, icm_weight=0.5)
+    return blocked_cosine_topk(
+        feat=icm,
+        adj=cf,
+        k=5,
+        icm_weight=0.5,
+        feat_key=f"{sf_dir}:icm",  # shared with itemcbf (weight is in-task)
+        adj_key=f"{sf_dir}:cf",
+    )
 
 
 register(

@@ -292,7 +292,7 @@ register(
 # ---------------------------------------------------------------------------
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_bruteforce(emb, k=5)
+    return cosine_topk_bruteforce(emb, k=5, cache_key=f"{sf_dir}:embeddings")
 
 
 register(
@@ -639,7 +639,9 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import cosine_pairs_above
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_above(emb, threshold=0.4)
+    return cosine_pairs_above(
+        emb, threshold=0.4, cache_key=f"{sf_dir}:embeddings"
+    )
 
 
 register(

@@ -687,7 +687,7 @@ def q_user_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("item_id"),
         F.col("item_id").alias("nbr"),
     )
-    out = blocked_cosine_topk(adj=as_adj, k=10)
+    out = blocked_cosine_topk(adj=as_adj, k=10, adj_key=f"{sf_dir}:urm_adj")
     return out.select(
         F.col("item_i").alias("user_i"),
         F.col("item_j").alias("user_j"),
@@ -1335,7 +1335,9 @@ def q_userknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("item_id"),
         F.col("item_id").alias("nbr"),
     )
-    w = blocked_cosine_topk(adj=as_adj, k=10).select(
+    w = blocked_cosine_topk(
+        adj=as_adj, k=10, adj_key=f"{sf_dir}:urm_train_adj"
+    ).select(
         F.col("item_i").alias("user_i"),
         F.col("item_j").alias("user_j"),
         "sim",

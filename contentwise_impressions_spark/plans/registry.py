@@ -53,43 +53,52 @@ def _load_all_modules() -> None:
 
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
-#: registration order up to a fixed budget (50 in rounds 1-2).  Rounds 1-2
-#: verified the first-registered ~50 (relational/recsys/textops); this list
-#: rotates the so-far-unverified queries to the front — recently-fixed
-#: queries first, then the §2 evaluation / KNN / graph / dedup core, then
-#: the remaining unverified oracled queries, then rows-only specs.  Already
-#: driver-green queries keep their registration order after these.
+#: registration order up to a fixed budget (50 per round).  Cumulative status
+#: after round 3: every oracled query EXCEPT the 13 listed first below has a
+#: green driver row (r1: relational/recsys/textops core; r2: temporal joins;
+#: r3: eval/KNN/graph/dedup/ANN/LLM-pipeline).  This round's rotation fronts
+#: the final 12 never-checked oracled queries plus ``doc_packing_stats``
+#: (r3 red was an oracle HUGEINT cast, fixed; engine output verified exact),
+#: then new quality-gate queries, then re-verification of the r3 greens.
 DRIVER_PRIORITY: list[str] = [
-    # fixed this round — need fresh driver evidence
-    "click_attribution",
-    "view_to_click_conversions",
-    "decayed_toppop",
-    "doc_fingerprints",
-    # NEW this round — zero driver evidence yet
-    "doc_repetition_stats",
-    "corpus_cleaning_funnel",
-    "simhash_neardup_pairs",
+    # oracle cast fixed this round — needs a fresh green row
     "doc_packing_stats",
-    "eval_contamination",
-    # §2 crown jewels with zero driver verdicts so far
+    # the last 12 oracled queries with no driver verdict in any round
+    "user_holdout_sizes",
+    "props_json_stats",
+    "hash_split_sizes",
+    "corpus_bigrams",
+    "doc_bpe_token_stats",
+    "stratified_sample_sizes",
+    "tumbling_window_counts",
+    "hopping_window_counts",
+    "bpr_triplets_inside",
+    "bpr_triplets_outside",
+    "user_sessions",
+    "zorder_layout_stats",
+    # re-verify the heavy r3 greens (kernel/payload changes this round)
+    "cfcbf_hybrid_topk",
+    "itemcbf_cosine_topk",
+    "user_cosine_topk",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "embedding_neardup_pairs",
+    # r3 greens, most-load-bearing first (fills the remaining budget)
     "toppop_eval_metrics",
+    "toppop_eval_multi_cutoff",
+    "toppop_beyond_accuracy",
+    "weighted_ndcg",
+    "rmse_global_effects",
+    "diversity_similarity",
+    "negative_sample_eval",
     "p3alpha_topk",
     "rp3beta_topk",
     "minhash_lsh_candidates",
     "minhash_dedup_clusters",
     "itemknn_recommendations",
     "userknn_recommendations",
-    "negative_sample_eval",
-    # remaining unverified oracled queries (most-critical first)
-    "toppop_eval_multi_cutoff",
-    "toppop_beyond_accuracy",
-    "weighted_ndcg",
-    "rmse_global_effects",
-    "diversity_similarity",
     "centered_similarities",
-    "user_cosine_topk",
-    "itemcbf_cosine_topk",
-    "cfcbf_hybrid_topk",
     "bm25_weighted_itemknn",
     "global_effects_item_bias",
     "global_effects_user_bias",
@@ -103,29 +112,21 @@ DRIVER_PRIORITY: list[str] = [
     "ngram_jaccard_topn",
     "tfidf_weights",
     "bm25_weights",
-    "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_assignments",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "embedding_neardup_pairs",
     "impression_urm",
     "click_position_heatmap",
     "impression_list_invariants",
     "cold_entities",
     "feature_pruning",
-    "user_holdout_sizes",
-    "props_json_stats",
-    "hash_split_sizes",
-    "corpus_bigrams",
-    "doc_bpe_token_stats",
-    "stratified_sample_sizes",
-    "tumbling_window_counts",
-    "hopping_window_counts",
-    "bpr_triplets_inside",
-    "bpr_triplets_outside",
-    "user_sessions",
-    "zorder_layout_stats",
+    "click_attribution",
+    "view_to_click_conversions",
+    "decayed_toppop",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "corpus_cleaning_funnel",
+    "simhash_neardup_pairs",
+    "eval_contamination",
     # rows-only specs (weaker check — after every oracled one)
     "sketch_summary",
     "random_recommendations",

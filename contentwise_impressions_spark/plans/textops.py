@@ -727,8 +727,12 @@ register(
         ),
         cum AS (
             SELECT doc_id, n_tokens,
-                   SUM(n_tokens) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+                   -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which
+                   -- the driver canonicalizes as float64 and hash-mismatches
+                   -- Spark's BIGINT even on identical values (same trap as
+                   -- round-1 doc_fingerprints; guarded by test_oracle_lint).
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_offset
             FROM toks
         )
         SELECT doc_id, n_tokens, start_offset,

@@ -168,14 +168,21 @@ def read_netflix_prize(spark: SparkSession, combined_data_glob: str) -> _URM:
     last-non-null window over the line order — `last(movie_id,
     ignorenulls)` with rows-unbounded-preceding — i.e. a distributed
     fill-forward instead of a driver-side scan.  Line order within a file
-    is `monotonically_increasing_id()` under a per-file partition window
-    (the file scan emits rows in offset order; the id is monotone within
-    each scan partition and partition ids follow split order).
+    comes from `wholetext` + posexplode of the split lines: the index is
+    the line number BY CONSTRUCTION, with no dependence on scan-partition
+    ordering (monotonically_increasing_id over a split file is only
+    file-offset-ordered under Spark's current size-desc split packing —
+    an undocumented contract).  One row per file is the right granularity
+    here: the format is inherently sequential per file, so per-file
+    parallelism is the ceiling either way (4 files in the real corpus).
     """
     lines = (
-        spark.read.text(combined_data_glob)
+        spark.read.text(combined_data_glob, wholetext=True)
         .withColumn("_file", F.input_file_name())
-        .withColumn("_lid", F.monotonically_increasing_id())
+        .select(
+            "_file",
+            F.posexplode(F.split("value", "\r?\n")).alias("_lid", "value"),
+        )
     )
     parsed = lines.select(
         "_file",

@@ -232,6 +232,12 @@ def bayesian_search(
                         if k.startswith("param_")
                     },
                     "metric": float(r["metric"]),
+                    # which branch the live run took (1 draw vs n_candidates
+                    # draws) — needed to replay the exact RNG consumption;
+                    # None for history files written before this column
+                    "was_random": (
+                        bool(r["was_random"]) if "was_random" in prev.columns else None
+                    ),
                 }
             )
 
@@ -253,15 +259,20 @@ def bayesian_search(
         if resumed:
             params = _coerce(replay[case]["params"])
             metric, elapsed = replay[case]["metric"], 0.0
-            # keep the RNG stream aligned so post-resume cases see the
-            # same candidate draws as an uninterrupted run
-            if case < n_random_starts:
+            # keep the RNG stream aligned draw-for-draw with the
+            # uninterrupted run: the persisted was_random flag records
+            # which branch (1 draw vs n_candidates draws) the live run
+            # took — the degenerate-metrics fallback (len(set(ys)) < 2)
+            # can make a post-start case random, so the case index alone
+            # does not determine the branch
+            was_random = replay[case]["was_random"]
+            if was_random is None:  # pre-flag history: best-effort heuristic
+                was_random = case < n_random_starts or len(set(ys)) < 2
+            for _ in range(1 if was_random else n_candidates):
                 _sample(space, rng)
-            else:
-                for _ in range(n_candidates):
-                    _sample(space, rng)
         else:
-            if case < n_random_starts or len(set(ys)) < 2:
+            was_random = case < n_random_starts or len(set(ys)) < 2
+            if was_random:
                 params = _sample(space, rng)
             else:
                 cands = [_sample(space, rng) for _ in range(n_candidates)]
@@ -291,6 +302,7 @@ def bayesian_search(
                 "train_eval_sec": round(elapsed, 3),
                 "is_best": better,
                 "resumed": resumed,
+                "was_random": bool(was_random),
             }
         )
         if history_path:

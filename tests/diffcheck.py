@@ -70,6 +70,18 @@ def assert_frames_match(
     b = canonicalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver's canonical hash is dtype-sensitive: an int64 Spark
+        # column vs a float64 oracle column (DuckDB HUGEINT from SUM(BIGINT))
+        # hash-mismatches even on identical values.  Replicate that here so
+        # uncast oracle sums fail in pytest, not in the driver round
+        # (bit us in r1 doc_fingerprints and r3 doc_packing_stats).
+        a_float = np.issubdtype(av.dtype, np.floating)
+        b_float = np.issubdtype(bv.dtype, np.floating)
+        assert a_float == b_float, (
+            f"{name}: column {c} dtype class mismatch — spark {av.dtype} vs "
+            f"oracle {bv.dtype}; if the oracle sums integers, wrap in "
+            f"CAST(... AS BIGINT) (DuckDB HUGEINT surfaces as float64)"
+        )
         if np.issubdtype(av.dtype, np.floating):
             ok = np.isclose(av, bv, rtol=1e-6, atol=1e-9, equal_nan=True)
         else:

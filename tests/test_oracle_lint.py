@@ -1,0 +1,49 @@
+"""Static lint over registered oracle SQL strings.
+
+DuckDB's ``SUM`` over integer columns returns HUGEINT; pandas surfaces it as
+float64, and the driver's dtype-sensitive canonical hash then mismatches
+Spark's BIGINT even when every value is identical.  This bit the repo twice
+(r1 ``doc_fingerprints``, r3 ``doc_packing_stats``).
+
+Two layers of defense:
+  1. ``tests/diffcheck.py`` asserts dtype-class equality per column, so an
+     uncast sum fails ``test_oracle_parity`` (the real guard — it runs both
+     engines).
+  2. This ratchet: any NEW windowed ``SUM`` that is not ``CAST``-wrapped must
+     be consciously added to the allowlist below (the current four are benign
+     because both engines surface the downstream column as float).
+"""
+
+from __future__ import annotations
+
+import re
+
+from contentwise_impressions_spark.plans import all_oracle_sql
+
+_WINDOWED_SUM = re.compile(r"SUM\s*\([^)]*\)\s*OVER", re.IGNORECASE)
+_CAST_PREFIX = re.compile(r"CAST\s*\(\s*\Z")
+
+#: windowed sums verified benign by the dtype-class check in diffcheck.py
+#: (driver-green as of r3; user_sessions green in the local strict parity run)
+ALLOWED_UNCAST = {
+    ("toppop_eval_metrics", "SUM(is_hit) OVER"),
+    ("toppop_eval_multi_cutoff", "SUM(is_hit) OVER"),
+    ("user_sessions", "SUM(new_sess) OVER"),
+    ("users_covering_traffic", "SUM(cnt) OVER"),
+}
+
+
+def test_windowed_sums_cast_or_allowlisted():
+    offenders = []
+    for name, sql in all_oracle_sql().items():
+        for m in _WINDOWED_SUM.finditer(sql):
+            if _CAST_PREFIX.search(sql[max(0, m.start() - 60) : m.start()]):
+                continue
+            key = (name, re.sub(r"\s+", " ", m.group(0)))
+            if key not in ALLOWED_UNCAST:
+                offenders.append(key)
+    assert not offenders, (
+        "uncast windowed SUM in oracle SQL (DuckDB HUGEINT -> float64 "
+        "hash-mismatch risk); wrap in CAST(... AS BIGINT) or allowlist "
+        f"after verifying dtype parity: {offenders}"
+    )
