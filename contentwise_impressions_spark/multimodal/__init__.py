@@ -1,7 +1,9 @@
 from .binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
+    attach_generated_media,
     decode_media,
+    encode_ppm,
     extract_features,
     sample_frames,
 )
@@ -9,7 +11,9 @@ from .binary_ops import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "attach_generated_media",
     "decode_media",
+    "encode_ppm",
     "extract_features",
     "sample_frames",
 ]

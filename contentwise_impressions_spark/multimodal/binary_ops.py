@@ -2,13 +2,18 @@
 
 Training-data-pipeline extension: media travel as opaque ``binary`` columns
 with a typed metadata struct; decode / feature-extraction / frame-sampling
-run as Arrow-batched ``mapInPandas`` stages.  The actual codecs (PIL,
-ffmpeg, torchaudio, …) are NOT in this container, so the decode kernel is
-STUBBED: `decode_media(..., allow_fake=False)` raises NotImplementedError
-exactly where the real library call belongs, and `allow_fake=True`
-substitutes a deterministic byte-statistics decoder so the Spark-side
-contract — schema, batch shape, partitioning, null behavior — is real and
-tested end-to-end.
+run as Arrow-batched ``mapInPandas`` stages.
+
+Decode status: uncompressed raster formats — PPM/PGM (netpbm P6/P5) and
+BMP (BITMAPINFOHEADER, 8/24/32 bpp uncompressed) — decode FOR REAL via the
+pure-numpy codecs below (`_decode_ppm` / `_decode_bmp`), end-to-end through
+the same mapInPandas kernel a production decoder would use.  Compressed
+codecs (PNG/JPEG/wav/mp4 — PIL/ffmpeg/torchaudio are NOT in this
+container) stay stubbed: `decode_media(..., allow_fake=False)` raises
+NotImplementedError exactly where the library call belongs, and
+`allow_fake=True` substitutes a deterministic byte-statistics decoder so
+the Spark-side contract — schema, batch shape, partitioning, null
+behavior — is exercised for every format.
 
 Design notes for 100 TB of media:
 - binary payloads ride the SAME row as their metadata; column pruning means
@@ -87,28 +92,139 @@ _DECODE_OUT = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy raster codecs (no external image library)
+# ---------------------------------------------------------------------------
+def _ppm_tokens(buf: bytes, n: int) -> tuple[list[bytes], int]:
+    """First `n` whitespace-separated netpbm header tokens ('#' comments
+    skipped), plus the offset of the byte AFTER the single whitespace that
+    terminates the last token (= raster start)."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i] == 0x23:  # '#' comment to end of line
+            while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(buf[i:j])
+        i = j
+    return toks, i + 1  # exactly one whitespace after maxval, then raster
+
+
+def _decode_ppm(buf: bytes):
+    """netpbm P6 (RGB) / P5 (gray) with maxval < 256 → (H, W, C) uint8."""
+    import numpy as np
+
+    (magic, w, h, maxval), off = _ppm_tokens(bytes(buf), 4)
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"unsupported netpbm magic {magic!r}")
+    w, h, maxval = int(w), int(h), int(maxval)
+    if maxval >= 256:
+        raise ValueError("16-bit netpbm not supported")
+    c = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(buf, np.uint8, count=w * h * c, offset=off)
+    return raster.reshape(h, w, c)
+
+
+def encode_ppm(img) -> bytes:
+    """(H, W) or (H, W, 1|3) uint8 → netpbm P5/P6 bytes (test/reference
+    encoder for the decoder above)."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _decode_bmp(buf: bytes):
+    """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp) → (H, W, C) uint8.
+    8 bpp is returned as grayscale via the palette's blue channel (the
+    common grayscale-palette case); 24/32 bpp BGR(A) → RGB."""
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) // 4 * 4
+    raster = np.frombuffer(b, np.uint8, count=row_bytes * h, offset=off)
+    raster = raster.reshape(h, row_bytes)
+    if bpp == 8:
+        # palette: 4-byte BGRA entries right after the 54-byte headers
+        pal = np.frombuffer(b, np.uint8, count=256 * 4, offset=54).reshape(
+            256, 4
+        )
+        img = pal[raster[:, :w], 0][:, :, None]  # blue channel
+    else:
+        nc = bpp // 8
+        img = raster[:, : w * nc].reshape(h, w, nc)[:, :, :3][:, :, ::-1]
+    return img[::-1] if flip else img
+
+
+#: formats the pure-numpy codecs decode for real
+_REAL_DECODERS = {
+    "ppm": _decode_ppm,
+    "pgm": _decode_ppm,
+    "bmp": _decode_bmp,
+}
+
+
 def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     """Decode payloads to (doc_id, width, height, mean_intensity).
 
-    The real implementation belongs at the marked line (PIL/libvips etc.);
-    `allow_fake=True` uses byte statistics as a stand-in so the distributed
-    plumbing is exercised for real.
+    PPM/PGM/BMP payloads decode FOR REAL (pure-numpy codecs above) —
+    width/height come from the decoded raster, mean_intensity from the
+    pixels.  Other formats need a codec library not in this container:
+    the marked line raises unless `allow_fake=True` substitutes the
+    deterministic byte-statistics stand-in (contract still exercised).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not allow_fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio library not present "
-                    "in this environment; pass allow_fake=True for the "
-                    "deterministic byte-statistics stand-in"
-                )
             out = []
             for doc_id, blob, meta in zip(
                 pdf["doc_id"], pdf["media_bytes"], pdf["media_meta"]
             ):
+                dec = _REAL_DECODERS.get((meta["format"] or "").lower())
+                if dec is not None:
+                    img = dec(blob)
+                    out.append(
+                        (
+                            doc_id,
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            float(img.mean()) if img.size else 0.0,
+                        )
+                    )
+                    continue
+                if not allow_fake:
+                    # a PNG/JPEG/wav/mp4 codec call belongs HERE
+                    raise NotImplementedError(
+                        f"no codec for format {meta['format']!r} in this "
+                        "environment (pure-numpy decoders cover ppm/pgm/"
+                        "bmp); pass allow_fake=True for the deterministic "
+                        "byte-statistics stand-in"
+                    )
                 arr = np.frombuffer(blob, dtype=np.uint8)
                 out.append(
                     (
@@ -123,6 +239,50 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _DECODE_OUT)
+
+
+def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
+    """Real raster payloads (deterministic per-doc gradient images encoded
+    as actual PPM/PGM bytes) — lets the decode path run WITHOUT the fake
+    stand-in anywhere media libraries are unavailable."""
+    if fmt not in ("ppm", "pgm"):
+        raise ValueError("generated media supports fmt in {'ppm','pgm'}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 31 + 2
+                h = int(doc_id) % 23 + 2
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = (xx * 7 + yy * 13 + int(doc_id)) % 256
+                img = (
+                    np.stack([base, (base + 85) % 256, (base + 170) % 256], -1)
+                    if fmt == "ppm"
+                    else base[:, :, None]
+                ).astype(np.uint8)
+                blob = encode_ppm(img)
+                out.append(
+                    (
+                        doc_id,
+                        blob,
+                        {
+                            "media_type": "image",
+                            "format": fmt,
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                            "n_bytes": len(blob),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_bytes", "media_meta"]
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(kernel, _RESIZE_OUT)
 
 
 _FEATURE_OUT = StructType(

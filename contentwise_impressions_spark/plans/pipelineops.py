@@ -429,3 +429,57 @@ register(
         "window in streaming/ingest.py)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode: real raster bytes through the distributed kernel
+# ---------------------------------------------------------------------------
+def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document image stats decoded from REAL PPM bytes.
+
+    The media source generates a deterministic gradient image per doc,
+    encodes it as actual netpbm P6 bytes, and the decode stage parses the
+    header + raster with the pure-numpy codec (multimodal/binary_ops.py,
+    no fake stand-in).  The oracle never sees the bytes — it recomputes
+    the same pixel statistics arithmetically (pixel (x,y,c) has value
+    (x*7 + y*13 + doc_id + c*85) mod 256), so the driver check certifies
+    the full encode→Arrow→decode round trip.  Extension (the reference
+    has no media surface); scale shape: row-independent mapInPandas, no
+    shuffle, payload bytes never leave their row.
+    """
+    from ..multimodal import attach_generated_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_generated_media(docs, fmt="ppm")
+    return decode_media(media, allow_fake=False).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_intensity",
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_decode_stats",
+        q_multimodal_decode_stats,
+        """
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(n_chars % 31 + 2 AS INT) AS width,
+                   CAST(doc_id % 23 + 2 AS INT) AS height
+            FROM documents
+        )
+        SELECT p.doc_id, p.width, p.height,
+               AVG(CAST((x.x * 7 + y.y * 13 + p.doc_id + c.c * 85) % 256
+                        AS DOUBLE)) AS mean_intensity
+        FROM px p,
+             LATERAL (SELECT UNNEST(generate_series(0, p.width - 1)) AS x) x,
+             LATERAL (SELECT UNNEST(generate_series(0, p.height - 1)) AS y) y,
+             (SELECT UNNEST([0, 1, 2]) AS c) c
+        GROUP BY 1, 2, 3
+        """,
+        doc="real PPM decode statistics (multimodal/binary_ops.py pure-"
+        "numpy codec; oracle recomputes the deterministic raster)",
+    )
+)

@@ -76,6 +76,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpr_triplets_outside",
     "user_sessions",
     "zorder_layout_stats",
+    # NEW this round — real-decode multimodal stats, zero driver evidence
+    "multimodal_decode_stats",
     # re-verify the heavy r3 greens (kernel/payload changes this round)
     "cfcbf_hybrid_topk",
     "itemcbf_cosine_topk",

@@ -1,13 +1,19 @@
-"""Multimodal binary-column plumbing tests (decode stubbed per brief)."""
+"""Multimodal binary-column plumbing tests.
+
+PPM/PGM/BMP decode is REAL (pure-numpy codecs); compressed formats stay
+stubbed behind allow_fake (no codec libraries in this container)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from contentwise_impressions_spark.multimodal import (
     attach_fake_media,
+    attach_generated_media,
     decode_media,
+    encode_ppm,
     extract_features,
     sample_frames,
 )
@@ -43,6 +49,121 @@ def test_decode_fake_path(media):
     rows = out.collect()
     assert len(rows) == media.count()
     assert all(0.0 <= r["mean_intensity"] <= 255.0 for r in rows)
+
+
+def test_decode_real_ppm_roundtrip(spark, sf_dir):
+    """Real pixel bytes through the real decoder — no fake stand-in."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_generated_media(docs, fmt="ppm")
+    out = {r["doc_id"]: r for r in decode_media(media, allow_fake=False).collect()}
+    # recompute expectations with the same deterministic generator
+    for row in docs.select("doc_id", "n_chars").collect():
+        d, n = int(row["doc_id"]), int(row["n_chars"])
+        w, h = n % 31 + 2, d % 23 + 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 13 + d) % 256
+        img = np.stack([base, (base + 85) % 256, (base + 170) % 256], -1)
+        got = out[d]
+        assert (got["width"], got["height"]) == (w, h)
+        assert abs(got["mean_intensity"] - img.mean()) < 1e-9
+
+
+def test_decode_real_pgm(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_generated_media(docs, fmt="pgm")
+    rows = decode_media(media, allow_fake=False).collect()
+    assert len(rows) == 10
+    assert all(0.0 <= r["mean_intensity"] <= 255.0 for r in rows)
+
+
+def test_encode_decode_ppm_pixels_exact():
+    from contentwise_impressions_spark.multimodal.binary_ops import _decode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_ppm(encode_ppm(img)), img)
+    gray = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    assert np.array_equal(_decode_ppm(encode_ppm(gray))[:, :, 0], gray)
+
+
+def test_decode_ppm_header_comments():
+    from contentwise_impressions_spark.multimodal.binary_ops import _decode_ppm
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    blob = b"P6 # a comment\n# another\n 2\t2 # dims\n255\n" + img.tobytes()
+    assert np.array_equal(_decode_ppm(blob), img)
+
+
+def _bmp24(img: np.ndarray) -> bytes:
+    """Minimal BITMAPINFOHEADER 24bpp bottom-up encoder (test reference)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    raster = b"".join(
+        img[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    off = 54
+    size = off + len(raster)
+    return (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+        + raster
+    )
+
+
+def test_decode_bmp24_exact():
+    from contentwise_impressions_spark.multimodal.binary_ops import _decode_bmp
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)  # w=5 forces padding
+    assert np.array_equal(_decode_bmp(_bmp24(img)), img)
+
+
+def test_decode_bmp_via_spark(spark, sf_dir):
+    """BMP blobs built row-wise, decoded through the distributed kernel."""
+    rng = np.random.default_rng(3)
+    rows = []
+    expect = {}
+    for d in range(8):
+        img = rng.integers(0, 256, (d % 4 + 2, d % 5 + 2, 3), dtype=np.uint8)
+        expect[d] = img
+        rows.append(
+            (
+                d,
+                bytearray(_bmp24(img)),
+                ("image", "bmp", img.shape[1], img.shape[0], 0, 0),
+            )
+        )
+    from contentwise_impressions_spark.multimodal import MEDIA_SCHEMA
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_bytes", BinaryType()),
+            StructField("media_meta", MEDIA_SCHEMA),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in decode_media(media, allow_fake=False).collect()}
+    for d, img in expect.items():
+        assert (got[d]["width"], got[d]["height"]) == (img.shape[1], img.shape[0])
+        assert abs(got[d]["mean_intensity"] - img.mean()) < 1e-9
 
 
 def test_extract_features_shape(media):
