@@ -460,3 +460,92 @@ register(
         bench=False,
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# quality gates for the stochastic fits (rows-only — a deterministic
+# post-fit signal per model, so the driver sees more than "rows came back")
+# ---------------------------------------------------------------------------
+def q_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 of each stochastic/iterative fit vs the TopPop baseline on
+    the fixed 70/10/20 hash split — one row per model.
+
+    The rows-only driver check only proves these fits RETURN rows; this
+    query adds a deterministic quality signal (same split, same metric
+    program as toppop_eval_metrics) that pytest pins with floors, so a
+    silently-broken fit (all-zero factors, degenerate W) fails loudly.
+    n_buckets/seed are fixed so BPR's bucketed SGD is machine-independent.
+    """
+    from functools import reduce
+
+    from ..evaluation.metrics import ranking_metrics
+    from ..operators.scoring import (
+        item_based_scores,
+        recommend_top_k,
+        toppop_scores,
+    )
+    from .mlops import _train_test
+
+    train, test = _train_test(spark, sf_dir)
+    train_v = train.withColumn("value", F.lit(1.0))
+    users = test.select("user_id").distinct()
+
+    def top10(scores):
+        return recommend_top_k(
+            scores.join(users, "user_id", "left_semi"),
+            10,
+            train=train,
+            round_digits=9,
+        )
+
+    recs = {}
+    recs["toppop"] = recommend_top_k(
+        toppop_scores(train_v, users, cutoff=10), 10, train=train
+    )
+    recs["ials"] = ials_recommend(
+        train_v, k=10, rank=16, max_iter=10, reg=0.1, alpha=20.0, seed=42
+    ).join(users, "user_id", "left_semi")
+    uf, itf = bpr_mf_fit(train, rank=8, epochs=3, seed=42, n_buckets=16)
+    recs["bpr_mf"] = top10(mf_scores(uf, itf))
+    w_slim = slim_elasticnet(train_v, alpha=1e-4, l1_ratio=0.1, top_k=10)
+    recs["slim_elasticnet"] = top10(
+        item_based_scores(
+            train_v,
+            w_slim.select("item_i", "item_j", F.col("weight").alias("sim")),
+        )
+    )
+    w_ease = ease_r(train_v, l2=10.0, top_k=10)
+    recs["ease_r"] = top10(
+        item_based_scores(train_v, w_ease.select("item_i", "item_j", "sim"))
+    )
+
+    rows = [
+        ranking_metrics(df.select("user_id", "item_id", "rank"), test, cutoff=10)
+        .select(F.lit(name).alias("model"), F.col("map").alias("map10"))
+        for name, df in recs.items()
+    ]
+    allm = reduce(lambda a, b: a.unionByName(b), rows)
+    base = allm.filter(F.col("model") == "toppop").select(
+        F.col("map10").alias("_base")
+    )
+    return (
+        allm.crossJoin(F.broadcast(base))
+        .select(
+            "model",
+            "map10",
+            (F.col("map10") >= F.col("_base")).alias("beats_toppop"),
+        )
+        .orderBy("model")
+    )
+
+
+register(
+    QuerySpec(
+        "model_quality_gates",
+        q_model_quality_gates,
+        None,
+        doc="per-model MAP@10 vs TopPop on the fixed split — deterministic "
+        "post-fit quality gate for the rows-only fits (pytest pins floors)",
+        bench=False,
+    )
+)

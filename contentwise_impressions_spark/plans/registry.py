@@ -129,7 +129,9 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_cleaning_funnel",
     "simhash_neardup_pairs",
     "eval_contamination",
-    # rows-only specs (weaker check — after every oracled one)
+    # rows-only specs (weaker check — after every oracled one); the
+    # quality-gate row first: it certifies all five fits in one signal
+    "model_quality_gates",
     "sketch_summary",
     "random_recommendations",
     "ials_recommendations",

@@ -96,6 +96,34 @@ def bpr_triplets(
     ).join(neg, "user_id", "inner")
 
 
+def _init_factors(
+    ids: DataFrame, id_col: str, rank: int, seed: int, salt: int
+) -> DataFrame:
+    """Deterministic distributed init: each id seeds its own rng, so the
+    init is reproducible under ANY partitioning (no driver-side matrix)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def init(batches, _rank=rank, _seed=seed, _salt=salt, _col=id_col):
+        for pdf in batches:
+            rows = [
+                (
+                    int(fid),
+                    np.random.default_rng((_seed, _salt, int(fid)))
+                    .normal(0.0, 0.1, _rank)
+                    .tolist(),
+                )
+                for fid in pdf[_col]
+            ]
+            yield pd.DataFrame(rows, columns=[_col, "features"])
+
+    return ids.select(F.col(id_col).cast("bigint")).mapInPandas(init, schema)
+
+
 def bpr_mf_fit(
     train: DataFrame,
     rank: int = 16,
@@ -105,23 +133,53 @@ def bpr_mf_fit(
     seed: int = 42,
     impressions: DataFrame | None = None,
     mode: str = "outside",
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Parallel minibatch BPR: per-partition local SGD + delta averaging.
+    """Parallel minibatch BPR: per-bucket local SGD + delta averaging.
 
     Returns (user_factors, item_factors) DataFrames (id, features).
+
+    Scale shape — factor state NEVER funnels through the driver (the
+    round-3 review's remaining hotspot): factors live in DataFrames
+    end-to-end.  Each epoch:
+
+    1. triplets are bucketed by user hash; a bucket's task receives its
+       users' factor rows (co-bucketed — each user in exactly one bucket,
+       no replication) plus the factors of exactly the items its triplets
+       touch (the per-bucket WORKING SET, built by a distinct+join — an
+       item's row replicates only to buckets that use it);
+    2. local sequential SGD per bucket over its (sorted) triplets;
+    3. per-id deltas are averaged across buckets with a groupBy and
+       joined back into the factor DataFrames (zip_with add);
+       localCheckpoint truncates the per-epoch lineage.
+
+    Driver memory is O(1) and per-epoch shuffle volume is
+    O(|triplets| + (n_users + Σ_bucket |working set|)·rank) — linear.
+    Sequential-SGD equivalence is by recommendation quality, not weight
+    equality (reference kernels are order-dependent; so is bucketing).
     """
     spark = train.sparkSession
-    n_u = int(train.agg(F.max("user_id")).collect()[0][0]) + 1
-    n_i = int(train.agg(F.max("item_id")).collect()[0][0]) + 1
-    rng = np.random.default_rng(seed)
-    u_fac = rng.normal(0.0, 0.1, (n_u, rank))
-    i_fac = rng.normal(0.0, 0.1, (n_i, rank))
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    B = int(n_buckets)
 
-    triplets = bpr_triplets(
-        train, impressions=impressions, mode=mode
-    ).repartition("user_id")
-    triplets = triplets.persist()
+    triplets = (
+        bpr_triplets(train, impressions=impressions, mode=mode)
+        .withColumn(
+            "_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
+        )
+        .persist()
+    )
     triplets.count()
+
+    users = train.select("user_id").distinct()
+    items = train.select("item_id").distinct()
+    if impressions is not None:
+        items = items.unionByName(
+            impressions.select("item_id")
+        ).distinct()
+    u_fac = _init_factors(users, "user_id", rank, seed, 1).localCheckpoint()
+    i_fac = _init_factors(items, "item_id", rank, seed, 2).localCheckpoint()
 
     out_schema = StructType(
         [
@@ -130,76 +188,141 @@ def bpr_mf_fit(
             StructField("delta", ArrayType(DoubleType())),
         ]
     )
+    null_id = F.lit(None).cast("bigint")
 
+    _lr, _reg = float(lr), float(reg)
+
+    def epoch_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2", "c"])
+        empty = pd.DataFrame({"kind": [], "fid": [], "delta": []}).astype(
+            {"kind": "str", "fid": "int64"}
+        )
+        if len(t) == 0:
+            return empty
+        urows = pdf[pdf["_tag"] == "u"]
+        irows = pdf[pdf["_tag"] == "i"]
+        uu = {
+            int(a): np.asarray(f, dtype=np.float64)
+            for a, f in zip(urows["a"], urows["feats"])
+        }
+        vv = {
+            int(a): np.asarray(f, dtype=np.float64)
+            for a, f in zip(irows["a"], irows["feats"])
+        }
+        orig_u, orig_v = dict(uu), dict(vv)  # updates rebind, never mutate
+        for u, i, j in zip(
+            t["a"].to_numpy(), t["b2"].to_numpy(), t["c"].to_numpy()
+        ):
+            u, i, j = int(u), int(i), int(j)
+            xu, vi, vj = uu[u], vv[i], vv[j]
+            x_uij = xu @ (vi - vj)
+            sig = 1.0 / (1.0 + np.exp(x_uij))
+            uu[u] = xu + _lr * (sig * (vi - vj) - _reg * xu)
+            vv[i] = vi + _lr * (sig * xu - _reg * vi)
+            vv[j] = vj + _lr * (-sig * xu - _reg * vj)
+        rows = [
+            ("u", fid, (uu[fid] - orig_u[fid]).tolist())
+            for fid in sorted(uu)
+            if uu[fid] is not orig_u[fid]
+        ] + [
+            ("i", fid, (vv[fid] - orig_v[fid]).tolist())
+            for fid in sorted(vv)
+            if vv[fid] is not orig_v[fid]
+        ]
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["kind", "fid", "delta"])
+
+    zeros = F.array_repeat(F.lit(0.0), rank)
     for _ in range(epochs):
-        bc_u = spark.sparkContext.broadcast(u_fac)
-        bc_i = spark.sparkContext.broadcast(i_fac)
-
-        def epoch(pdfs, _lr=lr, _reg=reg):
-            uu = bc_u.value.copy()
-            vv = bc_i.value.copy()
-            touched_u, touched_i = set(), set()
-            for pdf in pdfs:
-                for u, i, j in zip(
-                    pdf["user_id"].to_numpy(),
-                    pdf["pos_item"].to_numpy(),
-                    pdf["neg_item"].to_numpy(),
-                ):
-                    xu, vi, vj = uu[u], vv[i], vv[j]
-                    x_uij = xu @ (vi - vj)
-                    sig = 1.0 / (1.0 + np.exp(x_uij))
-                    uu[u] = xu + _lr * (sig * (vi - vj) - _reg * xu)
-                    vv[i] = vi + _lr * (sig * xu - _reg * vi)
-                    vv[j] = vj + _lr * (-sig * xu - _reg * vj)
-                    touched_u.add(int(u))
-                    touched_i.add(int(i))
-                    touched_i.add(int(j))
-            rows = [
-                ("u", fid, (uu[fid] - bc_u.value[fid]).tolist())
-                for fid in touched_u
-            ] + [
-                ("i", fid, (vv[fid] - bc_i.value[fid]).tolist())
-                for fid in touched_i
-            ]
-            yield pd.DataFrame(rows, columns=["kind", "fid", "delta"])
-
-        deltas = (
-            triplets.mapInPandas(epoch, out_schema)
-            .select(
+        # per-bucket item working set: only the factor rows a bucket's
+        # triplets touch travel to it
+        needs = (
+            triplets.select("_b", F.col("pos_item").alias("item_id"))
+            .unionByName(
+                triplets.select("_b", F.col("neg_item").alias("item_id"))
+            )
+            .dropDuplicates(["_b", "item_id"])
+        )
+        i_side = needs.join(i_fac, "item_id").select(
+            "_b",
+            F.lit("i").alias("_tag"),
+            F.col("item_id").alias("a"),
+            null_id.alias("b2"),
+            null_id.alias("c"),
+            F.col("features").alias("feats"),
+        )
+        u_side = u_fac.select(
+            F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int").alias("_b"),
+            F.lit("u").alias("_tag"),
+            F.col("user_id").alias("a"),
+            null_id.alias("b2"),
+            null_id.alias("c"),
+            F.col("features").alias("feats"),
+        )
+        t_side = triplets.select(
+            "_b",
+            F.lit("t").alias("_tag"),
+            F.col("user_id").alias("a"),
+            F.col("pos_item").alias("b2"),
+            F.col("neg_item").alias("c"),
+            F.lit(None).cast("array<double>").alias("feats"),
+        )
+        unioned = t_side.unionByName(u_side).unionByName(i_side)
+        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, out_schema)
+        avg = (
+            deltas.select(
                 "kind", "fid", F.posexplode("delta").alias("pos", "d")
             )
             .groupBy("kind", "fid", "pos")
             .agg(F.avg("d").alias("d"))
-            .collect()
+            .groupBy("kind", "fid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "d"))).alias("pd")
+            )
+            .select(
+                "kind", "fid", F.transform("pd", lambda s: s["d"]).alias("delta")
+            )
         )
-        for row in deltas:
-            if row["kind"] == "u":
-                u_fac[row["fid"], row["pos"]] += row["d"]
-            else:
-                i_fac[row["fid"], row["pos"]] += row["d"]
-        bc_u.unpersist()
-        bc_i.unpersist()
+        u_fac = (
+            u_fac.join(
+                avg.filter(F.col("kind") == "u").select(
+                    F.col("fid").alias("user_id"), "delta"
+                ),
+                "user_id",
+                "left",
+            )
+            .select(
+                "user_id",
+                F.zip_with(
+                    "features",
+                    F.coalesce("delta", zeros),
+                    lambda x, y: x + y,
+                ).alias("features"),
+            )
+            .localCheckpoint()
+        )
+        i_fac = (
+            i_fac.join(
+                avg.filter(F.col("kind") == "i").select(
+                    F.col("fid").alias("item_id"), "delta"
+                ),
+                "item_id",
+                "left",
+            )
+            .select(
+                "item_id",
+                F.zip_with(
+                    "features",
+                    F.coalesce("delta", zeros),
+                    lambda x, y: x + y,
+                ).alias("features"),
+            )
+            .localCheckpoint()
+        )
 
     triplets.unpersist()
-    schema_u = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("features", ArrayType(DoubleType())),
-        ]
-    )
-    schema_i = StructType(
-        [
-            StructField("item_id", LongType()),
-            StructField("features", ArrayType(DoubleType())),
-        ]
-    )
-    uf = spark.createDataFrame(
-        [(i, u_fac[i].tolist()) for i in range(n_u)], schema_u
-    )
-    itf = spark.createDataFrame(
-        [(j, i_fac[j].tolist()) for j in range(n_i)], schema_i
-    )
-    return uf, itf
+    return u_fac, i_fac
 
 
 def slim_bpr_fit(
@@ -221,10 +344,14 @@ def slim_bpr_fit(
     sparse/symmetric storage auto-select (SLIM_BPR_Cython.py:97-114) is
     obsolete here.
 
-    Parallel shape: the triplet sampler is the shared DataFrame op
-    (bpr_triplets); updates run per-partition over broadcast W with delta
-    averaging — same strategy as bpr_mf_fit; at harness scale a single
-    driver pass is equivalent and cheaper, so partitions are coalesced.
+    DRIVER-SIDE TEST-SCALE TWIN (documented ceiling, like the NMF twin in
+    recommenders/factor.py): W is a DENSE n_items × n_items matrix during
+    training — O(n_i²) driver memory, fine to ~20k items, a wall beyond.
+    The distributed scale path for learning a sparse item-item W is SLIM
+    ElasticNet (recommenders/slim.py: per-column CD inside applyInPandas,
+    embarrassingly parallel over items) or EASE_R blocked/CG; this twin
+    exists for parity with the reference's BPR-flavored W updates
+    (triplet sampling shares the distributed bpr_triplets program).
     Returns (item_i, item_j, sim, rank) with top_k rows per item_j.
     """
     spark = train.sparkSession

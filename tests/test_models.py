@@ -252,3 +252,26 @@ def test_ivf_nprobe_recall_monotone(spark):
     # probing 2 of 8 lists (~25% of the corpus) has to buy real recall;
     # measured 0.48 vs 0.29 single-list at this scale
     assert r2 > 0.3
+
+
+def test_model_quality_gates(spark, sf_dir):
+    """The rows-only fits emit a deterministic MAP@10 quality row; pin
+    floors (generous vs observed sf0.001 values) so a silently-degenerate
+    fit — all-zero factors, empty W — fails loudly rather than 'rows came
+    back'."""
+    from contentwise_impressions_spark.plans import all_queries
+
+    rows = {
+        r["model"]: r
+        for r in all_queries()["model_quality_gates"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"toppop", "ials", "bpr_mf", "slim_elasticnet", "ease_r"}
+    for r in rows.values():
+        assert 0.0 <= r["map10"] <= 1.0
+    # observed at sf0.001: toppop 0.0059, bpr_mf 0.028, slim 0.0055,
+    # ease_r 0.0007, ials 0.0 (tiny split) — floors at ~half the observed
+    assert rows["toppop"]["map10"] > 0.003
+    assert rows["bpr_mf"]["map10"] > 0.012
+    assert rows["slim_elasticnet"]["map10"] > 0.002
+    assert rows["bpr_mf"]["beats_toppop"]
+    assert rows["toppop"]["beats_toppop"]
