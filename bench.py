@@ -77,19 +77,34 @@ def main() -> None:
     # a failed query makes 'value' an unequal workload vs other rounds:
     # flag it and report only the successfully-timed subtotal
     valid = not errors
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_wall_clock",
-                "value": total if valid else round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "valid": valid,
-                **extras,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_suite_wall_clock",
+        "value": total if valid else round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "valid": valid,
+        **extras,
+    }
+    print(json.dumps(result))
+    # durability: the driver keeps only the tail of the stdout line, so
+    # rounds 1-2 lost most per-query history — persist the full dict
+    # in-repo too (round inferred from existing BENCH_r*.json artifacts,
+    # overridable via SPARK_GRAFT_ROUND)
+    try:
+        here = Path(__file__).resolve().parent
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            seen = [
+                int(p.stem.split("_r")[-1])
+                for p in here.glob("BENCH_r*.json")
+                if p.stem.split("_r")[-1].isdigit()
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        out = here / f"BENCH_full_r{int(rnd):02d}.json"
+        out.write_text(json.dumps(result, indent=1) + "\n")
+    except Exception:
+        pass  # never let bookkeeping invalidate the bench line
     spark.stop()
 
 

@@ -1,9 +1,12 @@
 from .binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
+    attach_generated_audio,
     attach_generated_media,
+    decode_audio,
     decode_media,
     encode_ppm,
+    encode_wav,
     extract_features,
     sample_frames,
 )
@@ -11,9 +14,12 @@ from .binary_ops import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "attach_generated_audio",
     "attach_generated_media",
+    "decode_audio",
     "decode_media",
     "encode_ppm",
+    "encode_wav",
     "extract_features",
     "sample_frames",
 ]

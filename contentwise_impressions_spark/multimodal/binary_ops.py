@@ -179,6 +179,71 @@ def _decode_bmp(buf: bytes):
     return img[::-1] if flip else img
 
 
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes (test/reference
+    encoder for `_decode_wav`)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    data = a.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _decode_wav(buf: bytes):
+    """RIFF/WAVE PCM (8-bit unsigned / 16-bit signed) → ((n, ch) int32
+    samples centred at 0, sample_rate).  Walks the chunk list, so extra
+    chunks (LIST/INFO, fact) before ``data`` are handled."""
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n_ch, rate, bits = 12, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAVE format code {audio_fmt}")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if n_ch is None:
+                raise ValueError("WAVE data chunk before fmt chunk")
+            if bits == 16:
+                a = np.frombuffer(body, "<i2", count=size // 2).astype(
+                    np.int32
+                )
+            elif bits == 8:
+                a = (
+                    np.frombuffer(body, np.uint8, count=size).astype(np.int32)
+                    - 128
+                )
+            else:
+                raise ValueError(f"unsupported PCM bit depth {bits}")
+            return a.reshape(-1, n_ch), rate
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk in WAVE file")
+
+
 #: formats the pure-numpy codecs decode for real
 _REAL_DECODERS = {
     "ppm": _decode_ppm,
@@ -239,6 +304,102 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _DECODE_OUT)
+
+
+_AUDIO_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_amplitude", DoubleType()),
+        StructField("rms_amplitude", DoubleType()),
+        StructField("peak_amplitude", LongType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads to per-clip waveform statistics.
+
+    PCM WAV decodes FOR REAL (`_decode_wav`); compressed audio (mp3/ogg —
+    no codec library in this container) raises at the marked line.  Sums
+    run in int64 over the integer samples, so mean/RMS are exact ratios —
+    bit-identical to an arithmetic oracle.  Row-independent → mapInPandas,
+    no shuffle; payload bytes never leave their row.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob, meta in zip(
+                pdf["doc_id"], pdf["media_bytes"], pdf["media_meta"]
+            ):
+                if (meta["format"] or "").lower() != "wav":
+                    # an mp3/ogg/flac codec call belongs HERE
+                    raise NotImplementedError(
+                        f"no audio codec for format {meta['format']!r} in "
+                        "this environment (pure-numpy decoder covers PCM "
+                        "wav)"
+                    )
+                samples, rate = _decode_wav(blob)
+                flat = samples.astype(np.int64).ravel()
+                n = flat.size
+                out.append(
+                    (
+                        doc_id,
+                        n,
+                        rate,
+                        n * 1000 // (rate * samples.shape[1]),
+                        float(flat.sum()) / n if n else 0.0,
+                        float(np.sqrt((flat * flat).sum() / n)) if n else 0.0,
+                        int(np.abs(flat).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_OUT])
+
+    return media.mapInPandas(kernel, _AUDIO_OUT)
+
+
+def attach_generated_audio(
+    docs: DataFrame, sample_rate: int = 8000
+) -> DataFrame:
+    """Real mono 16-bit PCM WAV payloads (deterministic per-doc sawtooth:
+    sample i of doc d is ((i*7 + d*13) mod 2001) − 1000) — the audio twin
+    of `attach_generated_media`, decodable without any codec library."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 480 + 16
+                i = np.arange(n, dtype=np.int64)
+                wave = ((i * 7 + d * 13) % 2001 - 1000).astype(np.int16)
+                blob = encode_wav(wave, sample_rate)
+                out.append(
+                    (
+                        doc_id,
+                        blob,
+                        {
+                            "media_type": "audio",
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": n * 1000 // sample_rate,
+                            "n_bytes": len(blob),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_bytes", "media_meta"]
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, _RESIZE_OUT)
 
 
 def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:

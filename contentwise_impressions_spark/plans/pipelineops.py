@@ -483,3 +483,57 @@ register(
         "numpy codec; oracle recomputes the deterministic raster)",
     )
 )
+
+
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip waveform stats decoded from REAL PCM WAV bytes.
+
+    The audio source generates a deterministic mono 16-bit sawtooth per
+    doc (sample i of doc d = (i*7 + d*13) mod 2001 − 1000, n = d%480+16
+    samples at 8 kHz), encodes it as an actual RIFF/WAVE file, and the
+    decode stage walks the chunk list + parses PCM with the pure-numpy
+    codec (multimodal/binary_ops.py `_decode_wav`).  The oracle never
+    sees the bytes — it recomputes the same statistics arithmetically,
+    certifying the full encode→Arrow→decode round trip.  Sums run in
+    int64 over integer samples, so mean/RMS are exact ratios in both
+    engines.  Extension (the reference has no media surface); scale
+    shape: row-independent mapInPandas, no shuffle.
+    """
+    from ..multimodal import attach_generated_audio, decode_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(attach_generated_audio(docs, sample_rate=8000))
+
+
+register(
+    QuerySpec(
+        "audio_decode_stats",
+        q_audio_decode_stats,
+        """
+        WITH au AS (
+            SELECT doc_id, CAST(doc_id % 480 + 16 AS BIGINT) AS n_samples
+            FROM documents
+        ),
+        s AS (
+            SELECT a.doc_id, a.n_samples,
+                   (i.i * 7 + a.doc_id * 13) % 2001 - 1000 AS v
+            FROM au a,
+                 LATERAL (SELECT UNNEST(generate_series(
+                     0, CAST(a.n_samples - 1 AS INT))) AS i) i
+        )
+        SELECT doc_id,
+               n_samples,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+               CAST(SUM(v) AS DOUBLE) / n_samples AS mean_amplitude,
+               SQRT(CAST(SUM(v * v) AS DOUBLE) / n_samples)
+                   AS rms_amplitude,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak_amplitude
+        FROM s
+        GROUP BY doc_id, n_samples
+        """,
+        doc="real PCM WAV decode statistics (multimodal/binary_ops.py "
+        "pure-numpy RIFF/WAVE codec; oracle recomputes the deterministic "
+        "sawtooth)",
+    )
+)

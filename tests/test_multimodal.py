@@ -212,3 +212,90 @@ def test_resize_media_contract(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# audio: pure-numpy RIFF/WAVE PCM codec
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono16():
+    from contentwise_impressions_spark.multimodal.binary_ops import (
+        _decode_wav,
+        encode_wav,
+    )
+
+    wave = ((np.arange(123, dtype=np.int64) * 37) % 4001 - 2000).astype(
+        np.int16
+    )
+    samples, rate = _decode_wav(encode_wav(wave, 16000))
+    assert rate == 16000
+    assert samples.shape == (123, 1)
+    np.testing.assert_array_equal(samples[:, 0], wave.astype(np.int32))
+
+
+def test_wav_roundtrip_stereo16():
+    from contentwise_impressions_spark.multimodal.binary_ops import (
+        _decode_wav,
+        encode_wav,
+    )
+
+    st = np.stack(
+        [np.arange(50, dtype=np.int16), -np.arange(50, dtype=np.int16)], -1
+    )
+    samples, rate = _decode_wav(encode_wav(st, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(samples, st.astype(np.int32))
+
+
+def test_wav_8bit_and_extra_chunk():
+    """8-bit PCM decodes centred at 0; unknown chunks before data skip."""
+    from contentwise_impressions_spark.multimodal.binary_ops import _decode_wav
+
+    raw = np.array([0, 128, 255, 200], dtype=np.uint8)
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    junk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    data = b"data" + len(raw).to_bytes(4, "little") + raw.tobytes()
+    body = fmt + junk + data
+    buf = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    samples, rate = _decode_wav(buf)
+    assert rate == 8000
+    np.testing.assert_array_equal(samples[:, 0], [-128, 0, 127, 72])
+
+
+def test_decode_audio_via_spark(spark, sf_dir):
+    """Generated WAV bytes through the distributed decode — exact stats."""
+    from contentwise_impressions_spark.multimodal import (
+        attach_generated_audio,
+        decode_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio(attach_generated_audio(docs)).collect()
+    }
+    for d, row in out.items():
+        n = int(d) % 480 + 16
+        i = np.arange(n, dtype=np.int64)
+        v = (i * 7 + int(d) * 13) % 2001 - 1000
+        assert row["n_samples"] == n
+        assert row["sample_rate"] == 8000
+        assert row["duration_ms"] == n * 1000 // 8000
+        assert row["mean_amplitude"] == float(v.sum()) / n
+        assert row["peak_amplitude"] == int(np.abs(v).max())
+        assert abs(row["rms_amplitude"] - np.sqrt((v * v).sum() / n)) < 1e-12
+
+
+def test_decode_audio_rejects_unknown_format(media):
+    from contentwise_impressions_spark.multimodal import decode_audio
+
+    with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
+        decode_audio(media.limit(1)).collect()
