@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     # NEW this round — real-decode multimodal stats, zero driver evidence
     "multimodal_decode_stats",
     "audio_decode_stats",
+    "pii_scrub_stats",
     # re-verify the heavy r3 greens (kernel/payload changes this round)
     "cfcbf_hybrid_topk",
     "itemcbf_cosine_topk",

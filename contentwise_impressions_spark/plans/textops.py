@@ -747,3 +747,135 @@ register(
         "assignment, two-phase distributed cumsum (pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+_PII_IP = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection counts + redacted length.
+
+    The synthetic corpus carries no PII, so — like the generated-media
+    queries — both engines deterministically inject the same tokens first
+    (doc_id%3==0 gets an email, %5==0 a phone, %7==0 an IPv4, all derived
+    from doc_id), then run REAL regex detection and redaction.  The parity
+    check therefore certifies that the scrub patterns behave identically
+    across regex engines (Java util.regex vs DuckDB RE2) — exactly the
+    reproducibility a cross-engine cleaning pipeline needs.  Patterns are
+    deliberately backtracking-free (character classes + bounded repeats)
+    so they stay in RE2's guaranteed-linear subset: at 100 TB a
+    pathological backtracking pattern on adversarial text is a task-kill.
+    Pure codegen (regexp_count / regexp_replace), row-independent, no
+    shuffle; extension — the reference has no scrubbing surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit ("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 13) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).alias("n_ips"),
+        F.length(redacted).cast("bigint").alias("n_chars_redacted"),
+        (
+            F.regexp_count(F.col("t"), F.lit(_PII_EMAIL))
+            + F.regexp_count(F.col("t"), F.lit(_PII_PHONE))
+            + F.regexp_count(F.col("t"), F.lit(_PII_IP))
+            == 0
+        ).alias("pii_free"),
+    )
+
+
+register(
+    QuerySpec(
+        "pii_scrub_stats",
+        q_pii_scrub_stats,
+        rf"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1-555-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0') ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' host 10.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                                || CAST((doc_id * 13) % 256 AS VARCHAR)
+                           ELSE '' END AS t
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '{_PII_EMAIL}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '{_PII_PHONE}')) AS INT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                       '{_PII_IP}')) AS INT) AS n_ips,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}',
+                       '<PHONE>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g')) AS BIGINT)
+                       AS n_chars_redacted
+            FROM aug
+        )
+        SELECT doc_id, n_emails, n_phones, n_ips, n_chars_redacted,
+               (n_emails + n_phones + n_ips) = 0 AS pii_free
+        FROM counted
+        """,
+        doc="PII detection + redaction over deterministically-injected "
+        "tokens — certifies cross-engine regex agreement of the scrub "
+        "patterns (training-data cleaning extension)",
+    )
+)
