@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -528,3 +529,72 @@ def cosine_pairs_above(
         )
 
     return both.groupby("pblk", "iblk").applyInPandas(split_task, _PAIRS)
+
+
+_SEMDEDUP_OUT = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("list_id", LongType()),
+        StructField("pruned", BooleanType()),
+    ]
+)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    distances: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then prune within-cluster
+    near-duplicates (Abbas et al. 2023, arXiv:2303.09540).
+
+    (vec_id, list_id, pruned): k-means the corpus into inverted lists
+    (`ivf_assignments` — the same coarse quantizer the ANN path uses),
+    then inside each cluster mark `pruned` for every vector that has a
+    LOWER-id cluster-mate with quantized cosine ≥ threshold.  The paper
+    keeps the example farthest from the centroid; the min-id
+    representative is used here instead so the keep/prune decision is a
+    pure function of the data — no iteration order, no RNG — and an
+    external engine replays it exactly.  (Id-anchored pruning is
+    conservative vs sequential-greedy: a pruned vector can still prune
+    its own higher-id neighbors, i.e. slightly more is dropped near the
+    threshold.)
+
+    Scale shape: clustering is broadcast-centroid map-side work; the
+    O(|cluster|²) pairwise stage runs one task per cluster, so n_list is
+    the knob that bounds task memory — at 100 TB you raise n_list (more,
+    smaller clusters), which is exactly how SemDeDup runs in practice;
+    the within-task GEMM is exact integer arithmetic on quantized
+    entries (see QUANT), bit-identical in any engine.
+    """
+    if assignments is None:
+        assignments = ivf_assignments(
+            embeddings, n_list, n_iters, vec_col, distances=distances
+        )
+    payload = _norm_payload(embeddings, vec_col).join(
+        assignments.select(
+            "vec_id", F.col("list_id").cast("bigint").alias("list_id")
+        ),
+        "vec_id",
+    )
+    thr = float(threshold)
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = _quant_matrix(pdf)
+        nrm = np.sqrt((q * q).sum(axis=1))
+        cos = (q @ q.T) / np.outer(nrm, nrm)
+        dup = (cos >= thr) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "list_id": pdf["list_id"].to_numpy(dtype=np.int64),
+                "pruned": dup.any(axis=0),
+            }
+        )
+
+    return payload.groupBy("list_id").applyInPandas(task, _SEMDEDUP_OUT)

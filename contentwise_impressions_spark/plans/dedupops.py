@@ -830,3 +830,62 @@ register(
         "training docs (pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+def q_semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/prune decision of SemDeDup-style semantic dedup.
+
+    Reuses the session-materialized IVF coarse quantizer (same Lloyd run
+    as the ann_ivf_* queries — a real pipeline clusters once and shares
+    the index), then prunes within-cluster near-duplicates at quantized
+    cosine ≥ 0.4 with the deterministic min-id representative rule
+    (operators/ann.semantic_dedup).  Scale: one O(|cluster|²) task per
+    inverted list, bounded by the n_list knob.
+    """
+    from ..operators.ann import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.4, n_list=8, n_iters=2,
+        distances=_ivf_distances(spark, sf_dir),
+    )
+
+
+register(
+    QuerySpec(
+        "semantic_dedup_flags",
+        q_semantic_dedup_flags,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.vec_id AS doc_i, b.vec_id AS doc_j,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
+            FROM ea a JOIN ea b
+              ON a.pos = b.pos AND a.list_id = b.list_id
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        pruned AS (
+            SELECT DISTINCT d.doc_j AS vec_id
+            FROM dots d
+            JOIN norms na ON d.doc_i = na.vec_id
+            JOIN norms nb ON d.doc_j = nb.vec_id
+            WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+        )
+        SELECT a.vec_id,
+               CAST(a.list_id AS BIGINT) AS list_id,
+               (p.vec_id IS NOT NULL) AS pruned
+        FROM a1 a LEFT JOIN pruned p USING (vec_id)
+        """,
+        doc="SemDeDup cluster-then-prune semantic dedup (arXiv:2303.09540;"
+        " min-id representative, quantized-cosine threshold)",
+    )
+)

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_decode_stats",
     "audio_decode_stats",
     "pii_scrub_stats",
+    "semantic_dedup_flags",
     # re-verify the heavy r3 greens (kernel/payload changes this round)
     "cfcbf_hybrid_topk",
     "itemcbf_cosine_topk",

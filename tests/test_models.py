@@ -275,3 +275,56 @@ def test_model_quality_gates(spark, sf_dir):
     assert rows["slim_elasticnet"]["map10"] > 0.002
     assert rows["bpr_mf"]["beats_toppop"]
     assert rows["toppop"]["beats_toppop"]
+
+
+def test_semantic_dedup_min_id_rule(spark):
+    """Hand-built clusters: within a cluster, every vector with a lower-id
+    near-duplicate (cos >= tau) is pruned; the lowest id survives, and
+    near-orthogonal cluster-mates survive too."""
+    from contentwise_impressions_spark.operators.ann import semantic_dedup
+
+    rows = [
+        # cluster A: 0 and 1 are near-identical, 2 is orthogonal-ish
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        # cluster B: 10 and 11 near-identical
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.01]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 1), (11, 1)], ["vec_id", "list_id"]
+    )
+    out = {
+        r["vec_id"]: r["pruned"]
+        for r in semantic_dedup(
+            emb, threshold=0.9, assignments=assign
+        ).collect()
+    }
+    assert out == {0: False, 1: True, 2: False, 10: False, 11: True}
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    """Lowering tau can only prune MORE vectors (superset property)."""
+    from contentwise_impressions_spark.operators.ann import (
+        ivf_assignments,
+        semantic_dedup,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assign = ivf_assignments(emb, n_list=8, n_iters=2).cache()
+    pruned_hi = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, 0.6, assignments=assign).collect()
+        if r["pruned"]
+    }
+    pruned_lo = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, 0.3, assignments=assign).collect()
+        if r["pruned"]
+    }
+    assert pruned_hi <= pruned_lo
+    assert len(pruned_lo) > len(pruned_hi)
+    assign.unpersist()
