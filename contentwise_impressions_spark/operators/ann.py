@@ -350,13 +350,20 @@ def _ivf_final_distances(
     e = embeddings.select(
         "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
     )
-    w_seed = Window.orderBy(
-        (F.col("vec_id").cast("bigint") * P1) % 997, F.col("vec_id")
-    )
+    # seed pick = distributed top-n_list (TakeOrderedAndProject), NOT a
+    # global window — ranking the whole corpus through one window
+    # partition is a scale wall; the residual window below ranks only the
+    # n_list surviving rows
+    seed_hash = ((F.col("vec_id").cast("bigint") * P1) % 997).alias("_h")
     seeds = (
-        embeddings.select("vec_id")
-        .withColumn("c", F.row_number().over(w_seed) - 1)
-        .filter(F.col("c") < n_list)
+        embeddings.select("vec_id", seed_hash)
+        .orderBy("_h", "vec_id")
+        .limit(n_list)
+        .withColumn(
+            "c",
+            F.row_number().over(Window.orderBy("_h", F.col("vec_id"))) - 1,
+        )
+        .drop("_h")
     )
     cent = e.join(seeds, "vec_id").select("c", "pos", F.col("x").alias("y"))
     d = None
