@@ -13,7 +13,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from contentwise_impressions_spark.plans.registry import bench_queries  # noqa: E402
+from contentwise_impressions_spark.plans.registry import (  # noqa: E402
+    bench_queries,
+    bench_query_families,
+)
+from contentwise_impressions_spark.plans.shared import (  # noqa: E402
+    release_session_payloads,
+)
 from contentwise_impressions_spark.session import get_spark  # noqa: E402
 
 
@@ -38,19 +44,34 @@ def main() -> None:
             while fh.read(1 << 22):
                 pass
 
+    # run grouped by payload-sharing family (= plan module) and release the
+    # session payload caches BETWEEN families: shared payloads (ICM/URM/
+    # embedding builds) are reused within a family, but blocks cached for a
+    # finished family only crowd executor memory — the round-4 artifact
+    # showed up-to-6x inflation on late-alphabet queries from accumulated
+    # never-unpersisted MEMORY_AND_DISK partitions and localCheckpoints.
+    families = bench_query_families()
+    fam_order: list[str] = []
+    for name in sorted(queries):
+        fam = families.get(name, "misc")
+        if fam not in fam_order:
+            fam_order.append(fam)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_all = time.perf_counter()
-    for name in sorted(queries):
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, sf_dir)
-            # noop sink executes the full plan and materializes every column
-            # (count() would let Catalyst prune the computed columns away).
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # one broken query must not erase the round
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    for fam in fam_order:
+        for name in sorted(n for n in queries if families.get(n, "misc") == fam):
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, sf_dir)
+                # noop sink executes the full plan and materializes every
+                # column (count() would let Catalyst prune computed columns).
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:  # one broken query must not erase the round
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        release_session_payloads(spark)
     total = round(time.perf_counter() - t_all, 4)
 
     # derived throughput for the baseline comparison: the reference's
@@ -95,9 +116,14 @@ def main() -> None:
         here = Path(__file__).resolve().parent
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
+            # infer from BOTH artifact families: the driver drops
+            # BENCH_r*.json, this code writes BENCH_full_r*.json — globbing
+            # only the former would stall the counter (and silently
+            # overwrite one snapshot) if the driver's copy ever lags
             seen = [
                 int(p.stem.split("_r")[-1])
-                for p in here.glob("BENCH_r*.json")
+                for pat in ("BENCH_r*.json", "BENCH_full_r*.json")
+                for p in here.glob(pat)
                 if p.stem.split("_r")[-1].isdigit()
             ]
             rnd = str(max(seen, default=0) + 1)

@@ -54,88 +54,20 @@ def _load_all_modules() -> None:
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
 #: registration order up to a fixed budget (50 per round).  Cumulative status
-#: after round 3: every oracled query EXCEPT the 13 listed first below has a
-#: green driver row (r1: relational/recsys/textops core; r2: temporal joins;
-#: r3: eval/KNN/graph/dedup/ANN/LLM-pipeline).  This round's rotation fronts
-#: the final 12 never-checked oracled queries plus ``doc_packing_stats``
-#: (r3 red was an oracle HUGEINT cast, fixed; engine output verified exact),
-#: then new quality-gate queries, then re-verification of the r3 greens.
+#: after round 4: EVERY oracled query has a green driver row (r1-r4); the
+#: only specs with zero driver evidence are the rows-only ones (the r4
+#: budget was spent on oracled queries).  This round's rotation therefore
+#: fronts the 14 rows-only specs (``model_quality_gates`` first — one green
+#: row certifies the IALS/BPR/SLIM-EN/EASE_R fits against TopPop at once,
+#: and ``sketch_summary`` scalarized this round so the driver canonicalizer
+#: can finally hash it), then every query whose plan/kernel changed this
+#: round, then re-verification of the OLDEST greens (r1 vintage) to keep
+#: the cumulative evidence fresh.
 DRIVER_PRIORITY: list[str] = [
-    # oracle cast fixed this round — needs a fresh green row
-    "doc_packing_stats",
-    # the last 12 oracled queries with no driver verdict in any round
-    "user_holdout_sizes",
-    "props_json_stats",
-    "hash_split_sizes",
-    "corpus_bigrams",
-    "doc_bpe_token_stats",
-    "stratified_sample_sizes",
-    "tumbling_window_counts",
-    "hopping_window_counts",
-    "bpr_triplets_inside",
-    "bpr_triplets_outside",
-    "user_sessions",
-    "zorder_layout_stats",
-    # NEW this round — real-decode multimodal stats, zero driver evidence
-    "multimodal_decode_stats",
-    "audio_decode_stats",
-    "pii_scrub_stats",
-    "semantic_dedup_flags",
-    # re-verify the heavy r3 greens (kernel/payload changes this round)
-    "cfcbf_hybrid_topk",
-    "itemcbf_cosine_topk",
-    "user_cosine_topk",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "embedding_neardup_pairs",
-    # r3 greens, most-load-bearing first (fills the remaining budget)
-    "toppop_eval_metrics",
-    "toppop_eval_multi_cutoff",
-    "toppop_beyond_accuracy",
-    "weighted_ndcg",
-    "rmse_global_effects",
-    "diversity_similarity",
-    "negative_sample_eval",
-    "p3alpha_topk",
-    "rp3beta_topk",
-    "minhash_lsh_candidates",
-    "minhash_dedup_clusters",
-    "itemknn_recommendations",
-    "userknn_recommendations",
-    "centered_similarities",
-    "bm25_weighted_itemknn",
-    "global_effects_item_bias",
-    "global_effects_user_bias",
-    "toppop_recommendations",
-    "confidence_matrix",
-    "remove_top_popular",
-    "negative_samples",
-    "item_pagerank",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "ngram_jaccard_topn",
-    "tfidf_weights",
-    "bm25_weights",
-    "ann_lsh_buckets",
-    "ann_ivf_assignments",
-    "impression_urm",
-    "click_position_heatmap",
-    "impression_list_invariants",
-    "cold_entities",
-    "feature_pruning",
-    "click_attribution",
-    "view_to_click_conversions",
-    "decayed_toppop",
-    "doc_fingerprints",
-    "doc_repetition_stats",
-    "corpus_cleaning_funnel",
-    "simhash_neardup_pairs",
-    "eval_contamination",
-    # rows-only specs (weaker check — after every oracled one); the
-    # quality-gate row first: it certifies all five fits in one signal
+    # rows-only specs — the only registered queries with no driver row ever
     "model_quality_gates",
     "sketch_summary",
+    "tag_tokens_porter",
     "random_recommendations",
     "ials_recommendations",
     "pure_svd_factors",
@@ -147,6 +79,57 @@ DRIVER_PRIORITY: list[str] = [
     "slim_bpr_weights",
     "bpr_mf_recommendations",
     "custom_w_recommendations",
+    # plans/kernels touched in round 5 — need fresh green rows
+    "conversion_funnel",
+    "semantic_dedup_flags",
+    "cfcbf_hybrid_topk",
+    "itemcbf_cosine_topk",
+    "user_cosine_topk",
+    "userknn_recommendations",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "embedding_neardup_pairs",
+    "multimodal_decode_stats",
+    "audio_decode_stats",
+    # oldest greens (r1 vintage, never re-checked since) — refresh
+    "pricing_summary",
+    "filter_project",
+    "january_traffic",
+    "active_users",
+    "latest_event_per_user",
+    "events_of_known_customers",
+    "top_orders_by_revenue",
+    "region_customer_rollup",
+    "revenue_rollup",
+    "sql_shipping_priority",
+    "hourly_event_type_pivot",
+    "user_activity_gini",
+    "user_activity_deciles",
+    "users_covering_traffic",
+    "value_histogram",
+    "value_quantiles",
+    "value_outliers",
+    "event_type_entropy",
+    "event_type_herfindahl",
+    "fd_violations",
+    "part_name_tokens",
+    "token_position",
+    "weekday_hour_traffic",
+    "salted_user_nation_counts",
+    "top_events_per_type",
+    "clickers_never_purchased",
+    "corpus_cardinalities",
+    "split_sizes",
+    "urm_density",
+    "toppop",
+    "kcore_filter",
+    "split_invariants",
+    "exact_dedup_docs",
+    "doc_token_stats",
+    "doc_quality",
+    "langid",
+    "tag_tokens",
 ]
 
 
@@ -171,6 +154,23 @@ def all_oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all_modules()
     return {n: s.fn for n, s in _ordered().items() if s.bench}
+
+
+def bench_query_families() -> dict[str, str]:
+    """Query name → payload-sharing family (the registering plan module).
+
+    bench.py runs queries grouped by family and releases the session
+    payload caches between families: queries inside one module share
+    materialized payloads (the ANN embedding payload across ann_*, the ICM
+    payload across itemcbf/cfcbf, the URM across mlops), while blocks
+    cached for a FINISHED family only crowd executor memory and inflate
+    later, unrelated queries (round-4 verdict measured up to 6x)."""
+    _load_all_modules()
+    return {
+        n: s.fn.__module__.rsplit(".", 1)[-1]
+        for n, s in _ordered().items()
+        if s.bench
+    }
 
 
 def utc(spark: SparkSession) -> SparkSession:

@@ -72,3 +72,54 @@ def rated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialized(spark, sf_dir, "rated", build)
+
+
+def release_session_payloads(
+    spark: SparkSession | None = None, blocking: bool = False
+) -> int:
+    """Drop every session-scoped shared payload cache and lingering
+    persisted RDD blocks (localCheckpoints from iterative operators).
+
+    Per-session payload caches (URM here, ICM/adjacency/embedding builds in
+    ``operators.blocked_topk._CACHE``) are the right call INSIDE a query
+    family — itemcbf/cfcbf share one ICM payload build, the ANN queries one
+    embedding payload.  But a long-lived session running the whole suite
+    accumulates MEMORY_AND_DISK blocks that crowd the unified memory region
+    and inflate UNRELATED queries up to 6x (round-4 verdict: value_outliers
+    10.0 s polluted vs 1.5 s clean, code unchanged).  bench.py calls this
+    between query families; anything mid-flight that referenced a released
+    payload simply rebuilds it on next use (values are unaffected —
+    persist() only ever short-circuits recomputation).
+
+    Only call between queries: unpersisting a localCheckpointed RDD whose
+    DataFrame is still needed would discard its only copy (checkpoint
+    truncates lineage, so there is nothing to recompute from).
+
+    Returns the number of Python-side cache entries dropped.
+    """
+    from ..operators import blocked_topk
+
+    dropped = 0
+    for cache in (_CACHE, blocked_topk._CACHE):
+        for key in list(cache):
+            val = cache.pop(key)
+            dropped += 1
+            vals = val if isinstance(val, (tuple, list)) else (val,)
+            for v in vals:
+                if isinstance(v, DataFrame):
+                    try:
+                        v.unpersist(blocking)
+                    except Exception:  # stopped context — nothing to free
+                        pass
+    if spark is not None:
+        try:
+            # sweep the JVM block manager: catches localCheckpoint blocks
+            # (dedup connected-components, BPR epochs, pagerank) and any
+            # persist whose Python handle is already gone
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            it = jmap.values().iterator()
+            while it.hasNext():
+                it.next().unpersist(blocking)
+        except Exception:  # pragma: no cover - py4j surface change
+            pass
+    return dropped
