@@ -217,6 +217,14 @@ def _decode_wav(buf: bytes):
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + size > len(b):
+            # the declared size runs past the buffer — fail with the real
+            # cause instead of letting a silently-truncated body surface
+            # as a confusing numpy frombuffer error downstream
+            raise ValueError(
+                f"truncated WAVE file: chunk {cid!r} declares {size} bytes "
+                f"but only {len(b) - i - 8} remain"
+            )
         body = b[i + 8 : i + 8 + size]
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(body[0:2], "little")

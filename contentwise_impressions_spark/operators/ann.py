@@ -555,6 +555,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
     distances: DataFrame | None = None,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then prune within-cluster
     near-duplicates (Abbas et al. 2023, arXiv:2303.09540).
@@ -572,11 +573,20 @@ def semantic_dedup(
     threshold.)
 
     Scale shape: clustering is broadcast-centroid map-side work; the
-    O(|cluster|²) pairwise stage runs one task per cluster, so n_list is
-    the knob that bounds task memory — at 100 TB you raise n_list (more,
-    smaller clusters), which is exactly how SemDeDup runs in practice;
-    the within-task GEMM is exact integer arithmetic on quantized
-    entries (see QUANT), bit-identical in any engine.
+    O(|cluster|²) pairwise stage is sub-blocked exactly like `ivf_topk`:
+    a cluster larger than `block_rows` is split into an n_sub × n_sub
+    grid of cogrouped tasks (each holding one bounded probe slab and one
+    bounded index slab), and the per-probe partial flags are OR-merged —
+    so a skewed k-means can never produce a single unbounded task.
+    n_list stays the coarse knob (more, smaller clusters — how SemDeDup
+    runs in practice); block_rows is the hard per-task memory cap.  The
+    within-task GEMM is exact integer arithmetic on quantized entries
+    (see QUANT), bit-identical in any engine.
+
+    Degenerate embeddings: a vector whose quantized entries are all zero
+    has no direction, so its cosine is undefined — it neither prunes nor
+    is pruned (both engines agree: the SQL twin guards on nrm > 0 too,
+    where NaN comparison semantics would otherwise diverge).
     """
     if assignments is None:
         assignments = ivf_assignments(
@@ -590,18 +600,66 @@ def semantic_dedup(
     )
     thr = float(threshold)
 
+    # hot-cluster sub-blocking (same trick as ivf_topk): one scalar job
+    # sizes the largest inverted list; n_sub = 1 for a balanced clustering
+    mx_row = (
+        payload.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()
+    )
+    mx = int(mx_row[0]["m"] or 1)
+    n_sub = max(1, int(math.ceil(mx / float(block_rows))))
+
+    idx = (
+        payload.withColumn("_side", F.lit(0))
+        .withColumn(
+            "isub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+        )
+        .withColumn("psub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+    )
+    prb = (
+        payload.withColumn("_side", F.lit(1))
+        .withColumn(
+            "psub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+        )
+        .withColumn("isub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+    )
+    both = idx.unionByName(prb.select(idx.columns))
+
     def task(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        q = _quant_matrix(pdf)
-        nrm = np.sqrt((q * q).sum(axis=1))
-        cos = (q @ q.T) / np.outer(nrm, nrm)
-        dup = (cos >= thr) & (ids[:, None] < ids[None, :])
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        if len(probes) == 0 or len(index) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "list_id": [], "pruned": []}
+            ).astype({"vec_id": "int64", "list_id": "int64", "pruned": "bool"})
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        pq, iq = _quant_matrix(probes), _quant_matrix(index)
+        p_nrm = np.sqrt((pq * pq).sum(axis=1))
+        i_nrm = np.sqrt((iq * iq).sum(axis=1))
+        # zero-norm guard: divide by a dummy 1.0 and mask validity so a
+        # degenerate vector produces no NaN and no prune in either role
+        cos = (pq @ iq.T) / np.outer(
+            np.where(p_nrm > 0, p_nrm, 1.0), np.where(i_nrm > 0, i_nrm, 1.0)
+        )
+        dup = (
+            (cos >= thr)
+            & (i_ids[None, :] < p_ids[:, None])
+            & (p_nrm > 0)[:, None]
+            & (i_nrm > 0)[None, :]
+        )
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "list_id": pdf["list_id"].to_numpy(dtype=np.int64),
-                "pruned": dup.any(axis=0),
+                "vec_id": p_ids,
+                "list_id": probes["list_id"].to_numpy(dtype=np.int64),
+                "pruned": dup.any(axis=1),
             }
         )
 
-    return payload.groupBy("list_id").applyInPandas(task, _SEMDEDUP_OUT)
+    partials = both.groupby("list_id", "psub", "isub").applyInPandas(
+        task, _SEMDEDUP_OUT
+    )
+    # OR-merge the per-(probe, index-slab) partial flags — exact: pair
+    # (i, j) is scored in exactly one (psub(j), isub(i)) task
+    return partials.groupBy("vec_id", "list_id").agg(
+        F.bool_or("pruned").alias("pruned")
+    )

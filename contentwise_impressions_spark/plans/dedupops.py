@@ -835,6 +835,11 @@ register(
 # ---------------------------------------------------------------------------
 # SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
+# shared by the query fn and its SQL twin: the oracle's final-assignment
+# CTE name is a{n_iters-1}, so the two constants must move together
+_SEMDEDUP_N_ITERS = 2
+
+
 def q_semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector keep/prune decision of SemDeDup-style semantic dedup.
 
@@ -842,14 +847,16 @@ def q_semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the ann_ivf_* queries — a real pipeline clusters once and shares
     the index), then prunes within-cluster near-duplicates at quantized
     cosine ≥ 0.4 with the deterministic min-id representative rule
-    (operators/ann.semantic_dedup).  Scale: one O(|cluster|²) task per
-    inverted list, bounded by the n_list knob.
+    (operators/ann.semantic_dedup).  Scale: the within-cluster pairwise
+    stage is sub-blocked (n_sub × n_sub cogrouped tasks per hot cluster,
+    OR-merged partial flags), so task memory is capped by block_rows even
+    under a skewed k-means; n_list stays the coarse knob.
     """
     from ..operators.ann import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, threshold=0.4, n_list=8, n_iters=2,
+        emb, threshold=0.4, n_list=8, n_iters=_SEMDEDUP_N_ITERS,
         distances=_ivf_distances(spark, sf_dir),
     )
 
@@ -859,8 +866,9 @@ register(
         "semantic_dedup_flags",
         q_semantic_dedup_flags,
         f"""
-        WITH {_ivf_sql_ctes(8, 2)},
-        ea AS (SELECT e.*, a.list_id FROM e JOIN a1 a USING (vec_id)),
+        WITH {_ivf_sql_ctes(8, _SEMDEDUP_N_ITERS)},
+        ea AS (SELECT e.*, a.list_id
+               FROM e JOIN a{_SEMDEDUP_N_ITERS - 1} a USING (vec_id)),
         norms AS (
             SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
             FROM e GROUP BY 1
@@ -878,12 +886,17 @@ register(
             FROM dots d
             JOIN norms na ON d.doc_i = na.vec_id
             JOIN norms nb ON d.doc_j = nb.vec_id
-            WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+            -- nrm > 0 guards: a zero vector's cosine is undefined, so it
+            -- neither prunes nor is pruned (matches the kernel's validity
+            -- mask; without the guard DuckDB's NaN-sorts-high semantics
+            -- would flag it pruned while numpy's NaN >= thr is False)
+            WHERE na.nrm > 0 AND nb.nrm > 0
+              AND d.dot / (na.nrm * nb.nrm) >= 0.4
         )
         SELECT a.vec_id,
                CAST(a.list_id AS BIGINT) AS list_id,
                (p.vec_id IS NOT NULL) AS pruned
-        FROM a1 a LEFT JOIN pruned p USING (vec_id)
+        FROM a{_SEMDEDUP_N_ITERS - 1} a LEFT JOIN pruned p USING (vec_id)
         """,
         doc="SemDeDup cluster-then-prune semantic dedup (arXiv:2303.09540;"
         " min-id representative, quantized-cosine threshold)",

@@ -328,3 +328,54 @@ def test_semantic_dedup_threshold_monotone(spark):
     assert pruned_hi <= pruned_lo
     assert len(pruned_lo) > len(pruned_hi)
     assign.unpersist()
+
+
+def test_semantic_dedup_subblocked_matches_single_task(spark):
+    """A forced skewed clustering (every vector in ONE inverted list) with a
+    tiny block_rows must sub-block into an n_sub x n_sub task grid and still
+    produce exactly the single-task answer — the hot-cluster memory cap
+    cannot change the keep/prune decisions."""
+    from contentwise_impressions_spark.operators.ann import semantic_dedup
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    assign = emb.selectExpr("vec_id", "CAST(0 AS BIGINT) AS list_id")
+    one_task = {
+        r["vec_id"]: r["pruned"]
+        for r in semantic_dedup(
+            emb, 0.4, assignments=assign, block_rows=1 << 30
+        ).collect()
+    }
+    # block_rows << cluster size forces n_sub = ceil(n/8) sub-blocks
+    blocked = {
+        r["vec_id"]: r["pruned"]
+        for r in semantic_dedup(
+            emb, 0.4, assignments=assign, block_rows=8
+        ).collect()
+    }
+    assert len(one_task) == n
+    assert blocked == one_task
+    assert any(one_task.values()) and not all(one_task.values())
+
+
+def test_semantic_dedup_zero_norm_vectors_inert(spark):
+    """A degenerate all-zero embedding has no direction: it is never pruned
+    and never prunes a cluster-mate (no NaN cosine leaks into the flags)."""
+    from contentwise_impressions_spark.operators.ann import semantic_dedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero vector, lowest id
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1 -> pruned
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector, higher id
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(4)], ["vec_id", "list_id"]
+    )
+    out = {
+        r["vec_id"]: r["pruned"]
+        for r in semantic_dedup(emb, 0.9, assignments=assign).collect()
+    }
+    assert out == {0: False, 1: False, 2: True, 3: False}

@@ -299,3 +299,21 @@ def test_decode_audio_rejects_unknown_format(media):
 
     with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
         decode_audio(media.limit(1)).collect()
+
+
+def test_decode_wav_truncated_chunk_raises_clear_error():
+    """A chunk whose declared size overruns the buffer must raise a
+    descriptive ValueError, not a numpy frombuffer error on a silently
+    truncated body."""
+    import numpy as np
+    import pytest
+
+    from contentwise_impressions_spark.multimodal.binary_ops import (
+        _decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    cut = good[:-37]  # drop the tail of the 16-bit data chunk
+    with pytest.raises(ValueError, match="truncated WAVE"):
+        _decode_wav(cut)
