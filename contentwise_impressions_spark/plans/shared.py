@@ -116,10 +116,10 @@ def release_session_payloads(
             # sweep the JVM block manager: catches localCheckpoint blocks
             # (dedup connected-components, BPR epochs, pagerank) and any
             # persist whose Python handle is already gone
+            # py4j exposes the java.util.Map as a dict-like view
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            it = jmap.values().iterator()
-            while it.hasNext():
-                it.next().unpersist(blocking)
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(blocking)
         except Exception:  # pragma: no cover - py4j surface change
             pass
     return dropped

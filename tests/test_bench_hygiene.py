@@ -1,0 +1,66 @@
+"""Bench-session hygiene: shared payload caches must be releasable.
+
+Round-4 postmortem: the official bench ran 112 queries in ONE session while
+the shared kernel payloads (ICM/URM/adjacency/embedding builds) were
+deliberately never unpersisted — by the late-alphabet queries, accumulated
+MEMORY_AND_DISK partitions and localCheckpoints inflated UNRELATED queries
+up to 6x (value_outliers 10.0 s polluted vs 1.5 s clean, code unchanged).
+bench.py now calls ``release_session_payloads`` between query families;
+these tests pin that the release (a) actually empties every cache layer and
+(b) keeps a cheap query's cost flat after a heavy persisted-payload query.
+"""
+
+from __future__ import annotations
+
+import time
+
+from contentwise_impressions_spark.plans import shared
+from contentwise_impressions_spark.plans.registry import all_queries
+from contentwise_impressions_spark.plans.shared import release_session_payloads
+
+SF = "/root/testdata/sf0.01"
+
+
+def _jvm_persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _run(spark, name: str) -> float:
+    qs = all_queries()
+    t0 = time.perf_counter()
+    qs[name](spark, SF).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def test_release_empties_every_cache_layer(spark):
+    """After release_session_payloads: the Python-side caches are empty and
+    the JVM block manager holds zero persistent RDDs (persists AND
+    localCheckpoints — the two accumulation vectors from round 4)."""
+    from contentwise_impressions_spark.operators import blocked_topk
+
+    release_session_payloads(spark)  # clean slate (session fixture is shared)
+    # touch the three cache layers: a shared.materialized intermediate, a
+    # blocked-kernel payload, and a localCheckpoint (minhash clusters)
+    _run(spark, "itemcbf_cosine_topk")
+    _run(spark, "minhash_dedup_clusters")
+    assert blocked_topk._CACHE or shared._CACHE
+    dropped = release_session_payloads(spark)
+    assert dropped > 0
+    assert not blocked_topk._CACHE
+    assert not shared._CACHE
+    assert _jvm_persistent_rdd_count(spark) == 0
+
+
+def test_cheap_query_cost_flat_after_heavy_payload_query(spark):
+    """A cheap scan-and-aggregate query must stay within 2x of its isolated
+    cost when run after a heavy persisted-payload query + release — pins
+    the de-pollution so silent re-accumulation fails loudly."""
+    release_session_payloads(spark)
+    _run(spark, "value_histogram")  # JIT/codegen warm-up for the cheap plan
+    t_iso = min(_run(spark, "value_histogram") for _ in range(3))
+    # heavy: builds and persists the ICM+CF payloads and runs the GEMM grid
+    _run(spark, "cfcbf_hybrid_topk")
+    release_session_payloads(spark)
+    t_after = min(_run(spark, "value_histogram") for _ in range(3))
+    # floor the baseline: sub-100ms plans are scheduler-noise-dominated
+    assert t_after <= 2.0 * max(t_iso, 0.1)
