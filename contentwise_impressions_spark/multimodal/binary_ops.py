@@ -4,13 +4,14 @@ Training-data-pipeline extension: media travel as opaque ``binary`` columns
 with a typed metadata struct; decode / feature-extraction / frame-sampling
 run as Arrow-batched ``mapInPandas`` stages.
 
-Decode status: uncompressed raster formats — PPM/PGM (netpbm P6/P5) and
-BMP (BITMAPINFOHEADER, 8/24/32 bpp uncompressed) — decode FOR REAL via the
-pure-numpy codecs below (`_decode_ppm` / `_decode_bmp`), end-to-end through
-the same mapInPandas kernel a production decoder would use.  Compressed
-codecs (PNG/JPEG/wav/mp4 — PIL/ffmpeg/torchaudio are NOT in this
-container) stay stubbed: `decode_media(..., allow_fake=False)` raises
-NotImplementedError exactly where the library call belongs, and
+Decode status: PPM/PGM (netpbm P6/P5), BMP (BITMAPINFOHEADER, 8/24/32 bpp
+uncompressed), baseline-sequential JPEG (`multimodal/jpeg.py` — marker
+walk, Huffman entropy decode, IDCT, 4:2:0 upsample, restart markers) and
+RIFF/WAVE PCM all decode FOR REAL via pure-numpy codecs, end-to-end
+through the same mapInPandas kernel a production decoder would use.  The
+remaining compressed codecs (PNG/mp3/mp4 — PIL/ffmpeg/torchaudio are NOT
+in this container) stay stubbed: `decode_media(..., allow_fake=False)`
+raises NotImplementedError exactly where the library call belongs, and
 `allow_fake=True` substitutes a deterministic byte-statistics decoder so
 the Spark-side contract — schema, batch shape, partitioning, null
 behavior — is exercised for every format.
@@ -253,10 +254,18 @@ def _decode_wav(buf: bytes):
 
 
 #: formats the pure-numpy codecs decode for real
+# module-scope import (not lazy inside the kernel): both this module and
+# multimodal.jpeg are registered for by-value pickling, so the function
+# reference ships with the task — a worker never imports the package
+from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402
+from .jpeg import encode_jpeg as _encode_jpeg  # noqa: E402
+
 _REAL_DECODERS = {
     "ppm": _decode_ppm,
     "pgm": _decode_ppm,
     "bmp": _decode_bmp,
+    "jpeg": _decode_jpeg,
+    "jpg": _decode_jpeg,
 }
 
 
@@ -291,12 +300,12 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
                     )
                     continue
                 if not allow_fake:
-                    # a PNG/JPEG/wav/mp4 codec call belongs HERE
+                    # a PNG/mp4 codec call belongs HERE
                     raise NotImplementedError(
                         f"no codec for format {meta['format']!r} in this "
                         "environment (pure-numpy decoders cover ppm/pgm/"
-                        "bmp); pass allow_fake=True for the deterministic "
-                        "byte-statistics stand-in"
+                        "bmp/jpeg); pass allow_fake=True for the "
+                        "deterministic byte-statistics stand-in"
                     )
                 arr = np.frombuffer(blob, dtype=np.uint8)
                 out.append(
@@ -414,8 +423,8 @@ def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
     """Real raster payloads (deterministic per-doc gradient images encoded
     as actual PPM/PGM bytes) — lets the decode path run WITHOUT the fake
     stand-in anywhere media libraries are unavailable."""
-    if fmt not in ("ppm", "pgm"):
-        raise ValueError("generated media supports fmt in {'ppm','pgm'}")
+    if fmt not in ("ppm", "pgm", "jpeg"):
+        raise ValueError("generated media supports fmt in {'ppm','pgm','jpeg'}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -429,10 +438,13 @@ def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
                 base = (xx * 7 + yy * 13 + int(doc_id)) % 256
                 img = (
                     np.stack([base, (base + 85) % 256, (base + 170) % 256], -1)
-                    if fmt == "ppm"
+                    if fmt in ("ppm", "jpeg")
                     else base[:, :, None]
                 ).astype(np.uint8)
-                blob = encode_ppm(img)
+                if fmt == "jpeg":
+                    blob = _encode_jpeg(img)
+                else:
+                    blob = encode_ppm(img)
                 out.append(
                     (
                         doc_id,

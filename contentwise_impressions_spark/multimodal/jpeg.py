@@ -1,0 +1,508 @@
+"""Pure-numpy baseline-sequential JPEG codec (ITU-T T.81).
+
+Extends the real-decode surface (`binary_ops._REAL_DECODERS`) to the one
+compressed image format class the container previously could not decode:
+baseline DCT JPEG — SOI/APP/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker walk,
+canonical-Huffman entropy decode (tables taken from the stream's DHT
+segments, so any compliant encoder's output parses), dequantize +
+dezigzag, exact float 8x8 IDCT, generic h/v sampling-factor upsample
+(4:4:4, 4:2:2, 4:2:0), YCbCr→RGB, crop to the SOF dimensions.
+
+`encode_jpeg` is the fixture twin (like `encode_wav`): it emits valid
+baseline JPEG with SELF-DEFINED flat-length Huffman tables declared in
+DHT (fixed 4-bit DC / 8-bit AC codes — legal, merely suboptimal, and
+chosen so no table from the spec's informative annex needs reproducing)
+and a flat quantization table, so the roundtrip error is bounded by the
+quant step through the IDCT.
+
+Scale note: decode runs row-independent inside the same mapInPandas
+kernel as the other codecs — no shuffle, payload bytes never leave their
+row; the per-row Python cost is the irreducible entropy-decode loop and
+is Arrow-batched like every other decode stage.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+#: zig-zag scan order: index i of the scan holds flat position ZIGZAG[i]
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: orthonormal 8-point DCT-II basis: row k = c_k * cos((2n+1)kπ/16)
+_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: smallest s with |v| < 2**s."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def pad(self) -> None:
+        if self.n:
+            fill = 8 - self.n
+            self.write((1 << fill) - 1, fill)  # pad with 1-bits per spec
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (markers are never stuffed)."""
+        self.pad()
+        self.buf += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+# fixture Huffman tables: every DC category gets a 4-bit code (12 symbols,
+# codes 0..11 — the all-ones code 0xF is unused, as required), every AC
+# symbol an 8-bit code (162 symbols, codes 0..161).  DHT declares them, so
+# any compliant decoder reproduces the same canonical assignment.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_CODE = {sym: (i, 4) for i, sym in enumerate(_DC_SYMBOLS)}
+_AC_CODE = {sym: (i, 8) for i, sym in enumerate(_AC_SYMBOLS)}
+
+#: flat quantization table (step 2 everywhere): max |quant error| per
+#: coefficient is 1, so the roundtrip pixel error stays single-digit
+_QTABLE = np.full(64, 2, dtype=np.int64)
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, pred: int, qtab: np.ndarray
+) -> int:
+    """DCT → quantize → zigzag → Huffman-encode one 8x8 block; returns the
+    new DC predictor."""
+    coef = _dct2(block.astype(np.float64) - 128.0)
+    q = np.round(coef.ravel() / qtab.reshape(8, 8).ravel()).astype(np.int64)
+    zz = q[ZIGZAG]
+    dc, diff = int(zz[0]), int(zz[0]) - pred
+    cat = _category(diff)
+    code, ln = _DC_CODE[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODE[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = _AC_CODE[(run << 4) | size]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_CODE[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dht(tc: int, th: int, bits: list[int], symbols: list[int]) -> bytes:
+    return _seg(
+        0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(symbols)
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
+    (flat quant step 2, self-defined DHT tables).
+
+    `subsample=True` emits 4:2:0 (Y at 2x2, averaged-2x2 chroma);
+    `restart_interval=n` emits a DRI segment and RSTn markers every n
+    MCUs — both exist to exercise the decoder's generic sampling-factor
+    and restart paths with realistic streams."""
+    a = np.asarray(img, dtype=np.float64)
+    gray = a.ndim == 2
+    h, wd = a.shape[:2]
+    if gray:
+        planes = [a]
+        factors = [(1, 1)]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        factors = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    n_comp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (wd + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    prepped = []
+    for (fh, fv), plane in zip(factors, planes):
+        sx, sy = hmax // fh, vmax // fv
+        if sx > 1 or sy > 1:  # average-pool chroma down to its grid
+            eh = (plane.shape[0] + sy - 1) // sy * sy
+            ew = (plane.shape[1] + sx - 1) // sx * sx
+            p = np.pad(
+                plane,
+                ((0, eh - plane.shape[0]), (0, ew - plane.shape[1])),
+                mode="edge",
+            )
+            plane = p.reshape(eh // sy, sy, ew // sx, sx).mean(axis=(1, 3))
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        prepped.append(
+            np.pad(
+                plane,
+                ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                mode="edge",
+            )
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in _QTABLE[ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big")
+    sof += bytes([n_comp])
+    for cid in range(1, n_comp + 1):
+        fh, fv = factors[cid - 1]
+        sof += bytes([cid, (fh << 4) | fv, 0])  # qtable 0 for every comp
+    out += _seg(0xC0, sof)
+    out += _dht(0, 0, _DC_BITS, _DC_SYMBOLS)
+    out += _dht(1, 0, _AC_BITS, _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([n_comp])
+    for cid in range(1, n_comp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # full spectral selection, no approximation
+    out += _seg(0xDA, sos)
+
+    w = _BitWriter()
+    preds = [0] * n_comp
+    n_mcu, rst = 0, 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * n_comp
+            for ci, plane in enumerate(prepped):
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(w, blk, preds[ci], _QTABLE)
+            n_mcu += 1
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops cleanly at
+    any non-stuffing marker (RSTn handled by the caller via `align`)."""
+
+    def __init__(self, b: bytes, i: int) -> None:
+        self.b = b
+        self.i = i
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.b
+        while self.n <= 24 and self.i < len(b):
+            byte = b[self.i]
+            if byte == 0xFF:
+                nxt = b[self.i + 1] if self.i + 1 < len(b) else 0xD9
+                if nxt != 0x00:
+                    break  # RSTn (caller re-aligns) or EOI/next segment
+                self.i += 2  # stuffed 0xFF00 → one literal 0xFF data byte
+            else:
+                self.i += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            before = self.n
+            self._fill()
+            if self.n == before:  # ran off the segment: pad with 1s
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc, self.n = 0, 0
+        b = self.b
+        while self.i + 1 < len(b):
+            if b[self.i] == 0xFF and 0xD0 <= b[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from a DHT (bits, symbols) spec."""
+
+    def __init__(self, bits: list[int], symbols: list[int]) -> None:
+        self.lut: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, r: _BitReader) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.bits(1)
+            sym = self.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a JPEG magnitude-category value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 image (h, w) grayscale or (h, w, 3) RGB."""
+    b = bytes(buf)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    hufs: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    h = wd = 0
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"invalid JPEG: expected marker at byte {i}")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if i + 2 + seg_len > len(b):
+            raise ValueError("truncated JPEG: segment overruns buffer")
+        body = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq:  # 16-bit entries
+                    tab = np.frombuffer(
+                        body[j + 1 : j + 129], ">u2"
+                    ).astype(np.int64)
+                    j += 129
+                else:
+                    tab = np.frombuffer(
+                        body[j + 1 : j + 65], np.uint8
+                    ).astype(np.int64)
+                    j += 65
+                out = np.zeros(64, dtype=np.int64)
+                out[ZIGZAG] = tab
+                qtabs[tq] = out
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                n_sym = sum(bits)
+                syms = list(body[j + 17 : j + 17 + n_sym])
+                hufs[(tc, th)] = _HuffTable(bits, syms)
+                j += 17 + n_sym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            h = int.from_bytes(body[1:3], "big")
+            wd = int.from_bytes(body[3:5], "big")
+            n_comp = body[5]
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            # progressive / hierarchical / arithmetic coding processes
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            n_scan = body[0]
+            scan = {}
+            for c in range(n_scan):
+                cid, tables = body[1 + 2 * c : 3 + 2 * c]
+                scan[cid] = (tables >> 4, tables & 0xF)
+            return _decode_scan(
+                b, i + 2 + seg_len, h, wd, comps, scan, qtabs, hufs,
+                restart_interval,
+            )
+        i += 2 + seg_len
+    raise ValueError("invalid JPEG: no SOS segment")
+
+
+def _decode_scan(
+    b: bytes,
+    start: int,
+    h: int,
+    wd: int,
+    comps: list[dict],
+    scan: dict,
+    qtabs: dict,
+    hufs: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (wd + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+        )
+    r = _BitReader(b, start)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = hufs[(0, scan[c["id"]][0])]
+                ac_t = hufs[(1, scan[c["id"]][1])]
+                qt = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = dc_t.decode(r)
+                        diff = _extend(r.bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac_t.decode(r)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0xF
+                            if k > 63:
+                                raise ValueError(
+                                    "invalid JPEG: AC index past 63"
+                                )
+                            zz[k] = _extend(r.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt[ZIGZAG]
+                        blk = _idct2(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            n_mcu += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // c["v"], axis=0),
+            hmax // c["h"],
+            axis=1,
+        )
+        full.append(p[:h, :wd])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
