@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_neardup_pairs",
     "multimodal_decode_stats",
     "audio_decode_stats",
+    "jpeg_decode_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
