@@ -7,7 +7,7 @@ Spark operators use (operators/neardup.py), so the two can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import bm25, term_frequencies, tf_idf
@@ -900,5 +900,128 @@ register(
         """,
         doc="SemDeDup cluster-then-prune semantic dedup (arXiv:2303.09540;"
         " min-id representative, quantized-cosine threshold)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span stats: substring-level exact dedup (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens inside corpus-duplicated spans.
+
+    The span-level exact-dedup signal of Lee et al. 2021
+    (arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+    Better"), n-gram-windowed: an 8-gram occurring at >= 2 (doc, pos)
+    occurrences corpus-wide (cross-doc or within-doc) is duplicated, and
+    every token position covered by a duplicated 8-gram window counts as
+    duplicated text.  Output (doc_id, n_tokens, n_dup_tokens,
+    dup_fraction) — the table a span-removal pass acts on.
+
+    Scale shape: positional 8-grams assemble in codegen'd lead() windows
+    keyed on doc_id; the duplicate test is one groupBy on the gram value
+    with map-side combine (long n-grams are rare by construction, so the
+    group and the join back are skew-safe without a df cap — same
+    argument as `eval_contamination`); covered positions dedup with a
+    bounded 8x fan-out.  No driver materialization anywhere.
+    """
+    docs = _docs(spark, sf_dir)
+    n = 8
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup_tokens"))
+    )
+    n_toks = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    all_docs = docs.select("doc_id").join(n_toks, "doc_id", "left")
+    nt = F.coalesce("n_tokens", F.lit(0))
+    nd = F.coalesce("n_dup_tokens", F.lit(0))
+    return (
+        all_docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            nd.alias("n_dup_tokens"),
+            F.when(nt == 0, F.lit(0.0))
+            .otherwise(nd.cast("double") / nt.cast("double"))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "duplicated_span_stats",
+        q_duplicated_span_stats,
+        """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i.i - 1 AS pos,
+                   tokens[i.i] || ' ' || tokens[i.i+1] || ' ' ||
+                   tokens[i.i+2] || ' ' || tokens[i.i+3] || ' ' ||
+                   tokens[i.i+4] || ' ' || tokens[i.i+5] || ' ' ||
+                   tokens[i.i+6] || ' ' || tokens[i.i+7] AS gram
+            FROM tk, range(1, 100001) i(i)
+            WHERE i.i <= len(tokens) - 7
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+        cov AS (
+            SELECT DISTINCT g.doc_id, g.pos + o.o AS p
+            FROM grams g JOIN dup USING (gram), range(0, 8) o(o)
+        ),
+        nt AS (
+            SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM tk
+        ),
+        nd AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens
+            FROM cov GROUP BY 1
+        )
+        SELECT nt.doc_id,
+               nt.n_tokens,
+               COALESCE(nd.n_dup_tokens, 0) AS n_dup_tokens,
+               CASE WHEN nt.n_tokens = 0 THEN 0.0
+                    ELSE CAST(COALESCE(nd.n_dup_tokens, 0) AS DOUBLE)
+                         / nt.n_tokens END AS dup_fraction
+        FROM nt LEFT JOIN nd ON nt.doc_id = nd.doc_id
+        """,
+        doc="substring-level exact-dedup span stats (Lee et al. 2021, "
+        "arXiv:2107.06499 — duplicated-8-gram coverage per document)",
     )
 )

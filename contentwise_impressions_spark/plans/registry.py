@@ -93,6 +93,7 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_decode_stats",
     "audio_decode_stats",
     "jpeg_decode_stats",
+    "duplicated_span_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
