@@ -905,8 +905,60 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# duplicated-span stats: substring-level exact dedup (Lee et al. 2021)
+# duplicated-span stats + scrub: substring-level exact dedup (Lee et al. 2021)
 # ---------------------------------------------------------------------------
+def _span_coverage(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(toks, covered): positional whitespace tokens (doc_id, pos, tok) and
+    the distinct token positions (doc_id, p) covered by any corpus-
+    duplicated n-gram (an n-gram occurring at >= 2 (doc, pos) occurrences
+    corpus-wide, cross-doc or within-doc).  Shared by the stats and scrub
+    queries; materialized per session so the gram groupBy runs once."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+
+    def build_cov() -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")] + [
+            F.lead("tok", k).over(w) for k in range(1, n)
+        ]
+        grams = (
+            toks.select(
+                "doc_id",
+                "pos",
+                F.concat_ws(" ", *parts).alias("gram"),
+                F.lead("tok", n - 1).over(w).alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .drop("_last")
+        )
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("occ"))
+            .filter(F.col("occ") >= 2)
+            .select("gram")
+        )
+        return (
+            grams.join(dup, "gram")
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                ).alias("p"),
+            )
+            .distinct()
+        )
+
+    cov = shared.materialized(spark, sf_dir, f"span_cov{n}", build_cov)
+    return toks, cov
+
+
 def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fraction of tokens inside corpus-duplicated spans.
 
@@ -926,42 +978,9 @@ def q_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded 8x fan-out.  No driver materialization anywhere.
     """
     docs = _docs(spark, sf_dir)
-    n = 8
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    grams = (
-        toks.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", *parts).alias("gram"),
-            F.lead("tok", n - 1).over(w).alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select("gram")
-    )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-            ).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_dup_tokens"))
+    toks, cov = _span_coverage(spark, sf_dir)
+    covered = cov.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_tokens")
     )
     n_toks = toks.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens")
@@ -1023,5 +1042,90 @@ register(
         """,
         doc="substring-level exact-dedup span stats (Lee et al. 2021, "
         "arXiv:2107.06499 — duplicated-8-gram coverage per document)",
+    )
+)
+
+
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with every corpus-duplicated 8-gram span REMOVED — the
+    actionable output of span-level dedup (the cleaning pass Lee et al.
+    2021 runs before tokenization, here with the conservative
+    remove-all-occurrences policy so the decision is a pure function of
+    the corpus).  Output (doc_id, scrubbed_text, n_kept_tokens);
+    reconstruction is an anti-join of token positions against the shared
+    span coverage (`_span_coverage`, one gram groupBy per session) and a
+    per-doc ordered re-concat — one doc_id shuffle, no driver text."""
+    docs = _docs(spark, sf_dir)
+    toks, cov = _span_coverage(spark, sf_dir)
+    kept = toks.join(
+        cov,
+        (toks["doc_id"] == cov["doc_id"]) & (toks["pos"] == cov["p"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count("*").cast("bigint").alias("n_kept_tokens"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+    )
+
+
+register(
+    QuerySpec(
+        "span_scrubbed_docs",
+        q_span_scrubbed_docs,
+        """
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, i.i - 1 AS pos, tokens[i.i] AS tok
+            FROM tk, range(1, 100001) i(i)
+            WHERE i.i <= len(tokens)
+        ),
+        grams AS (
+            SELECT doc_id, i.i - 1 AS pos,
+                   tokens[i.i] || ' ' || tokens[i.i+1] || ' ' ||
+                   tokens[i.i+2] || ' ' || tokens[i.i+3] || ' ' ||
+                   tokens[i.i+4] || ' ' || tokens[i.i+5] || ' ' ||
+                   tokens[i.i+6] || ' ' || tokens[i.i+7] AS gram
+            FROM tk, range(1, 100001) i(i)
+            WHERE i.i <= len(tokens) - 7
+        ),
+        dup AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2),
+        cov AS (
+            SELECT DISTINCT g.doc_id, g.pos + o.o AS p
+            FROM grams g JOIN dup USING (gram), range(0, 8) o(o)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t LEFT JOIN cov c
+              ON t.doc_id = c.doc_id AND t.pos = c.p
+            WHERE c.p IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   STRING_AGG(tok, ' ' ORDER BY pos) AS scrubbed_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept_tokens
+            FROM kept GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(a.scrubbed_text, '') AS scrubbed_text,
+               COALESCE(a.n_kept_tokens, 0) AS n_kept_tokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        doc="span-level dedup scrub: duplicated-8-gram spans removed, "
+        "per-doc text rebuilt (Lee et al. 2021 cleaning pass)",
     )
 )

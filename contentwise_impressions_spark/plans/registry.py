@@ -94,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "audio_decode_stats",
     "jpeg_decode_stats",
     "duplicated_span_stats",
+    "span_scrubbed_docs",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
