@@ -95,6 +95,7 @@ DRIVER_PRIORITY: list[str] = [
     "jpeg_decode_stats",
     "duplicated_span_stats",
     "span_scrubbed_docs",
+    "unigram_ppl_buckets",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

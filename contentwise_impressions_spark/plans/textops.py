@@ -879,3 +879,95 @@ register(
         "patterns (training-data cleaning extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity scoring + CCNet-style quality buckets
+# ---------------------------------------------------------------------------
+def q_unigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy + head/middle/tail quality
+    bucket — the CCNet perplexity-bucketing pass (Wenzek et al. 2020,
+    arXiv:1911.00359) with the KenLM 5-gram model replaced by the
+    corpus's own unigram LM (the SQL-expressible proxy; the bucketing
+    algebra is identical).
+
+    xent(doc) = avg over tokens of ln(total_tokens / count(token)) —
+    self-trained, so every token is in-vocabulary by construction.
+    Buckets split at the exact 1/3 and 2/3 cross-entropy quantiles
+    (value thresholds, ties to the lower bucket): 1 = head (most
+    predictable), 2 = middle, 3 = tail.  Scale shape: one token groupBy
+    for the vocabulary, one shuffle join tokens x vocab (no agg on the
+    hot key, so token skew only widens a map-side join fan-in), one
+    per-doc aggregation; exact `percentile` for the two cuts is the
+    oracle-checkable stand-in with approx_percentile as the documented
+    100 TB path (same contract as `value_quantiles`).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    xe = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.avg(F.log(F.col("total") / F.col("cnt"))).alias("xent"),
+        )
+    )
+    cuts = xe.agg(
+        F.expr("percentile(xent, 1.0D/3.0D)").alias("c1"),
+        F.expr("percentile(xent, 2.0D/3.0D)").alias("c2"),
+    )
+    return xe.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "xent",
+        F.when(F.col("xent") <= F.col("c1"), 1)
+        .when(F.col("xent") <= F.col("c2"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("ppl_bucket"),
+    )
+
+
+register(
+    QuerySpec(
+        "unigram_ppl_buckets",
+        q_unigram_ppl_buckets,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        xe AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   AVG(ln(tot.total / v.cnt)) AS xent
+            FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+            GROUP BY 1
+        ),
+        cuts AS (
+            SELECT quantile_cont(xent, 1.0/3.0) AS c1,
+                   quantile_cont(xent, 2.0/3.0) AS c2
+            FROM xe
+        )
+        SELECT doc_id, n_tokens, xent,
+               CAST(CASE WHEN xent <= c1 THEN 1
+                         WHEN xent <= c2 THEN 2
+                         ELSE 3 END AS INT) AS ppl_bucket
+        FROM xe CROSS JOIN cuts
+        """,
+        doc="CCNet-style perplexity bucketing (arXiv:1911.00359) with a "
+        "self-trained unigram LM (SQL-expressible proxy for KenLM)",
+    )
+)
