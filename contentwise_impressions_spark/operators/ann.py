@@ -249,6 +249,53 @@ def cosine_topk_bruteforce(
     return _merge_topk(partials, k)
 
 
+def cosine_topk_cross(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    min_blocks: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine CORPUS neighbors for every QUERY vector —
+    (vec_id, neighbor_id, cosine, rank), the retrieval shape (RAG /
+    eval-set nearest-training-doc) where the probe set and the searched
+    corpus are different tables.
+
+    Same blocked cogrouped GEMM as `cosine_topk_bruteforce`, but the two
+    sides come from different payloads: the corpus hashes into index
+    blocks (replicated across query blocks) and queries hash into probe
+    blocks (replicated across index blocks) — O(|Q|·|C|·d) FLOPs in
+    (|Q|/B)·(|C|/B) bounded tasks, no self-pairs to exclude when the id
+    spaces are disjoint (an id present in BOTH tables is treated as the
+    same vector and never returned as its own neighbor).  At 100 TB,
+    IVF-assign both sides with the same centroids and run this kernel per
+    inverted list.
+    """
+    qp = _norm_payload(queries, vec_col)
+    cp = _norm_payload(corpus, vec_col)
+    spark = qp.sparkSession
+    n = cp.count()  # block count sized by the big (corpus) side
+    par = spark.sparkContext.defaultParallelism
+    if min_blocks is None:
+        min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
+    n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
+    idx = cp.withColumn("_side", F.lit(0)).withColumn(
+        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("pblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    prb = qp.withColumn("_side", F.lit(1)).withColumn(
+        "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    both = idx.unionByName(prb.select(idx.columns))
+    kk = int(k)
+
+    def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
+
+    partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _TOPK_PARTIAL)
+    return _merge_topk(partials, k)
+
+
 def lsh_bucket_signatures(
     embeddings: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

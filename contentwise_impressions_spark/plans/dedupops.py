@@ -1129,3 +1129,60 @@ register(
         "per-doc text rebuilt (Lee et al. 2021 cleaning pass)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# cross-table retrieval: top-k corpus neighbors per query vector
+# ---------------------------------------------------------------------------
+def q_ann_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style retrieval: for every held-out query vector (vec_id % 50
+    == 0, the same 2% split eval_contamination uses), the top-5 most
+    cosine-similar TRAINING vectors.  Cross-table variant of the blocked
+    GEMM kernel (operators/ann.cosine_topk_cross): corpus hashes into
+    index blocks, queries replicate across them — |Q|·|C| support, id
+    spaces disjoint by the split.  Quantized entries keep the ranking
+    bit-identical across engines (operators/ann.QUANT)."""
+    from ..operators.ann import cosine_topk_cross
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return cosine_topk_cross(queries, corpus, k=5)
+
+
+register(
+    QuerySpec(
+        "ann_retrieval_topk",
+        q_ann_retrieval_topk,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
+            FROM embeddings, range(1, 1025) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
+            FROM e a JOIN e b ON a.pos = b.pos
+            WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               d.dot / (na.nrm * nb.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY rank <= 5
+        """,
+        doc="cross-table retrieval top-k (RAG / nearest-training-doc "
+        "shape; operators/ann.cosine_topk_cross blocked GEMM)",
+    )
+)

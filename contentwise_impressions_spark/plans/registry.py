@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "duplicated_span_stats",
     "span_scrubbed_docs",
     "unigram_ppl_buckets",
+    "ann_retrieval_topk",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
