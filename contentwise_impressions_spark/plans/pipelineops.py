@@ -639,3 +639,162 @@ register(
         "oracle's constant TRUE column goes red if the decoder breaks)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+#: target mixture shares (percent of the token budget per language) and
+#: the global budget as a percent of corpus tokens — Pile/DoReMi-style
+#: domain reweighting constants, shared with the SQL twin
+_MIX_PCT = {"en": 50, "zh": 20, "de": 15, "fr": 10, "es": 5}
+_MIX_BUDGET_PCT = 40
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget mixture sample: per-language sampling
+    rates sized so kept tokens hit a weighted share of a global token
+    budget (the Pile / DoReMi-style domain-reweighting pass).
+
+    budget = 40% of corpus tokens; language b's target is its mixture
+    percent of that budget; rate_b = min(1, target_b / tokens_b); a doc
+    is kept iff its multiplicative-hash bucket clears the rate — pure
+    function of doc_id, so the sample is byte-reproducible in any engine
+    (at 100 TB the sample IS the shipped dataset).  One aggregation for
+    per-language token totals (broadcast back — dimension-sized), one
+    stateless keep-flag pass, one rollup.  Expected-vs-realized share
+    lands in `realized_budget_share` (hash sampling concentrates near the
+    rate; exactness is not the contract, determinism is).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    total = per_lang.agg(
+        F.sum("tokens_total").cast("bigint").alias("corpus_tokens")
+    )
+    mix = F.lit(0)
+    for lang, pct in _MIX_PCT.items():
+        mix = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(mix)
+    rated = (
+        per_lang.crossJoin(F.broadcast(total))
+        .withColumn(
+            # FLOOR before the cast: DuckDB's double->BIGINT cast rounds
+            # while Spark's truncates (the doc_packing_stats lesson)
+            "target_tokens",
+            F.floor(F.col("corpus_tokens") * _MIX_BUDGET_PCT * mix / 10000)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens").cast("double")
+                / F.col("tokens_total").cast("double"),
+            ),
+        )
+    )
+    kept = (
+        toks.join(F.broadcast(rated.select("lang", "rate")), "lang")
+        .withColumn(
+            "kept",
+            (
+                (F.col("doc_id") * F.lit(_HASH_A)) % F.lit(1000000)
+                < F.col("rate") * 1000000.0
+            ).cast("bigint"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("kept").alias("n_docs_kept"),
+            F.sum(F.col("kept") * F.col("n_tokens")).alias("tokens_kept"),
+        )
+    )
+    return (
+        rated.join(kept, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "tokens_total",
+            "target_tokens",
+            "n_docs_kept",
+            "tokens_kept",
+            (
+                F.col("tokens_kept").cast("double")
+                / (F.col("corpus_tokens") * _MIX_BUDGET_PCT / 100.0)
+            ).alias("realized_budget_share"),
+        )
+    )
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in _MIX_PCT.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+register(
+    QuerySpec(
+        "token_budget_mixture",
+        q_token_budget_mixture,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+            FROM toks GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(tokens_total) AS BIGINT) AS corpus_tokens
+            FROM per_lang
+        ),
+        rated AS (
+            SELECT p.*, t.corpus_tokens,
+                   CAST(FLOOR(t.corpus_tokens * {_MIX_BUDGET_PCT}
+                        * ({_mix_case_sql()}) / 10000) AS BIGINT)
+                       AS target_tokens
+            FROM per_lang p CROSS JOIN tot t
+        ),
+        rated2 AS (
+            SELECT *,
+                   LEAST(1.0, CAST(target_tokens AS DOUBLE)
+                              / CAST(tokens_total AS DOUBLE)) AS rate
+            FROM rated
+        ),
+        kept AS (
+            SELECT t.lang,
+                   CAST(SUM(CASE WHEN (t.doc_id * {_HASH_A}) % 1000000
+                                      < r.rate * 1000000.0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_docs_kept,
+                   CAST(SUM(CASE WHEN (t.doc_id * {_HASH_A}) % 1000000
+                                      < r.rate * 1000000.0
+                                 THEN t.n_tokens ELSE 0 END) AS BIGINT)
+                       AS tokens_kept
+            FROM toks t JOIN rated2 r USING (lang)
+            GROUP BY 1
+        )
+        SELECT r.lang, r.n_docs, r.tokens_total, r.target_tokens,
+               k.n_docs_kept, k.tokens_kept,
+               CAST(k.tokens_kept AS DOUBLE)
+                   / (r.corpus_tokens * {_MIX_BUDGET_PCT} / 100.0)
+                   AS realized_budget_share
+        FROM rated2 r JOIN kept k USING (lang)
+        """,
+        doc="deterministic token-budget mixture sampling (Pile/DoReMi-"
+        "style domain reweighting; byte-reproducible hash sample)",
+    )
+)

@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
     "span_scrubbed_docs",
     "unigram_ppl_buckets",
     "ann_retrieval_topk",
+    "token_budget_mixture",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
