@@ -98,6 +98,7 @@ DRIVER_PRIORITY: list[str] = [
     "unigram_ppl_buckets",
     "ann_retrieval_topk",
     "token_budget_mixture",
+    "source_quality_rollup",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

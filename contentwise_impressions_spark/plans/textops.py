@@ -971,3 +971,83 @@ register(
         "self-trained unigram LM (SQL-expressible proxy for KenLM)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# per-source reputation rollup (FineWeb-style source scoring)
+# ---------------------------------------------------------------------------
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus reputation signals: volume, language spread,
+    punctuation ratio, and exact-duplicate rate — the rollup a
+    FineWeb-style pipeline uses to score and prune whole sources before
+    doc-level filtering.
+
+    Exact-dup flag = the document's text occurs more than once corpus-wide
+    (one groupBy on text with map-side combine; joined back on the same
+    key so the exchange is shared).  Everything else is a stateless map +
+    one partial-agg rollup on the low-cardinality source key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", ""))
+            .cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+    dup = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("occ"))
+        .select("text", (F.col("occ") > 1).cast("int").alias("is_dup"))
+    )
+    return (
+        per_doc.join(dup, "text")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.avg("punct_ratio").alias("avg_punct_ratio"),
+            F.avg(F.col("is_dup").cast("double")).alias("dup_doc_rate"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "source_quality_rollup",
+        q_source_quality_rollup,
+        """
+        WITH per_doc AS (
+            SELECT doc_id, source, lang, text,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio
+            FROM documents
+        ),
+        dup AS (
+            SELECT text,
+                   CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM documents GROUP BY 1
+        )
+        SELECT p.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT p.lang) AS BIGINT) AS n_langs,
+               CAST(SUM(p.n_tokens) AS BIGINT) AS tokens_total,
+               AVG(p.punct_ratio) AS avg_punct_ratio,
+               AVG(CAST(d.is_dup AS DOUBLE)) AS dup_doc_rate
+        FROM per_doc p JOIN dup d ON p.text = d.text
+        GROUP BY 1
+        """,
+        doc="per-source reputation rollup (FineWeb-style source scoring: "
+        "volume, language spread, punctuation, exact-dup rate)",
+    )
+)
