@@ -17,15 +17,21 @@ process:
 
 - each row's payload = (dense feature sparse-pairs, adjacency list,
   Σv² and degree for the norm), built relationally;
-- rows are hashed into B index blocks and P probe blocks; the probe side
-  is replicated B ways and the index side P ways, cogrouped on
-  (probe_block, index_block) → P·B independent tasks, each holding ONE
-  probe block and ONE index block (bounded memory, any n);
+- rows are hashed into B home blocks; cosine is SYMMETRIC, so only the
+  lower-triangular block grid is materialized: a row with home block h is
+  shipped as the probe side to tasks (h, 0..h) and as the index side to
+  tasks (h+1..B-1, h) — B copies per row and B·(B+1)/2 tasks, HALF the
+  shuffle and half the GEMM of the full B×B grid.  Each task holds ONE
+  probe block and ONE index block (bounded memory, any n); diagonal tasks
+  reuse the probe rows as the index side;
 - per task: dense part = one GEMM (rows × F) @ (F × rows_block); sparse
   part = ONE batched two-hop gather over a task-local CSR + a single 2-D
   bincount (Σ deg² work, never all-pairs, no per-probe Python loop);
 - per-probe partial top-K emitted (k rows per probe per block), carrying
-  the task-side ROUNDED sim;
+  the task-side ROUNDED sim; off-diagonal tasks emit BOTH orientations
+  (top-K per probe row over index candidates AND top-K per index column
+  over probe candidates) from the one dots matrix, so every unordered
+  block pair is computed exactly once;
 - global merge: groupBy probe → window top-K ordered on the emitted
   rounded value.  The partial/merge split is exact BY CONSTRUCTION: both
   stages rank on the identical (rounded sim desc, id asc) doubles — no
@@ -42,9 +48,9 @@ cached copy per payload config per session replaces the former
 one-persist-per-invocation accumulation.
 
 Scaling knobs: block_rows bounds per-task memory (dense block =
-block_rows × n_features doubles); P·B grows with n so per-task work is
-constant.  Shuffle volume is n·(P+B) payload rows + n·B·k partials —
-linear in n for fixed blocking, vs the self-join's Σ df².
+block_rows × n_features doubles); B grows with n so per-task work is
+constant.  Shuffle volume is n·B payload rows + n·B·k partials — linear
+in n for fixed blocking, vs the self-join's Σ df².
 """
 
 from __future__ import annotations
@@ -279,50 +285,69 @@ def blocked_cosine_topk(
     spark = payload.sparkSession
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
-        # n_blk² tasks ≈ 3× the core count: over-decomposition keeps every
-        # core busy through the last wave (measured 2.5× faster than an
-        # exact-fit grid, whose final partial wave straggles); block_rows
-        # stays the per-task MEMORY cap and binds only at larger n
-        min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
+        # triangular grid: n_blk·(n_blk+1)/2 tasks ≈ 3× the core count —
+        # over-decomposition keeps every core busy through the last wave
+        # (measured 2.5× faster than an exact-fit grid, whose final
+        # partial wave straggles); block_rows stays the per-task MEMORY
+        # cap and binds only at larger n
+        min_blocks = max(
+            2, int(math.ceil((math.sqrt(1.0 + 24.0 * par) - 1.0) / 2.0))
+        )
     n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
 
-    # one side hashed on its own key and replicated across the other
-    # dimension; tagged union + single groupBy (NOT a self-cogroup, which
-    # trips Spark's ambiguous-self-join detection on shared lineage)
-    idx = payload.withColumn("_side", F.lit(0)).withColumn(
-        "iblk", F.pmod(F.xxhash64("item_id"), F.lit(n_blk)).cast("int")
-    ).withColumn(
-        "pblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1)))
+    # symmetric kernel → lower-triangular block grid only: a row with home
+    # block h is the PROBE side of tasks (h, 0..h) and the INDEX side of
+    # tasks (h+1.., h) — n_blk copies per row, half the full grid's 2·n_blk.
+    # Tagged union + single groupBy (NOT a self-cogroup, which trips
+    # Spark's ambiguous-self-join detection on shared lineage).
+    home = F.pmod(F.xxhash64("item_id"), F.lit(n_blk)).cast("int")
+    prb = (
+        payload.withColumn("_side", F.lit(1))
+        .withColumn("pblk", home)
+        .withColumn("iblk", F.explode(F.sequence(F.lit(0), F.col("pblk"))))
     )
-    prb = payload.withColumn("_side", F.lit(1)).withColumn(
-        "pblk", F.pmod(F.xxhash64("item_id"), F.lit(n_blk)).cast("int")
-    ).withColumn(
-        "iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1)))
+    # sequence(a, b) counts DOWN when a > b — guard the empty tail block
+    idx = (
+        payload.withColumn("_side", F.lit(0))
+        .withColumn("iblk", home)
+        .withColumn(
+            "pblk",
+            F.explode(
+                F.when(
+                    F.col("iblk") < F.lit(n_blk - 1),
+                    F.sequence(F.col("iblk") + 1, F.lit(n_blk - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
     )
     both = idx.unionByName(prb.select(idx.columns))
 
     kk, nf, e = int(k), int(n_feats), float(eps)
     wgt, scale = float(icm_weight), 10.0 ** int(round_digits)
 
-    def task(probes: pd.DataFrame, index: pd.DataFrame):
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"item_i": [], "item_j": [], "sim": [], "rsim": []}
+        ).astype(
+            {
+                "item_i": "int64",
+                "item_j": "int64",
+                "sim": "float64",
+                "rsim": "float64",
+            }
+        )
+
+    def task(probes: pd.DataFrame, index: pd.DataFrame, mirror: bool):
         if len(probes) == 0 or len(index) == 0:
-            return pd.DataFrame(
-                {"item_i": [], "item_j": [], "sim": [], "rsim": []}
-            ).astype(
-                {
-                    "item_i": "int64",
-                    "item_j": "int64",
-                    "sim": "float64",
-                    "rsim": "float64",
-                }
-            )
+            return _empty()
+        same = index is probes  # diagonal task: one block, both roles
         p_ids = probes["item_id"].to_numpy()
-        i_ids = index["item_id"].to_numpy()
+        i_ids = p_ids if same else index["item_id"].to_numpy()
         p_norm = np.sqrt(
             wgt * wgt * probes["sqf"].to_numpy(dtype=np.float64)
             + probes["deg"].to_numpy(dtype=np.float64)
         )
-        i_norm = np.sqrt(
+        i_norm = p_norm if same else np.sqrt(
             wgt * wgt * index["sqf"].to_numpy(dtype=np.float64)
             + index["deg"].to_numpy(dtype=np.float64)
         )
@@ -330,11 +355,12 @@ def blocked_cosine_topk(
         dots = np.zeros((n_p, n_i))
         if nf:
             # dense GEMM on raw values; w² factored out of the bilinear form
-            dots += (wgt * wgt) * (
-                _densify(probes, nf) @ _densify(index, nf).T
-            )
-        i_lens, i_flat = _lens_flat(index["nbrs"].to_numpy())
+            dp = _densify(probes, nf)
+            dots += (wgt * wgt) * (dp @ (dp if same else _densify(index, nf)).T)
         p_lens, p_flat = _lens_flat(probes["nbrs"].to_numpy())
+        i_lens, i_flat = (
+            (p_lens, p_flat) if same else _lens_flat(index["nbrs"].to_numpy())
+        )
         if len(i_flat) and len(p_flat):
             # task-local CSR over the index side: nbr → local row ids
             rows = np.repeat(np.arange(n_i), i_lens)
@@ -368,43 +394,69 @@ def blocked_cosine_topk(
         # the merge window ranks on THIS emitted value, so partial top-K
         # is a superset of the global contribution by construction
         rounded = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
-        m = min(n_i, kk + 1)  # +1 allows dropping a self-pair
-        # fully vectorized top-K emission (no per-probe Python loop, which
-        # was quadratic-ish under large rounded-value tie groups — the
-        # feature-only cosine has many):
-        #   1. per-row boundary = m-th largest rounded value (argpartition);
-        #   2. candidates = everything >= boundary (covers all boundary
-        #      ties exactly), self-pairs masked out;
-        #   3. ONE global lexsort on (row, -rounded, id) + cumcount-within-
-        #      row keeps the first k per probe in total order.
-        if n_i > m:
-            pvals = np.take_along_axis(
-                rounded, np.argpartition(-rounded, m - 1, axis=1)[:, :m], axis=1
-            )
-            bnd = pvals.min(axis=1)
-            cand = rounded >= bnd[:, None]
-        else:
-            cand = np.ones((n_p, n_i), dtype=bool)
-        cand &= i_ids[None, :] != p_ids[:, None]
-        r_idx, j_idx = np.nonzero(cand)
-        rvals = rounded[r_idx, j_idx]
-        order = np.lexsort((i_ids[j_idx], -rvals, r_idx))
-        r_s, j_s = r_idx[order], j_idx[order]
-        starts = np.searchsorted(r_s, np.arange(n_p))
-        pos = np.arange(len(r_s)) - starts[r_s]
-        keep = pos < kk
-        r_k, j_k = r_s[keep], j_s[keep]
-        return pd.DataFrame(
-            {
-                "item_i": i_ids[j_k].astype(np.int64),
-                "item_j": p_ids[r_k].astype(np.int64),
-                "sim": sims[r_k, j_k].astype(np.float64),
-                "rsim": rvals[order][keep].astype(np.float64),
-            }
-        )
 
-    def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
-        return task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0])
+        def emit(rnd, sms, row_ids, col_ids):
+            # fully vectorized top-K emission (no per-row Python loop,
+            # which was quadratic-ish under large rounded-value tie
+            # groups — the feature-only cosine has many):
+            #   1. per-row boundary = m-th largest rounded value
+            #      (argpartition); +1 allows dropping a self-pair;
+            #   2. candidates = everything >= boundary (covers all
+            #      boundary ties exactly), self-pairs masked out;
+            #   3. ONE global lexsort on (row, -rounded, id) + cumcount-
+            #      within-row keeps the first k per row in total order.
+            n_r, n_c = rnd.shape
+            m = min(n_c, kk + 1)
+            if n_c > m:
+                pvals = np.take_along_axis(
+                    rnd, np.argpartition(-rnd, m - 1, axis=1)[:, :m], axis=1
+                )
+                cand = rnd >= pvals.min(axis=1)[:, None]
+            else:
+                cand = np.ones((n_r, n_c), dtype=bool)
+            cand &= col_ids[None, :] != row_ids[:, None]
+            r_idx, c_idx = np.nonzero(cand)
+            rvals = rnd[r_idx, c_idx]
+            order = np.lexsort((col_ids[c_idx], -rvals, r_idx))
+            r_s, c_s = r_idx[order], c_idx[order]
+            starts = np.searchsorted(r_s, np.arange(n_r))
+            pos = np.arange(len(r_s)) - starts[r_s]
+            keep = pos < kk
+            r_k, c_k = r_s[keep], c_s[keep]
+            return pd.DataFrame(
+                {
+                    "item_i": col_ids[c_k].astype(np.int64),
+                    "item_j": row_ids[r_k].astype(np.int64),
+                    "sim": sms[r_k, c_k].astype(np.float64),
+                    "rsim": rvals[order][keep].astype(np.float64),
+                }
+            )
+
+        parts = [emit(rounded, sims, p_ids, i_ids)]
+        if mirror:
+            # off-diagonal task: the transposed orientation (top-K per
+            # index column over the probe candidates) comes from the SAME
+            # dots matrix — this is what lets the triangular grid cover
+            # every unordered block pair exactly once
+            parts.append(
+                emit(
+                    np.ascontiguousarray(rounded.T),
+                    sims.T,
+                    i_ids,
+                    p_ids,
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def split_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pblk, iblk = int(key[0]), int(key[1])
+        probes = pdf[pdf["_side"] == 1]
+        if pblk == iblk:
+            # diagonal: probe rows serve both roles (one shipped copy);
+            # the item sets coincide, so the single orientation already
+            # gives every j in the block its top-K over the block
+            return task(probes, probes, mirror=False)
+        return task(probes, pdf[pdf["_side"] == 0], mirror=True)
 
     partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _PARTIAL)
     # rank on the task-emitted rounded value — identical doubles to the
