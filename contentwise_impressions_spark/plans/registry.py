@@ -50,6 +50,7 @@ def _load_all_modules() -> None:
     from . import impressionops  # noqa: F401
     from . import cbfops  # noqa: F401
     from . import pipelineops  # noqa: F401
+    from . import selectionops  # noqa: F401
 
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
@@ -99,6 +100,10 @@ DRIVER_PRIORITY: list[str] = [
     "ann_retrieval_topk",
     "token_budget_mixture",
     "source_quality_rollup",
+    # new round-5 data-selection family
+    "dsir_importance_weights",
+    "quality_classifier_scores",
+    "blocklist_filter_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

@@ -1,0 +1,467 @@
+"""Data-selection operators: the "which documents do we train on" family
+a large-scale pretraining pipeline runs AFTER cleaning/dedup —
+importance-resampled domain matching (DSIR, Xie et al. 2023,
+arXiv:2302.03169), a trained quality classifier (the GPT-3/LLaMA-style
+linear filter over hashed token features), and hard blocklist filtering
+(C4, Raffel et al. 2020, arXiv:1910.10683 §2.2).
+
+All three share the corpus tokenizer convention of the other doc queries
+(split on ' ', drop empties) and the cross-engine token-id convention of
+``doc_fingerprints`` (dense_rank over the corpus vocabulary; at 100 TB
+substitute ``xxhash64(token) % B`` — same downstream algebra, shuffle-free
+id assignment, and the bucket hash only has to be STABLE, not ranked).
+
+Scale shape notes per query in the docstrings; none of the three ever
+materializes model state bigger than O(B) rows (B = hash buckets), so the
+broadcast joins stay broadcasts at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import QuerySpec, register
+
+#: hashed-feature bucket count: small enough that the per-bucket weight /
+#: log-ratio tables broadcast trivially, large enough that the synthetic
+#: ~120-word vocabulary rarely collides
+_B = 64
+#: DSIR / classifier "target domain" predicate column
+_TARGET_LANG = "en"
+
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+ids AS (
+    SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) - 1 AS BIGINT) AS tid
+    FROM (SELECT DISTINCT tok FROM toks)
+),
+tokb AS (
+    SELECT t.doc_id, i.tid % {B} AS bucket
+    FROM toks t JOIN ids i USING (tok)
+)
+""".replace(
+    "{B}", str(_B)
+)
+
+
+def _tok_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket) per token occurrence — hashed unigram features,
+    materialized per session (DSIR consumes it twice in one plan, the
+    classifier once per training step; one cached build serves all).
+
+    The dense_rank vocabulary id is the cross-engine-stable test-scale
+    convention (single-partition window over the DISTINCT vocabulary — a
+    dimension-table rank, not a data-scale sort; the 100 TB path swaps in
+    xxhash64 % B, which needs no vocabulary pass at all).
+    """
+    from .shared import materialized
+
+    return materialized(
+        spark, sf_dir, "sel_tokb", lambda: _build_tok_buckets(spark, sf_dir)
+    )
+
+
+def _build_tok_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    ids = (
+        toks.select("tok")
+        .distinct()
+        .withColumn(
+            "tid",
+            (F.dense_rank().over(Window.orderBy("tok")) - 1).cast("bigint"),
+        )
+    )
+    # vocab-id table is dimension-sized by contract — broadcast, so the
+    # token stream is bucketed map-side with no shuffle
+    return toks.join(F.broadcast(ids), "tok").select(
+        "doc_id", (F.col("tid") % _B).alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-ngram importance weights against a target domain
+# ---------------------------------------------------------------------------
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight vs the target domain.
+
+    Data Selection via Importance Resampling (arXiv:2302.03169): fit two
+    bag-of-hashed-unigrams multinomials — p_target over the target-domain
+    slice (here ``lang = 'en'``), p_raw over the full corpus — and score
+    every document by log w(x) = Σ_tokens (ln p_t[bucket] − ln p_r[bucket])
+    with add-one smoothing.  ``target_like`` (log w > 0) is the resampling
+    acceptance core; real pipelines sample ∝ w with a Gumbel top-k, which
+    reduces to this score plus the deterministic hash-split machinery of
+    ``hash_split_sizes``.
+
+    Scale shape: one groupBy bucket over the token stream (map-side
+    combine → B rows), the per-bucket log-ratio table broadcast onto the
+    token stream, one per-doc aggregation.  No shuffle carries more than
+    O(tokens) rows and the model state is B rows.
+    """
+    tokb = _tok_buckets(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id", (F.col("lang") == _TARGET_LANG).alias("is_tgt")
+    )
+    t = tokb.join(lab, "doc_id")
+    per_bucket = t.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("cr"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+        .cast("double")
+        .alias("ct"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    ratios = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + float(_B)))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_B)))
+        ).alias("lr"),
+    )
+    return (
+        tokb.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr").alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_weight",
+            (F.col("log_weight") > 0.0).alias("target_like"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "dsir_importance_weights",
+        q_dsir_importance_weights,
+        f"""
+        WITH {_TOKS_CTE},
+        lab AS (SELECT doc_id, lang = '{_TARGET_LANG}' AS is_tgt
+                FROM documents),
+        per_bucket AS (
+            SELECT b.bucket,
+                   CAST(COUNT(*) AS DOUBLE) AS cr,
+                   CAST(SUM(CASE WHEN l.is_tgt THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS ct
+            FROM tokb b JOIN lab l USING (doc_id)
+            GROUP BY 1
+        ),
+        totals AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM per_bucket),
+        ratios AS (
+            SELECT bucket,
+                   ln((ct + 1.0) / (tt + {float(_B)}))
+                   - ln((cr + 1.0) / (tr + {float(_B)})) AS lr
+            FROM per_bucket CROSS JOIN totals
+        )
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(r.lr) AS log_weight,
+               SUM(r.lr) > 0.0 AS target_like
+        FROM tokb b JOIN ratios r USING (bucket)
+        GROUP BY 1
+        """,
+        doc="DSIR hashed-unigram importance log-weights vs target domain "
+        "(arXiv:2302.03169)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier: hashed logistic regression, fully declarative
+# ---------------------------------------------------------------------------
+_T_ITERS = 6
+_LR = 4.0
+_BIAS = -1  # pseudo-bucket carrying the intercept (x = 1.0 for every doc)
+
+
+def quality_classifier_scores(
+    docs_feats: DataFrame,
+    labels: DataFrame,
+    n_iters: int = _T_ITERS,
+    lr: float = _LR,
+) -> DataFrame:
+    """Train a hashed-bag-of-words logistic regression by full-batch
+    gradient descent and return per-doc scores — the GPT-3/LLaMA-style
+    learned quality filter (high-quality reference corpus = positive
+    class), as ONE declarative DataFrame program.
+
+    `docs_feats`: (doc_id, bucket, x) tf features incl. the bias
+    pseudo-bucket; `labels`: (doc_id, y∈{0.0,1.0}).
+
+    The training loop runs as T chained DataFrame steps: each iteration
+    is score (Σ x·w per doc) → residual (σ(z) − y) → gradient
+    (Σ r·x / N per bucket) → weight update, where the weight and
+    gradient tables are O(B) rows and every weight join is a broadcast.
+    No .collect() — the model NEVER leaves the executors; each updated
+    weight table is `localCheckpoint`ed (O(B) rows) so the next
+    iteration's plan starts from materialized blocks instead of
+    re-analyzing/re-executing the whole prefix (an unrolled-lineage
+    variant measured 10 s of driver-side plan analysis at T=6).  The
+    same unrolled algebra is emitted as the SQL oracle, so the entire
+    FIT (not just the scoring pass) is certified cross-engine.
+    Scale: 2 shuffles per iteration over the (doc, bucket) aggregate
+    (O(docs·B) rows max), model state B+1 rows; callers persist
+    `docs_feats` once and the T passes re-read the cached aggregate.
+    """
+    # N is the one number that leaves the cluster: a scalar aggregate
+    # (same class as the kernel sizing counts), NOT model state
+    n = float(labels.count())
+    wt = (
+        docs_feats.select("bucket")
+        .distinct()
+        .withColumn("w", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        z = (
+            docs_feats.join(F.broadcast(wt), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        )
+        resid = z.join(labels, "doc_id").select(
+            "doc_id",
+            (1.0 / (1.0 + F.exp(-F.col("z"))) - F.col("y")).alias("r"),
+        )
+        grad = (
+            docs_feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x") / F.lit(n)).alias("g"))
+        )
+        wt = (
+            wt.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") - lr * F.coalesce("g", F.lit(0.0))).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    scores = (
+        docs_feats.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("z"))
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            (1.0 / (1.0 + F.exp(-F.col("z")))).alias("score"),
+        )
+    )
+    return scores.withColumn("predicted", F.col("score") > 0.5)
+
+
+def _doc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, x): per-doc tf over hashed unigrams + bias row."""
+    tokb = _tok_buckets(spark, sf_dir)
+    cnts = tokb.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    # doc lengths from the ALREADY-aggregated counts (≤B rows per doc),
+    # not a second pass over the token stream
+    nd = cnts.groupBy("doc_id").agg(F.sum("c").alias("nd"))
+    tf = cnts.join(nd, "doc_id").select(
+        "doc_id", "bucket", (F.col("c") / F.col("nd")).alias("x")
+    )
+    bias = nd.select(
+        "doc_id", F.lit(_BIAS).cast("bigint").alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    # pre-partition on doc_id: the persisted copy's hash partitioning is
+    # reused by every iteration's per-doc groupBy and residual join, so
+    # each training step only shuffles the O(B)-row gradient table
+    return tf.unionByName(bias).repartition("doc_id")
+
+
+def q_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier scores over the documents table (target class =
+    ``lang = 'en'`` as the stand-in reference corpus; on this synthetic
+    word-soup the class signal is weak by construction — the certified
+    surface is the distributed training algebra, and
+    tests/test_selectionops.py proves real learning on a separable
+    fixture)."""
+    from .shared import materialized
+
+    feats = materialized(
+        spark, sf_dir, "qc_feats", lambda: _doc_feats(spark, sf_dir)
+    )
+    labels = materialized(
+        spark,
+        sf_dir,
+        "qc_labels",
+        lambda: load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == _TARGET_LANG, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+        .join(feats.select("doc_id").distinct(), "doc_id")
+        .repartition("doc_id"),
+    )
+    return quality_classifier_scores(feats, labels)
+
+
+def _classifier_oracle() -> str:
+    feats = f"""
+        WITH {_TOKS_CTE},
+        cnts AS (
+            SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM tokb GROUP BY 1, 2
+        ),
+        nd AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS nd
+            FROM tokb GROUP BY 1
+        ),
+        feats AS (
+            SELECT c.doc_id, c.bucket, c.c / n.nd AS x
+            FROM cnts c JOIN nd n USING (doc_id)
+            UNION ALL
+            SELECT doc_id, CAST({_BIAS} AS BIGINT) AS bucket, 1.0 AS x
+            FROM nd
+        ),
+        lab AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.lang = '{_TARGET_LANG}' THEN 1.0
+                        ELSE 0.0 END AS y
+            FROM documents d JOIN nd ON d.doc_id = nd.doc_id
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+        w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feats)"""
+    steps = []
+    for i in range(_T_ITERS):
+        steps.append(
+            f"""
+        z{i} AS (
+            SELECT f.doc_id, SUM(f.x * w.w) AS z
+            FROM feats f JOIN w{i} w USING (bucket) GROUP BY 1
+        ),
+        r{i} AS (
+            SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - l.y AS r
+            FROM z{i} z JOIN lab l USING (doc_id)
+        ),
+        g{i} AS (
+            SELECT f.bucket, SUM(r.r * f.x / nn.n) AS g
+            FROM feats f JOIN r{i} r USING (doc_id) CROSS JOIN nn
+            GROUP BY 1
+        ),
+        w{i + 1} AS (
+            SELECT w.bucket, w.w - {_LR} * COALESCE(g.g, 0.0) AS w
+            FROM w{i} w LEFT JOIN g{i} g USING (bucket)
+        )"""
+        )
+    final = f"""
+        SELECT f.doc_id,
+               CAST(l.y AS INT) AS label,
+               1.0 / (1.0 + exp(-SUM(f.x * w.w))) AS score,
+               1.0 / (1.0 + exp(-SUM(f.x * w.w))) > 0.5 AS predicted
+        FROM feats f
+        JOIN w{_T_ITERS} w USING (bucket)
+        JOIN lab l USING (doc_id)
+        GROUP BY f.doc_id, l.y"""
+    return feats + "," + ",".join(steps) + final
+
+
+register(
+    QuerySpec(
+        "quality_classifier_scores",
+        q_quality_classifier_scores,
+        _classifier_oracle(),
+        doc="hashed-BoW logistic-regression quality filter, full-batch GD "
+        f"unrolled {_T_ITERS} steps into the plan — the TRAINING loop is "
+        "oracle-certified, not just scoring (GPT-3-style learned data "
+        "filter; arXiv:2005.14165 App. A)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# C4-style blocklist filtering
+# ---------------------------------------------------------------------------
+#: word blocklist (C4 drops any page containing a listed word verbatim —
+#: arXiv:1910.10683 §2.2; the list itself is corpus-specific)
+_BLOCKLIST = ("slow", "null", "merge")
+
+
+def q_blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source blocklist hit stats: docs flagged (any blocklisted TOKEN
+    present — word-boundary exact, not substring), hit occurrences, and
+    surviving-corpus size — the C4 hard-filter pass as one aggregation.
+
+    Stateless map over the token array (codegen `arrays_overlap` /
+    `array_intersect`, no UDF) + one partial-agg rollup on the
+    low-cardinality source key: embarrassingly parallel at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    per_doc = docs.select(
+        "source",
+        toks.alias("toks"),
+        F.arrays_overlap(toks, bl).alias("flagged"),
+        F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.sum(F.when(~F.col("flagged"), F.size("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("surviving_tokens"),
+    )
+
+
+register(
+    QuerySpec(
+        "blocklist_filter_stats",
+        q_blocklist_filter_stats,
+        f"""
+        WITH per_doc AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), t -> t <> '')
+                       AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT source,
+                   len(toks) AS n_toks,
+                   len(list_filter(toks,
+                       t -> list_contains({list(_BLOCKLIST)!r}, t)))
+                       AS n_hits
+            FROM per_doc
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN n_hits = 0 THEN n_toks ELSE 0 END)
+                    AS BIGINT) AS surviving_tokens
+        FROM scored GROUP BY 1
+        """,
+        doc="C4-style blocklist hard filter, per-source rollup "
+        "(arXiv:1910.10683 §2.2)",
+    )
+)
