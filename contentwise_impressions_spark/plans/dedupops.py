@@ -1186,3 +1186,108 @@ register(
         "shape; operators/ann.cosine_topk_cross blocked GEMM)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing MinHash index
+# ---------------------------------------------------------------------------
+def q_incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup pass: flag INCOMING docs whose MinHash bands
+    collide with the EXISTING index — the steady-state shape of a 100 TB
+    dedup service, where each ingest batch is checked against the corpus
+    WITHOUT re-pairing the corpus with itself (no index×index or
+    incoming×incoming pairs ever form).
+
+    The index/incoming split reuses the deterministic hash-bucket
+    convention of ``hash_split_sizes`` (~70% existing index, ~30%
+    incoming batch).  One row per incoming doc: distinct index docs
+    sharing ≥1 LSH band, the smallest matching index doc (the canonical
+    representative to dedup against), and the keep/drop flag.
+
+    Scale shape: signatures are one hash agg over the shared shingle-id
+    stream; the band join is an equi-join on (band, bucket) with the
+    index side REUSABLE across batches (a real deployment persists the
+    index bands as a bucketed table and each ingest batch joins against
+    it); final rollup is one groupBy on the incoming doc id.
+    """
+    from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
+
+    sids = _sids(spark, sf_dir)
+    sigs = minhash_signatures(sids)
+    bands = None
+    for bidx in range(len(MINHASH_A) // 2):
+        c0, c1 = f"mh{2 * bidx}", f"mh{2 * bidx + 1}"
+        band = sigs.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.concat_ws(
+                "_", F.col(c0).cast("string"), F.col(c1).cast("string")
+            ).alias("bucket"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    in_index = (F.col("doc_id") * _HASH_A) % _HASH_MOD < _TRAIN_LT
+    idx = bands.filter(in_index).select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    inc = bands.filter(~in_index)
+    hits = (
+        inc.join(idx, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("match_id").cast("bigint").alias("n_candidates"),
+            F.min("match_id").alias("min_match_id"),
+        )
+    )
+    incoming_docs = (
+        _docs(spark, sf_dir).filter(~in_index).select("doc_id")
+    )
+    return incoming_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        "min_match_id",
+        F.coalesce(F.col("n_candidates") > 0, F.lit(False)).alias("is_dup"),
+    )
+
+
+def _incremental_oracle() -> str:
+    from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
+
+    pred = f"(doc_id * {_HASH_A}) % {_HASH_MOD} < {_TRAIN_LT}"
+    return f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()}),
+        hits AS (
+            SELECT i.doc_id,
+                   CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_candidates,
+                   MIN(x.doc_id) AS min_match_id
+            FROM bands i JOIN bands x
+              ON i.band = x.band AND i.bucket = x.bucket
+            WHERE NOT ({pred.replace('doc_id', 'i.doc_id')})
+              AND ({pred.replace('doc_id', 'x.doc_id')})
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_candidates, 0) AS n_candidates,
+               h.min_match_id,
+               COALESCE(h.n_candidates > 0, FALSE) AS is_dup
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE NOT ({pred.replace('doc_id', 'd.doc_id')})
+        """
+
+
+register(
+    QuerySpec(
+        "incremental_dedup_flags",
+        q_incremental_dedup_flags,
+        _incremental_oracle(),
+        doc="incremental MinHash-LSH dedup of an ingest batch against the "
+        "existing corpus index (no corpus self-pairing; hash-bucket "
+        "batch split)",
+    )
+)

@@ -104,6 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "dsir_importance_weights",
     "quality_classifier_scores",
     "blocklist_filter_stats",
+    "incremental_dedup_flags",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
