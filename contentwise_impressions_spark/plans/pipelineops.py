@@ -798,3 +798,88 @@ register(
         "style domain reweighting; byte-reproducible hash sample)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# RAG-prep passage chunking: sliding token windows with overlap
+# ---------------------------------------------------------------------------
+_CHUNK_W = 32  # window length (tokens)
+_CHUNK_S = 24  # stride (tokens) → 8-token overlap between neighbors
+
+
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per retrieval passage: sliding W=32-token windows at
+    stride 24 (8-token overlap) with the chunk TEXT rebuilt — the
+    chunk-for-embedding pass of a RAG indexing pipeline.
+
+    n_chunks = 1 + ceil(max(n − W, 0) / S); chunk k covers tokens
+    [k·S + 1, min(k·S + W, n)] (1-based, inclusive), so every token is
+    covered, neighbors overlap by W − S, and only the final chunk may be
+    short.  Scale shape: pure codegen — split/slice/array_join + one
+    explode; NO shuffle, NO UDF; embarrassingly parallel at any corpus
+    size (the chunker is the map stage feeding the ANN index builds).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = F.size("toks").cast("bigint")
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - _CHUNK_W, F.lit(0)) + _CHUNK_S - 1) / _CHUNK_S
+    ).cast("bigint")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    start = (F.col("chunk_idx") * _CHUNK_S + 1).cast("int")
+    clen = F.least(F.lit(_CHUNK_W).cast("bigint"), n - (start - 1)).cast(
+        "int"
+    )
+    return (
+        base.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start.cast("bigint").alias("start_tok"),
+            clen.cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(F.slice("toks", start, clen), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "passage_chunks",
+        q_passage_chunks,
+        f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   1 + CAST(floor((greatest(len(toks) - {_CHUNK_W}, 0)
+                                   + {_CHUNK_S} - 1) / {_CHUNK_S}) AS BIGINT)
+                       AS n_chunks
+            FROM base WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(i.i AS BIGINT) AS chunk_idx,
+               CAST(i.i * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+               CAST(least({_CHUNK_W}, n - i.i * {_CHUNK_S}) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(
+                   toks[(i.i * {_CHUNK_S} + 1):
+                        (i.i * {_CHUNK_S}
+                         + least({_CHUNK_W}, n - i.i * {_CHUNK_S}))],
+                   ' ') AS chunk_text
+        FROM sized, range(0, 100000) i(i)
+        WHERE i.i < n_chunks
+        """,
+        doc="RAG passage chunking: 32-token windows, stride 24, rebuilt "
+        "chunk text (codegen slice/array_join, shuffle-free)",
+    )
+)

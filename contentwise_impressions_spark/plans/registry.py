@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_classifier_scores",
     "blocklist_filter_stats",
     "incremental_dedup_flags",
+    "passage_chunks",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
