@@ -1291,3 +1291,69 @@ register(
         "batch split)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search: the IR serving query over the weighted index
+# ---------------------------------------------------------------------------
+_SEARCH_TERMS = ("window", "join", "hash")
+_SEARCH_K = 10
+
+
+def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a keyword query under okapi BM25 — the
+    serving-side counterpart of ``bm25_weights`` (build the weighted
+    index once, answer queries with a term-filtered scan).
+
+    score(q, d) = Σ_{t ∈ q} bm25_weight(d, t); ties broken by doc_id.
+    Scale shape: the term filter hits the weight build's token key FIRST
+    (predicate pushdown through the joins — only postings for the query
+    terms flow), then one per-doc partial agg and a TakeOrderedAndProject
+    global top-K (no global sort, no single-partition window).
+    """
+    w = bm25(term_frequencies(_docs(spark, sf_dir)), k1=1.2, b=0.75)
+    scored = (
+        w.filter(F.col("token").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _SEARCH_K
+    )
+
+
+register(
+    QuerySpec(
+        "bm25_search_topk",
+        q_bm25_search_topk,
+        f"""
+        WITH {_TF_CTE},
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, SUM(tf) AS row_sum FROM tf GROUP BY 1),
+        al AS (SELECT AVG(row_sum) AS avg_len FROM dl),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        w AS (
+            SELECT tf.doc_id, tf.token,
+                   tf.tf * (1.2 + 1.0)
+                     / (1.2 * ((1.0 - 0.75) + 0.75 * dl.row_sum / al.avg_len)
+                        + tf.tf)
+                     * ln(n.n_docs / (1.0 + df.df)) AS weight
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN al CROSS JOIN n
+            WHERE tf.token IN {_SEARCH_TERMS!r}
+        )
+        SELECT doc_id, SUM(weight) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM w GROUP BY 1
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {_SEARCH_K}
+        """,
+        doc="BM25 keyword-search serving: term-filtered postings, per-doc "
+        "agg, TakeOrderedAndProject top-10",
+    )
+)

@@ -106,6 +106,8 @@ DRIVER_PRIORITY: list[str] = [
     "blocklist_filter_stats",
     "incremental_dedup_flags",
     "passage_chunks",
+    "bm25_search_topk",
+    "batch_drift_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

@@ -465,3 +465,76 @@ register(
         "(arXiv:1910.10683 §2.2)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# batch drift monitoring: PSI between ingest batches
+# ---------------------------------------------------------------------------
+def q_batch_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index contributions per hashed token bucket
+    between the EXISTING corpus and the INCOMING ingest batch (same
+    hash-bucket split as ``incremental_dedup_flags``) — the
+    distribution-shift monitor a production pipeline runs on every batch
+    before letting it into the training mix.
+
+    psi_b = (p_a[b] − p_b[b]) · ln(p_a[b] / p_b[b]) with add-one
+    smoothing; Σ_b psi_b < 0.1 is the conventional "no shift" band.
+    Scale shape: the token stream collapses to B rows in ONE partial-agg
+    groupBy (two conditional sums, no second pass); everything after is
+    arithmetic on a B-row table.
+    """
+    from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
+
+    tokb = _tok_buckets(spark, sf_dir)
+    in_a = (F.col("doc_id") * _HASH_A) % _HASH_MOD < _TRAIN_LT
+    per_bucket = tokb.groupBy("bucket").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("double").alias("ca"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("double").alias("cb"),
+    )
+    totals = per_bucket.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pa = (F.col("ca") + 1.0) / (F.col("ta") + float(_B))
+    pb = (F.col("cb") + 1.0) / (F.col("tb") + float(_B))
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("ca").cast("bigint").alias("n_existing"),
+        F.col("cb").cast("bigint").alias("n_incoming"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi"),
+    )
+
+
+def _drift_oracle() -> str:
+    from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
+
+    pred = f"(doc_id * {_HASH_A}) % {_HASH_MOD} < {_TRAIN_LT}"
+    return f"""
+        WITH {_TOKS_CTE},
+        ab AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS ca,
+                   CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS DOUBLE)
+                       AS cb
+            FROM tokb GROUP BY 1
+        ),
+        tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM ab)
+        SELECT bucket,
+               CAST(ca AS BIGINT) AS n_existing,
+               CAST(cb AS BIGINT) AS n_incoming,
+               ((ca + 1.0) / (ta + {float(_B)})
+                - (cb + 1.0) / (tb + {float(_B)}))
+               * ln(((ca + 1.0) / (ta + {float(_B)}))
+                    / ((cb + 1.0) / (tb + {float(_B)}))) AS psi
+        FROM ab CROSS JOIN tot
+        """
+
+
+register(
+    QuerySpec(
+        "batch_drift_stats",
+        q_batch_drift_stats,
+        _drift_oracle(),
+        doc="PSI distribution-shift monitor between the existing corpus "
+        "and the incoming ingest batch (hashed token buckets, add-one "
+        "smoothing; one partial-agg groupBy then B-row arithmetic)",
+    )
+)
