@@ -6,15 +6,17 @@ run as Arrow-batched ``mapInPandas`` stages.
 
 Decode status: PPM/PGM (netpbm P6/P5), BMP (BITMAPINFOHEADER, 8/24/32 bpp
 uncompressed), baseline-sequential JPEG (`multimodal/jpeg.py` — marker
-walk, Huffman entropy decode, IDCT, 4:2:0 upsample, restart markers) and
-RIFF/WAVE PCM all decode FOR REAL via pure-numpy codecs, end-to-end
-through the same mapInPandas kernel a production decoder would use.  The
-remaining compressed codecs (PNG/mp3/mp4 — PIL/ffmpeg/torchaudio are NOT
-in this container) stay stubbed: `decode_media(..., allow_fake=False)`
-raises NotImplementedError exactly where the library call belongs, and
-`allow_fake=True` substitutes a deterministic byte-statistics decoder so
-the Spark-side contract — schema, batch shape, partitioning, null
-behavior — is exercised for every format.
+walk, Huffman entropy decode, IDCT, 4:2:0 upsample, restart markers),
+PNG (`multimodal/png.py` — CRC-checked chunk walk, zlib inflate, all
+five scanline unfilters, palette) and RIFF/WAVE PCM all decode FOR REAL
+via pure-numpy/stdlib codecs, end-to-end through the same mapInPandas
+kernel a production decoder would use.  The remaining compressed codecs
+(mp3/mp4 — ffmpeg/torchaudio are NOT in this container) stay stubbed:
+`decode_media(..., allow_fake=False)` raises NotImplementedError exactly
+where the library call belongs, and `allow_fake=True` substitutes a
+deterministic byte-statistics decoder so the Spark-side contract —
+schema, batch shape, partitioning, null behavior — is exercised for
+every format.
 
 Design notes for 100 TB of media:
 - binary payloads ride the SAME row as their metadata; column pruning means
@@ -259,6 +261,8 @@ def _decode_wav(buf: bytes):
 # reference ships with the task — a worker never imports the package
 from .jpeg import decode_jpeg as _decode_jpeg  # noqa: E402
 from .jpeg import encode_jpeg as _encode_jpeg  # noqa: E402
+from .png import decode_png as _decode_png  # noqa: E402
+from .png import encode_png as _encode_png  # noqa: E402
 
 _REAL_DECODERS = {
     "ppm": _decode_ppm,
@@ -266,6 +270,7 @@ _REAL_DECODERS = {
     "bmp": _decode_bmp,
     "jpeg": _decode_jpeg,
     "jpg": _decode_jpeg,
+    "png": _decode_png,
 }
 
 
@@ -300,11 +305,11 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
                     )
                     continue
                 if not allow_fake:
-                    # a PNG/mp4 codec call belongs HERE
+                    # an mp3/mp4 codec call belongs HERE
                     raise NotImplementedError(
                         f"no codec for format {meta['format']!r} in this "
                         "environment (pure-numpy decoders cover ppm/pgm/"
-                        "bmp/jpeg); pass allow_fake=True for the "
+                        "bmp/jpeg/png); pass allow_fake=True for the "
                         "deterministic byte-statistics stand-in"
                     )
                 arr = np.frombuffer(blob, dtype=np.uint8)
@@ -423,8 +428,10 @@ def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
     """Real raster payloads (deterministic per-doc gradient images encoded
     as actual PPM/PGM bytes) — lets the decode path run WITHOUT the fake
     stand-in anywhere media libraries are unavailable."""
-    if fmt not in ("ppm", "pgm", "jpeg"):
-        raise ValueError("generated media supports fmt in {'ppm','pgm','jpeg'}")
+    if fmt not in ("ppm", "pgm", "jpeg", "png"):
+        raise ValueError(
+            "generated media supports fmt in {'ppm','pgm','jpeg','png'}"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -438,11 +445,15 @@ def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
                 base = (xx * 7 + yy * 13 + int(doc_id)) % 256
                 img = (
                     np.stack([base, (base + 85) % 256, (base + 170) % 256], -1)
-                    if fmt in ("ppm", "jpeg")
+                    if fmt in ("ppm", "jpeg", "png")
                     else base[:, :, None]
                 ).astype(np.uint8)
                 if fmt == "jpeg":
                     blob = _encode_jpeg(img)
+                elif fmt == "png":
+                    # cycle the row filter so every decoder unfilter path
+                    # (None/Sub/Up/Average/Paeth) runs on real data
+                    blob = _encode_png(img, filter_mode="cycle")
                 else:
                     blob = encode_ppm(img)
                 out.append(

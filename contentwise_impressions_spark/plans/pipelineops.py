@@ -883,3 +883,95 @@ register(
         "chunk text (codegen slice/array_join, shuffle-free)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# PNG decode certification (lossless twin of jpeg_decode_stats)
+# ---------------------------------------------------------------------------
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats decoded from REAL PNG bytes.
+
+    The media source encodes the deterministic gradient raster (pixel
+    (x, y, c) = (x*7 + y*13 + doc_id + c*85) mod 256) as spec-conformant
+    PNG with the row filter CYCLING through all five types
+    (None/Sub/Up/Average/Paeth), and the decode stage walks chunks
+    (CRC-validated), inflates IDAT, and unfilters (multimodal/png.py) —
+    no fake stand-in.  PNG is LOSSLESS, so unlike the JPEG twin the
+    certified bound is exact: `decode_faithful` = |decoded mean −
+    arithmetic raster mean| < 1e-9, where Spark recomputes the
+    arithmetic mean from the generator formula the oracle also uses —
+    ANY filter/inflate/palette bug flips the flag and the driver's hash
+    check goes red.  Scale shape: row-independent mapInPandas decode,
+    one join on doc_id.
+    """
+    from ..multimodal import attach_generated_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    media = attach_generated_media(docs.repartition(par), fmt="png")
+    decoded = decode_media(media, allow_fake=False)
+    dims = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 31 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 23 + 2).cast("int").alias("h"),
+    )
+    arith = (
+        dims.select(
+            "doc_id",
+            "w",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("x"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            "h",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.col("h") - 1)).alias("y"),
+        )
+        .select(
+            "doc_id",
+            "x",
+            "y",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.pmod(
+                    F.col("x") * 7
+                    + F.col("y") * 13
+                    + F.col("doc_id")
+                    + F.col("c") * 85,
+                    F.lit(256),
+                ).cast("double")
+            ).alias("arith_mean")
+        )
+    )
+    return decoded.join(arith, "doc_id").select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        (
+            F.abs(F.col("mean_intensity") - F.col("arith_mean")) < 1e-9
+        ).alias("decode_faithful"),
+    )
+
+
+register(
+    QuerySpec(
+        "png_decode_stats",
+        q_png_decode_stats,
+        """
+        SELECT doc_id,
+               CAST(n_chars % 31 + 2 AS INT) AS width,
+               CAST(doc_id % 23 + 2 AS INT) AS height,
+               TRUE AS decode_faithful
+        FROM documents
+        """,
+        doc="real PNG decode certification (multimodal/png.py pure-"
+        "python/numpy codec: CRC chunk walk, zlib inflate, all five "
+        "unfilters exercised via cycling encoder; LOSSLESS 1e-9 bound "
+        "vs the oracle's arithmetic raster mean)",
+    )
+)

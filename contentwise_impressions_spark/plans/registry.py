@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "passage_chunks",
     "bm25_search_topk",
     "batch_drift_stats",
+    "png_decode_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

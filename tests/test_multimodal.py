@@ -400,3 +400,109 @@ def test_decode_real_jpeg_via_spark(spark, sf_dir):
         assert abs(got["mean_intensity"] - expected.mean()) < 1e-9
         # and the decode is actually faithful, not just schema-correct
         assert abs(expected.astype(float).mean() - img.mean()) < 4.0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (multimodal/png.py)
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        gray = bool(rng.integers(0, 2))
+        img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+            np.uint8
+        )
+        for mode in ("none", "cycle"):  # cycle hits Sub/Up/Average/Paeth
+            out = decode_png(encode_png(img, filter_mode=mode))
+            assert out.shape == img.shape
+            assert (out == img).all()
+
+
+def test_png_palette_and_alpha_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal.png import (
+        _SIG,
+        _chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    # palette (color type 3)
+    pal = (np.arange(768) % 256).astype(np.uint8).reshape(256, 3)
+    idx = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    lines = b"".join(b"\x00" + idx[r].tobytes() for r in range(5))
+    blob = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(lines))
+        + _chunk(b"IEND", b"")
+    )
+    dec = decode_png(blob)
+    assert dec.shape == (5, 7, 3) and (dec == pal[idx]).all()
+    # RGBA (color type 6)
+    rgba = rng.integers(0, 256, (4, 3, 4)).astype(np.uint8)
+    lines = b"".join(b"\x00" + rgba[r].tobytes() for r in range(4))
+    blob = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(lines))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == rgba).all()
+
+
+def test_png_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from contentwise_impressions_spark.multimodal.png import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = bytearray(encode_png(img))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x00" + bytes(blob[1:]))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_decode_real_png_via_spark(spark, sf_dir):
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal import (
+        attach_generated_media,
+        decode_media,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = attach_generated_media(docs, fmt="png")
+    out = {r["doc_id"]: r for r in decode_media(media, allow_fake=False).collect()}
+    for row in docs.select("doc_id", "n_chars").collect():
+        d, n_chars = row["doc_id"], row["n_chars"]
+        w, h = n_chars % 31 + 2, d % 23 + 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 13 + d) % 256
+        expected = np.stack(
+            [base, (base + 85) % 256, (base + 170) % 256], -1
+        ).astype(np.uint8)
+        got = out[d]
+        assert (got["width"], got["height"]) == (w, h)
+        # PNG is lossless — decoded mean equals the raster mean exactly
+        assert abs(got["mean_intensity"] - expected.mean()) < 1e-9
