@@ -294,3 +294,97 @@ def dedup_events_stream(
     if src.isStreaming:
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)
+
+
+def rowwise_minhash_bands(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) MinHash LSH bands computed PER ROW — no
+    groupBy, no state: shingle → xxhash64 sid → 8 affine min-hashes via
+    array_min(transform(...)) entirely inside codegen.
+
+    This is the streaming-compatible formulation of
+    operators/neardup.minhash_signatures: the batch path aggregates a
+    shingle-id stream (portable dense_rank ids for the oracle), while a
+    stream needs each doc's signature from its own row alone — xxhash64
+    sids (the documented 100 TB convention) make the min-hash a pure
+    per-row expression, so banding a document STREAM is a stateless map.
+    Docs with fewer than 3 tokens have no shingles and emit no bands.
+    """
+    from ..operators.neardup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_sh = F.greatest(F.size("toks") - 2, F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+        ),
+    )
+    sids = F.transform(
+        "shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
+    )
+    def affine(a: int, b: int):
+        # closure factory: a bare 1-arg lambda (extra default args would
+        # be read as higher-order-function arity by the analyzer)
+        return lambda s: (s * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", sh.alias("shingles"))
+        .select("doc_id", sids.alias("sids"))
+        .select(
+            "doc_id",
+            *[
+                F.array_min(F.transform("sids", affine(a, b))).alias(f"mh{k}")
+                for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ],
+        )
+    )
+    n_bands = len(MINHASH_A) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{bidx * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bidx in range(n_bands)
+        ]
+    )
+    return base.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+
+def stream_incremental_dedup(
+    incoming: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """(doc_id, match_id, band) near-dup match events: each micro-batch of
+    the incoming document STREAM probes the STATIC corpus band index — the
+    streaming twin of plans/dedupops.q_incremental_dedup_flags and the
+    third join flavor this engine demonstrates (stream-static, alongside
+    stream-stream interval and batch as-of).
+
+    A stream-static equi-join is STATELESS: no watermark, no state store —
+    the static side is (re)broadcast/scanned per micro-batch and arbitrary
+    late arrivals still match, which is exactly the dedup-service
+    semantics (the index does not age out).  At 100 TB the static side is
+    the bucketed band table `incremental_dedup_flags` describes; rolling
+    the matches up per doc (n_candidates/min_match_id) belongs in the
+    foreachBatch sink, keeping the streaming plan append-only.
+    """
+    inc = rowwise_minhash_bands(incoming)
+    idx = index_bands.select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    return inc.join(idx, ["band", "bucket"]).select(
+        "doc_id", "match_id", "band"
+    )

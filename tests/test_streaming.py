@@ -405,3 +405,61 @@ def test_stream_dedup_suppresses_redelivery(spark, sf_dir):
         assert all(r["c"] == 1 for r in got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_incremental_dedup_matches_batch(spark, sf_dir):
+    """Stream-static join: incoming doc stream probes the static band
+    index; the union of per-micro-batch matches equals the one-shot batch
+    join on the same inputs."""
+    from contentwise_impressions_spark.streaming.ingest import (
+        rowwise_minhash_bands,
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    in_index = (F.col("doc_id") * 2654435761) % 1000 < 700
+    index_bands = rowwise_minhash_bands(docs.filter(in_index))
+    incoming = docs.filter(~in_index).select("doc_id", "text")
+
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_sdedup_"))
+    try:
+        # deliver the incoming batch as two micro-batch files
+        incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+        incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "in"))
+        src = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp / "in"))
+        )
+        matches = stream_incremental_dedup(src, index_bands)
+        q = (
+            matches.writeStream.format("memory")
+            .queryName("dedup_matches")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["doc_id"], r["match_id"], r["band"])
+            for r in spark.sql("SELECT * FROM dedup_matches").collect()
+        }
+        expect = {
+            (r["doc_id"], r["match_id"], r["band"])
+            for r in stream_incremental_dedup(
+                incoming, index_bands
+            ).collect()
+        }
+        assert got == expect and len(expect) > 0
+        # and no incoming doc ever matches itself or another incoming doc
+        incoming_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+        assert all(m not in incoming_ids for _, m, _ in got)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
