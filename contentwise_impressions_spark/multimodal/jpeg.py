@@ -169,15 +169,21 @@ def _dht(tc: int, th: int, bits: list[int], symbols: list[int]) -> bytes:
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    img: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    separate_scans: bool = False,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
     (flat quant step 2, self-defined DHT tables).
 
     `subsample=True` emits 4:2:0 (Y at 2x2, averaged-2x2 chroma);
     `restart_interval=n` emits a DRI segment and RSTn markers every n
-    MCUs — both exist to exercise the decoder's generic sampling-factor
-    and restart paths with realistic streams."""
+    MCUs; `separate_scans=True` emits one NON-interleaved SOS per
+    component (legal baseline, T.81 B.2.3) — all three exist to exercise
+    the decoder's generic sampling-factor / restart / multi-scan paths
+    with realistic streams.  `separate_scans` ignores restart_interval.
+    """
     a = np.asarray(img, dtype=np.float64)
     gray = a.ndim == 2
     h, wd = a.shape[:2]
@@ -231,11 +237,12 @@ def encode_jpeg(
     out += _dht(1, 0, _AC_BITS, _AC_SYMBOLS)
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
-    sos = bytes([n_comp])
-    for cid in range(1, n_comp + 1):
-        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])  # full spectral selection, no approximation
-    out += _seg(0xDA, sos)
+    if not separate_scans:
+        sos = bytes([n_comp])
+        for cid in range(1, n_comp + 1):
+            sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])  # full spectral selection, no approx
+        out += _seg(0xDA, sos)
 
     # batch DCT + quantize per plane: ONE einsum over every 8x8 block,
     # zigzagged to int lists (the per-block _dct2 matmuls and np.round
@@ -250,6 +257,26 @@ def encode_jpeg(
         coef = np.einsum("ij,rcjk,kl->rcil", _C, blocks, _C.T)
         q = np.round(coef / qt8).astype(np.int64).reshape(br, bc, 64)
         zz_planes.append(q[:, :, ZIGZAG].tolist())
+
+    if separate_scans:
+        # one NON-interleaved scan per component: MCU = one block in the
+        # component's raster order, DC predictor chain reset per scan
+        for ci in range(n_comp):
+            out += _seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+            vals, lens = [], []
+            pred = 0
+            # only the component's OWN ceil(size/8) block grid is coded
+            # non-interleaved (A.2.2) — not the padded MCU grid
+            fh, fv = factors[ci]
+            cw = (wd * fh + hmax - 1) // hmax
+            chh = (h * fv + vmax - 1) // vmax
+            zzp = zz_planes[ci]
+            for row in zzp[: (chh + 7) // 8]:
+                for zz in row[: (cw + 7) // 8]:
+                    pred = _emit_block(vals, lens, zz, pred)
+            out += _pack_bits(vals, lens)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     vals: list[int] = []
     lens: list[int] = []
@@ -399,22 +426,38 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 image (h, w) grayscale or (h, w, 3) RGB."""
+    """Baseline JPEG bytes → uint8 image (h, w) grayscale or (h, w, 3) RGB.
+
+    Handles multi-scan baseline streams (one SOS per component is legal
+    baseline, T.81 B.2.3), non-interleaved single-component scans
+    (MCU = one block in the component's own raster order, A.2.2), 0xFF
+    fill bytes before markers (B.1.1.2), and length-less markers (TEM,
+    stray RSTn) in the header walk."""
     b = bytes(buf)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     hufs: dict[tuple[int, int], _HuffTable] = {}
     comps: list[dict] = []
+    planes: dict[int, np.ndarray] = {}  # comp id → full-grid pixel plane
     h = wd = 0
     restart_interval = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"invalid JPEG: expected marker at byte {i}")
         marker = b[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # length-less markers: TEM, stray RSTn, re-emitted SOI
+            i += 2
+            continue
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG: marker without length")
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         if i + 2 + seg_len > len(b):
             raise ValueError("truncated JPEG: segment overruns buffer")
@@ -464,99 +507,43 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if not comps:
+                raise ValueError("invalid JPEG: SOS before SOF")
             n_scan = body[0]
-            scan = {}
+            scan_ids: list[int] = []
+            scan: dict[int, tuple[int, int]] = {}
             for c in range(n_scan):
                 cid, tables = body[1 + 2 * c : 3 + 2 * c]
+                scan_ids.append(cid)
                 scan[cid] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                b, i + 2 + seg_len, h, wd, comps, scan, qtabs, hufs,
-                restart_interval,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (wd + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                if c["id"] in scan and c["id"] not in planes:
+                    planes[c["id"]] = np.zeros(
+                        (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                        np.float64,
+                    )
+            i = _decode_scan(
+                b, i + 2 + seg_len, h, wd, comps, scan_ids, scan, qtabs,
+                hufs, restart_interval, planes,
             )
+            continue
         i += 2 + seg_len
-    raise ValueError("invalid JPEG: no SOS segment")
-
-
-def _decode_scan(
-    b: bytes,
-    start: int,
-    h: int,
-    wd: int,
-    comps: list[dict],
-    scan: dict,
-    qtabs: dict,
-    hufs: dict,
-    restart_interval: int,
-) -> np.ndarray:
+    if not planes:
+        raise ValueError("invalid JPEG: no SOS segment")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (wd + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    r = _BitReader(b, start)
-    preds = [0] * len(comps)
-    n_mcu = 0
-    # entropy decode first (inherently serial), IDCT batched afterwards:
-    # per component, scan-order coefficient rows + block positions
-    zz_rows: list[list[list[int]]] = [[] for _ in comps]
-    pos_rows: list[list[tuple[int, int]]] = [[] for _ in comps]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                r.restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dc_t = hufs[(0, scan[c["id"]][0])]
-                ac_t = hufs[(1, scan[c["id"]][1])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = [0] * 64
-                        cat = dc_t.decode(r)
-                        diff = _extend(r.bits(cat), cat) if cat else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = ac_t.decode(r)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0xF
-                            if k > 63:
-                                raise ValueError(
-                                    "invalid JPEG: AC index past 63"
-                                )
-                            zz[k] = _extend(r.bits(size), size)
-                            k += 1
-                        zz_rows[ci].append(zz)
-                        pos_rows[ci].append(
-                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
-                        )
-            n_mcu += 1
     full = []
-    for ci, c in enumerate(comps):
-        plane = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64
-        )
-        qt = qtabs[c["tq"]]
-        # ONE dequant + IDCT over every block of the component (the former
-        # per-block 8x8 matmuls were pure Python-call overhead)
-        zzs = np.array(zz_rows[ci], dtype=np.float64).reshape(-1, 64)
-        coefs = np.zeros_like(zzs)
-        coefs[:, ZIGZAG] = zzs * qt[ZIGZAG][None, :]
-        blocks = (
-            np.einsum(
-                "ij,njk,kl->nil", _C.T, coefs.reshape(-1, 8, 8), _C
+    for c in comps:
+        if c["id"] not in planes:
+            raise ValueError(
+                f"invalid JPEG: component {c['id']} never scanned"
             )
-            + 128.0
-        )
-        for (y0, x0), blk in zip(pos_rows[ci], blocks):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
         p = np.repeat(
-            np.repeat(plane, vmax // c["v"], axis=0),
+            np.repeat(planes[c["id"]], vmax // c["v"], axis=0),
             hmax // c["h"],
             axis=1,
         )
@@ -573,3 +560,122 @@ def _decode_scan(
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(r: _BitReader, dc_t, ac_t, pred: int) -> list[int]:
+    """Entropy-decode one block; returns its 64 scan-order coefficients
+    with the DC already predictor-resolved (zz[0] = new predictor)."""
+    zz = [0] * 64
+    cat = dc_t.decode(r)
+    diff = _extend(r.bits(cat), cat) if cat else 0
+    zz[0] = pred + diff
+    k = 1
+    while k < 64:
+        sym = ac_t.decode(r)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0xF
+        if k > 63:
+            raise ValueError("invalid JPEG: AC index past 63")
+        zz[k] = _extend(r.bits(size), size)
+        k += 1
+    return zz
+
+
+def _decode_scan(
+    b: bytes,
+    start: int,
+    h: int,
+    wd: int,
+    comps: list[dict],
+    scan_ids: list[int],
+    scan: dict,
+    qtabs: dict,
+    hufs: dict,
+    restart_interval: int,
+    planes: dict[int, np.ndarray],
+) -> int:
+    """Decode one SOS's entropy data into `planes`; returns the byte
+    index of the next marker after the scan (multi-scan support)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    sc = [c for cid in scan_ids for c in comps if c["id"] == cid]
+    if len(sc) != len(scan_ids):
+        raise ValueError("invalid JPEG: scan references unknown component")
+    r = _BitReader(b, start)
+    preds = {c["id"]: 0 for c in sc}
+    n_mcu = 0
+    # entropy decode first (inherently serial), IDCT batched afterwards:
+    # per scan component, scan-order coefficient rows + block positions
+    zz_rows: dict[int, list[list[int]]] = {c["id"]: [] for c in sc}
+    pos_rows: dict[int, list[tuple[int, int]]] = {c["id"]: [] for c in sc}
+    if len(sc) == 1:
+        # NON-interleaved (T.81 A.2.2): MCU = ONE block, iterated in the
+        # component's own raster order over ceil(comp_dims / 8) blocks
+        c = sc[0]
+        dc_t = hufs[(0, scan[c["id"]][0])]
+        ac_t = hufs[(1, scan[c["id"]][1])]
+        cw = (wd * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        for by in range((chh + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    r.restart()
+                    preds = {c["id"]: 0}
+                zz = _decode_block(r, dc_t, ac_t, preds[c["id"]])
+                preds[c["id"]] = zz[0]
+                zz_rows[c["id"]].append(zz)
+                pos_rows[c["id"]].append((by * 8, bx * 8))
+                n_mcu += 1
+    else:
+        mcus_x = (wd + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    r.restart()
+                    preds = {c["id"]: 0 for c in sc}
+                for c in sc:
+                    dc_t = hufs[(0, scan[c["id"]][0])]
+                    ac_t = hufs[(1, scan[c["id"]][1])]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = _decode_block(r, dc_t, ac_t, preds[c["id"]])
+                            preds[c["id"]] = zz[0]
+                            zz_rows[c["id"]].append(zz)
+                            pos_rows[c["id"]].append(
+                                (
+                                    (my * c["v"] + by) * 8,
+                                    (mx * c["h"] + bx) * 8,
+                                )
+                            )
+                n_mcu += 1
+    for c in sc:
+        plane = planes[c["id"]]
+        qt = qtabs[c["tq"]]
+        # ONE dequant + IDCT over every block of the component (the former
+        # per-block 8x8 matmuls were pure Python-call overhead)
+        zzs = np.array(zz_rows[c["id"]], dtype=np.float64).reshape(-1, 64)
+        coefs = np.zeros_like(zzs)
+        coefs[:, ZIGZAG] = zzs * qt[ZIGZAG][None, :]
+        blocks = (
+            np.einsum(
+                "ij,njk,kl->nil", _C.T, coefs.reshape(-1, 8, 8), _C
+            )
+            + 128.0
+        )
+        for (y0, x0), blk in zip(pos_rows[c["id"]], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+    # advance to the next marker: skip stuffed 0xFF00 and RSTn
+    j = r.i
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] != 0x00 and not (
+            0xD0 <= b[j + 1] <= 0xD7
+        ):
+            return j
+        j += 1
+    return len(b)

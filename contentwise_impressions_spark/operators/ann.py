@@ -256,6 +256,7 @@ def cosine_topk_cross(
     vec_col: str = "embedding",
     block_rows: int = 4096,
     min_blocks: int | None = None,
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine CORPUS neighbors for every QUERY vector —
     (vec_id, neighbor_id, cosine, rank), the retrieval shape (RAG /
@@ -272,10 +273,21 @@ def cosine_topk_cross(
     IVF-assign both sides with the same centroids and run this kernel per
     inverted list.
     """
+    from pyspark import StorageLevel
+
+    from .blocked_topk import _cached
+
     qp = _norm_payload(queries, vec_col)
-    cp = _norm_payload(corpus, vec_col)
     spark = qp.sparkSession
-    n = cp.count()  # block count sized by the big (corpus) side
+
+    def build() -> tuple[DataFrame, int]:
+        # the corpus payload has TWO consumers (sizing count + index
+        # branch) and is reusable across query batches — persist it and
+        # share via the session cache (same contract as _hash_blocks)
+        p = _norm_payload(corpus, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+        return p, p.count()
+
+    cp, n = _cached(spark, corpus_key and ("embc", corpus_key), build)
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
         min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
@@ -603,6 +615,7 @@ def semantic_dedup(
     assignments: DataFrame | None = None,
     distances: DataFrame | None = None,
     block_rows: int = 4096,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then prune within-cluster
     near-duplicates (Abbas et al. 2023, arXiv:2303.09540).
@@ -639,20 +652,40 @@ def semantic_dedup(
         assignments = ivf_assignments(
             embeddings, n_list, n_iters, vec_col, distances=distances
         )
-    payload = _norm_payload(embeddings, vec_col).join(
-        assignments.select(
-            "vec_id", F.col("list_id").cast("bigint").alias("list_id")
-        ),
-        "vec_id",
-    )
     thr = float(threshold)
 
-    # hot-cluster sub-blocking (same trick as ivf_topk): one scalar job
-    # sizes the largest inverted list; n_sub = 1 for a balanced clustering
-    mx_row = (
-        payload.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()
-    )
-    mx = int(mx_row[0]["m"] or 1)
+    from pyspark import StorageLevel
+
+    from .blocked_topk import _cached
+
+    spark = embeddings.sparkSession
+
+    def build() -> tuple[DataFrame, int]:
+        # the assigned payload has THREE consumers (hot-list sizing +
+        # both union branches) — persist it so the clustering chain is
+        # never re-executed, and share per session when keyed
+        p = (
+            _norm_payload(embeddings, vec_col)
+            .join(
+                assignments.select(
+                    "vec_id",
+                    F.col("list_id").cast("bigint").alias("list_id"),
+                ),
+                "vec_id",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # hot-cluster sub-block sizing (same trick as ivf_topk): one
+        # scalar aggregate over the persisted payload
+        mx_row = (
+            p.groupBy("list_id")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()
+        )
+        return p, int(mx_row[0]["m"] or 1)
+
+    payload, mx = _cached(spark, cache_key and ("semd", cache_key), build)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
 
     idx = (

@@ -858,6 +858,7 @@ def q_semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, threshold=0.4, n_list=8, n_iters=_SEMDEDUP_N_ITERS,
         distances=_ivf_distances(spark, sf_dir),
+        cache_key=f"{sf_dir}:semdedup",
     )
 
 
@@ -1147,7 +1148,9 @@ def q_ann_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return cosine_topk_cross(queries, corpus, k=5)
+    return cosine_topk_cross(
+        queries, corpus, k=5, corpus_key=f"{sf_dir}:retrieval_corpus"
+    )
 
 
 register(

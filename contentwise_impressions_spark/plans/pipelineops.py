@@ -540,24 +540,21 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# JPEG decode: real compressed-codec bytes through the distributed kernel
+# compressed-codec decode certification (JPEG lossy bound / PNG lossless)
 # ---------------------------------------------------------------------------
-def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats decoded from REAL baseline JPEG bytes.
+def _decode_certification(
+    spark: SparkSession, sf_dir: str, fmt: str, bound: float
+) -> DataFrame:
+    """Shared certification pipeline for the real image codecs.
 
     The media source encodes the deterministic gradient raster (pixel
-    (x, y, c) = (x*7 + y*13 + doc_id + c*85) mod 256) as actual baseline
-    JPEG (multimodal/jpeg.py encode_jpeg: DCT, flat quant step 2,
-    Huffman), and the decode stage parses markers + entropy stream with
-    the pure-numpy decoder — no fake stand-in.  DCT quantization makes
-    the decoded pixels non-SQL-expressible, so the certified columns are
-    the decoded dimensions plus `decode_faithful` = |decoded mean −
-    arithmetic raster mean| < 2.0 (measured roundtrip max 0.37 — a 5x
-    margin): Spark computes the arithmetic mean itself from the same
-    formula the oracle uses, so a broken decoder flips the flag and the
-    driver's hash check goes red.  Scale shape: row-independent
-    mapInPandas decode, one broadcast-size join on doc_id, no payload
-    shuffle.
+    (x, y, c) = (x*7 + y*13 + doc_id + c*85) mod 256) as real `fmt`
+    bytes, the decode stage runs the pure-numpy codec (no fake
+    stand-in), and `decode_faithful` = |decoded mean − arithmetic raster
+    mean| < `bound`, where Spark recomputes the arithmetic mean from the
+    same formula the oracle uses — a broken decoder flips the flag and
+    the driver's hash check goes red.  Scale shape: row-independent
+    mapInPandas decode, one join on doc_id, no payload shuffle.
     """
     from ..multimodal import attach_generated_media, decode_media
 
@@ -566,7 +563,7 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound encode+decode kernel across every core (measured 29 s
     # serial vs ~2 s repartitioned at sf0.1)
     par = spark.sparkContext.defaultParallelism
-    media = attach_generated_media(docs.repartition(par), fmt="jpeg")
+    media = attach_generated_media(docs.repartition(par), fmt=fmt)
     decoded = decode_media(media, allow_fake=False)
     dims = docs.select(
         "doc_id",
@@ -577,21 +574,16 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arith = (
         dims.select(
             "doc_id",
-            "w",
-            "h",
             F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("x"),
+            F.col("h"),
         )
         .select(
             "doc_id",
-            "w",
-            "h",
             "x",
             F.explode(F.sequence(F.lit(0), F.col("h") - 1)).alias("y"),
         )
         .select(
             "doc_id",
-            "w",
-            "h",
             "x",
             "y",
             F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
@@ -609,17 +601,22 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arith_mean")
         )
     )
-    return (
-        decoded.join(arith, "doc_id")
-        .select(
-            "doc_id",
-            F.col("width").cast("int").alias("width"),
-            F.col("height").cast("int").alias("height"),
-            (
-                F.abs(F.col("mean_intensity") - F.col("arith_mean")) < 2.0
-            ).alias("decode_faithful"),
-        )
+    return decoded.join(arith, "doc_id").select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        (
+            F.abs(F.col("mean_intensity") - F.col("arith_mean")) < bound
+        ).alias("decode_faithful"),
     )
+
+
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode certification (multimodal/jpeg.py: marker
+    walk, Huffman entropy decode, batched IDCT).  DCT quantization is
+    lossy, so the faithfulness bound is 2.0 (measured roundtrip max 0.37
+    — a 5x margin)."""
+    return _decode_certification(spark, sf_dir, "jpeg", 2.0)
 
 
 register(
@@ -886,76 +883,14 @@ register(
 
 
 # ---------------------------------------------------------------------------
-# PNG decode certification (lossless twin of jpeg_decode_stats)
+# PNG decode certification (lossless)
 # ---------------------------------------------------------------------------
 def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats decoded from REAL PNG bytes.
-
-    The media source encodes the deterministic gradient raster (pixel
-    (x, y, c) = (x*7 + y*13 + doc_id + c*85) mod 256) as spec-conformant
-    PNG with the row filter CYCLING through all five types
-    (None/Sub/Up/Average/Paeth), and the decode stage walks chunks
-    (CRC-validated), inflates IDAT, and unfilters (multimodal/png.py) —
-    no fake stand-in.  PNG is LOSSLESS, so unlike the JPEG twin the
-    certified bound is exact: `decode_faithful` = |decoded mean −
-    arithmetic raster mean| < 1e-9, where Spark recomputes the
-    arithmetic mean from the generator formula the oracle also uses —
-    ANY filter/inflate/palette bug flips the flag and the driver's hash
-    check goes red.  Scale shape: row-independent mapInPandas decode,
-    one join on doc_id.
-    """
-    from ..multimodal import attach_generated_media, decode_media
-
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    media = attach_generated_media(docs.repartition(par), fmt="png")
-    decoded = decode_media(media, allow_fake=False)
-    dims = docs.select(
-        "doc_id",
-        (F.col("n_chars") % 31 + 2).cast("int").alias("w"),
-        (F.col("doc_id") % 23 + 2).cast("int").alias("h"),
-    )
-    arith = (
-        dims.select(
-            "doc_id",
-            "w",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("x"),
-        )
-        .select(
-            "doc_id",
-            "w",
-            "h",
-            "x",
-            F.explode(F.sequence(F.lit(0), F.col("h") - 1)).alias("y"),
-        )
-        .select(
-            "doc_id",
-            "x",
-            "y",
-            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.avg(
-                F.pmod(
-                    F.col("x") * 7
-                    + F.col("y") * 13
-                    + F.col("doc_id")
-                    + F.col("c") * 85,
-                    F.lit(256),
-                ).cast("double")
-            ).alias("arith_mean")
-        )
-    )
-    return decoded.join(arith, "doc_id").select(
-        "doc_id",
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        (
-            F.abs(F.col("mean_intensity") - F.col("arith_mean")) < 1e-9
-        ).alias("decode_faithful"),
-    )
+    """Real PNG decode certification (multimodal/png.py: CRC-validated
+    chunk walk, zlib inflate, all five scanline unfilters — the encoder
+    CYCLES the row filter so every unfilter path runs).  PNG is
+    LOSSLESS, so the faithfulness bound is exact: 1e-9."""
+    return _decode_certification(spark, sf_dir, "png", 1e-9)
 
 
 register(

@@ -506,3 +506,46 @@ def test_decode_real_png_via_spark(spark, sf_dir):
         assert (got["width"], got["height"]) == (w, h)
         # PNG is lossless — decoded mean equals the raster mean exactly
         assert abs(got["mean_intensity"] - expected.mean()) < 1e-9
+
+
+def test_jpeg_multi_scan_and_noninterleaved_sampling():
+    """T.81 coverage: per-component baseline scans (B.2.3), single-
+    component non-interleaved MCU order under sampling factors > 1
+    (A.2.2), and 0xFF fill bytes before markers (B.1.1.2)."""
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    # separate per-component scans must roundtrip like interleaved
+    for h, w in [(16, 16), (27, 32), (9, 21)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, separate_scans=True))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img.astype(float)).max() <= 4.0
+        # 4:2:0 + separate scans (chroma is pooled → compare smoothly)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 3 + yy * 5) % 256
+        smooth = np.stack(
+            [base, (base + 40) % 256, (base + 80) % 256], -1
+        ).astype(np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(smooth, subsample=True, separate_scans=True)
+        )
+        assert np.abs(out.astype(float) - smooth.astype(float)).mean() <= 20.0
+    # single-component scan with sampling factors 2x2 is NON-interleaved:
+    # patching the SOF of a 1x1 gray stream to 2x2 must still decode
+    # cleanly (same entropy data, component raster block order)
+    img = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    blob[sof_at + 11] = 0x22  # h=v: 1x1 -> 2x2
+    out = decode_jpeg(bytes(blob))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 4.0
+    # optional 0xFF fill bytes before a marker are legal
+    filled = bytes(encode_jpeg(img)).replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    assert (decode_jpeg(filled) == decode_jpeg(bytes(encode_jpeg(img)))).all()
