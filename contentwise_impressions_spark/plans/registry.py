@@ -109,6 +109,8 @@ DRIVER_PRIORITY: list[str] = [
     "bm25_search_topk",
     "batch_drift_stats",
     "png_decode_stats",
+    "bpe_learned_merges",
+    "bpe_compression_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

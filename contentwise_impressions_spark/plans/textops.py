@@ -1051,3 +1051,96 @@ register(
         "volume, language spread, punctuation, exact-dup rate)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+_BPE_N_MERGES = 8
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str):
+    from . import shared
+    from ..operators.bpe import word_vocab
+
+    return shared.materialized(
+        spark,
+        sf_dir,
+        "bpe_vocab",
+        lambda: word_vocab(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    """Learned merges, computed once per session (k bounded jobs over the
+    persisted word-frequency table; the O(k) merge list is the only
+    driver-side state — same class as the Bayesian tuner's history)."""
+    from ..operators.bpe import bpe_train_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_merges")
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train_merges(
+            _bpe_vocab(spark, sf_dir), n_merges=_BPE_N_MERGES
+        )
+    return _BPE_CACHE[key]
+
+
+_BPE_CACHE: dict = {}
+
+
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_rank, left, right, pair_count): the BPE merge table learned
+    from the corpus — tokenizer TRAINING, not application (the lexer
+    queries above tokenize with fixed rules).  Training runs on the
+    word-frequency table with count-weighted pair statistics; every
+    round's segmentation + pair count is distributed, and only the
+    argmax pair (one row) leaves the cluster per round.
+
+    No SQL oracle (iterative re-segmentation under the previous argmax
+    is not SQL-expressible): rows-only for the driver; the learned
+    merges are pinned against an independent pure-python reference in
+    tests/test_bpe.py."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
+
+
+register(
+    QuerySpec(
+        "bpe_learned_merges",
+        q_bpe_learned_merges,
+        None,
+        doc="BPE tokenizer training (arXiv:1508.07909): count-weighted "
+        "pair stats over the persisted word-frequency table, one scalar "
+        "argmax per round; rows-only (iterative), reference-pinned in "
+        "tests/test_bpe.py",
+        bench=False,  # training budget, not a query (like the model fits)
+    )
+)
+
+
+def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_symbols_char, n_symbols_bpe): per-doc symbol counts
+    before/after the learned merges — the compression the trained
+    tokenizer achieves (row-independent mapInPandas apply; rows-only,
+    invariants pinned in tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_encoded_lengths
+
+    merges = [(l, r) for l, r, _ in _bpe_merges(spark, sf_dir)]
+    return bpe_encoded_lengths(
+        load_table(spark, sf_dir, "documents"), merges
+    )
+
+
+register(
+    QuerySpec(
+        "bpe_compression_stats",
+        q_bpe_compression_stats,
+        None,
+        doc="trained-tokenizer compression: per-doc symbol counts before/"
+        "after the learned BPE merges (rows-only; invariants in "
+        "tests/test_bpe.py)",
+    )
+)

@@ -52,6 +52,10 @@ def test_every_query_has_oracle_or_is_declared():
         # Porter stemming is not SQL-expressible offline (DuckDB fts
         # extension needs network); golden-tested in test_porter instead
         "tag_tokens_porter",
+        # BPE training is iterative re-segmentation under each round's
+        # argmax — not SQL-expressible; reference-pinned in test_bpe
+        "bpe_learned_merges",
+        "bpe_compression_stats",
     }
     missing = set(QUERIES) - set(ORACLES) - allowed_no_oracle
     assert not missing, f"queries missing oracle SQL: {sorted(missing)}"
