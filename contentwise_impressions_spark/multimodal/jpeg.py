@@ -235,7 +235,11 @@ def encode_jpeg(
     out += _seg(0xC0, sof)
     out += _dht(0, 0, _DC_BITS, _DC_SYMBOLS)
     out += _dht(1, 0, _AC_BITS, _AC_SYMBOLS)
-    if restart_interval:
+    if restart_interval and not separate_scans:
+        # separate_scans writes no RSTn markers, so emitting DRI would
+        # make the stream self-inconsistent (decoder would hunt for
+        # restarts that never come) — the docstring's "ignores
+        # restart_interval" must hold for the DRI segment too
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     if not separate_scans:
         sos = bytes([n_comp])

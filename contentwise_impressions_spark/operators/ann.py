@@ -283,8 +283,15 @@ def cosine_topk_cross(
     def build() -> tuple[DataFrame, int]:
         # the corpus payload has TWO consumers (sizing count + index
         # branch) and is reusable across query batches — persist it and
-        # share via the session cache (same contract as _hash_blocks)
-        p = _norm_payload(corpus, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+        # share via the session cache (same contract as _hash_blocks).
+        # Un-keyed invocations get MEMORY_ONLY: nothing ever releases
+        # them, so they must be self-evicting (LRU) with no disk blocks
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if corpus_key
+            else StorageLevel.MEMORY_ONLY
+        )
+        p = _norm_payload(corpus, vec_col).persist(level)
         return p, p.count()
 
     cp, n = _cached(spark, corpus_key and ("embc", corpus_key), build)
@@ -663,7 +670,14 @@ def semantic_dedup(
     def build() -> tuple[DataFrame, int]:
         # the assigned payload has THREE consumers (hot-list sizing +
         # both union branches) — persist it so the clustering chain is
-        # never re-executed, and share per session when keyed
+        # never re-executed, and share per session when keyed.  Un-keyed
+        # invocations get MEMORY_ONLY: nothing ever releases them, so
+        # they must be self-evicting (LRU) with no disk blocks
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if cache_key
+            else StorageLevel.MEMORY_ONLY
+        )
         p = (
             _norm_payload(embeddings, vec_col)
             .join(
@@ -673,7 +687,7 @@ def semantic_dedup(
                 ),
                 "vec_id",
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(level)
         )
         # hot-cluster sub-block sizing (same trick as ivf_topk): one
         # scalar aggregate over the persisted payload

@@ -232,6 +232,41 @@ def minhash_signatures(doc_sids: DataFrame) -> DataFrame:
     return doc_sids.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, bucket): THE LSH band wire format — band index plus the
+    '_'-joined stringified signature components of that band.
+
+    Single definition shared by the batch candidate join, the incremental
+    batch-vs-index dedup, and the streaming row-wise path: cross-path
+    (band, bucket) equi-joins only ever match when every producer uses
+    this one constructor (and the same signature-id convention — see
+    streaming/ingest.rowwise_minhash_bands).  One array+explode pass, no
+    per-band union."""
+    n_bands = len(MINHASH_A) // rows_per_band
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{bidx * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bidx in range(n_bands)
+        ]
+    )
+    return signatures.select(id_col, F.explode(arr).alias("_b")).select(
+        id_col,
+        F.col("_b.band").alias("band"),
+        F.col("_b.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_candidates(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """Candidate pairs sharing >= 1 LSH band: (doc_i, doc_j, n_shared_bands).
 
@@ -239,16 +274,7 @@ def minhash_lsh_candidates(signatures: DataFrame, rows_per_band: int = 2) -> Dat
     on ALL components of a band land in the same bucket.  The join is on the
     (band, component values) key — never all-pairs.
     """
-    n_bands = len(MINHASH_A) // rows_per_band
-    bands = None
-    for bidx in range(n_bands):
-        cols = [f"mh{bidx * rows_per_band + r}" for r in range(rows_per_band)]
-        band = signatures.select(
-            "doc_id",
-            F.lit(bidx).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bucket"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    bands = band_buckets(signatures, rows_per_band)
     a = bands.select(F.col("doc_id").alias("doc_i"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_j"), "band", "bucket")
     return (

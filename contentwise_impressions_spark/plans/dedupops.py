@@ -1213,21 +1213,11 @@ def q_incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     index bands as a bucketed table and each ingest batch joins against
     it); final rollup is one groupBy on the incoming doc id.
     """
+    from ..operators.neardup import band_buckets
     from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
 
     sids = _sids(spark, sf_dir)
-    sigs = minhash_signatures(sids)
-    bands = None
-    for bidx in range(len(MINHASH_A) // 2):
-        c0, c1 = f"mh{2 * bidx}", f"mh{2 * bidx + 1}"
-        band = sigs.select(
-            "doc_id",
-            F.lit(bidx).alias("band"),
-            F.concat_ws(
-                "_", F.col(c0).cast("string"), F.col(c1).cast("string")
-            ).alias("bucket"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    bands = band_buckets(minhash_signatures(sids), rows_per_band=2)
     in_index = (F.col("doc_id") * _HASH_A) % _HASH_MOD < _TRAIN_LT
     idx = bands.filter(in_index).select(
         F.col("doc_id").alias("match_id"), "band", "bucket"

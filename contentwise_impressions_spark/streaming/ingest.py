@@ -343,25 +343,9 @@ def rowwise_minhash_bands(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
             ],
         )
     )
-    n_bands = len(MINHASH_A) // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{bidx * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for bidx in range(n_bands)
-        ]
-    )
-    return base.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    from ..operators.neardup import band_buckets
+
+    return band_buckets(base, rows_per_band)
 
 
 def stream_incremental_dedup(
@@ -376,10 +360,20 @@ def stream_incremental_dedup(
     A stream-static equi-join is STATELESS: no watermark, no state store —
     the static side is (re)broadcast/scanned per micro-batch and arbitrary
     late arrivals still match, which is exactly the dedup-service
-    semantics (the index does not age out).  At 100 TB the static side is
-    the bucketed band table `incremental_dedup_flags` describes; rolling
-    the matches up per doc (n_candidates/min_match_id) belongs in the
-    foreachBatch sink, keeping the streaming plan append-only.
+    semantics (the index does not age out).
+
+    CONVENTION CONTRACT: `index_bands` MUST be built with
+    `rowwise_minhash_bands` over the index documents (the xxhash64 sid
+    convention this module uses) — the batch query
+    `incremental_dedup_flags` bands over PORTABLE dense_rank shingle ids
+    (its DuckDB-oracle convention), which is a DIFFERENT bucket space;
+    mixing the two silently yields near-zero matches.  Both share the
+    one `operators/neardup.band_buckets` wire format, so the convention
+    choice is entirely in the signature ids.  At 100 TB, persist the
+    `rowwise_minhash_bands` output of the corpus as a bucketed table and
+    point each micro-batch at it; rolling matches up per doc
+    (n_candidates/min_match_id) belongs in the foreachBatch sink,
+    keeping the streaming plan append-only.
     """
     inc = rowwise_minhash_bands(incoming)
     idx = index_bands.select(

@@ -549,3 +549,21 @@ def test_jpeg_multi_scan_and_noninterleaved_sampling():
     # optional 0xFF fill bytes before a marker are legal
     filled = bytes(encode_jpeg(img)).replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
     assert (decode_jpeg(filled) == decode_jpeg(bytes(encode_jpeg(img)))).all()
+
+
+def test_jpeg_separate_scans_ignores_restart_interval():
+    # separate_scans writes no RSTn markers, so it must also suppress the
+    # DRI segment — a DRI with no restarts is a self-inconsistent stream
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (14, 19, 3)).astype(np.uint8)
+    blob = encode_jpeg(img, restart_interval=2, separate_scans=True)
+    assert b"\xff\xdd" not in blob.split(b"\xff\xda")[0]  # no DRI emitted
+    out = decode_jpeg(blob)
+    assert np.abs(out.astype(float) - img.astype(float)).max() <= 4.0
