@@ -910,3 +910,75 @@ register(
         "vs the oracle's arithmetic raster mean)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest: deterministic export sharding
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+_ORDER_A = 1_000_003  # multiplicative order key (coprime to 2^64)
+
+
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest for the training-export step: docs assigned to
+    one of 16 shards by multiplicative hash, with doc/token totals and an
+    order-key span — the webdataset/TFRecord shard-prep pass that turns a
+    cleaned corpus into shuffled, evenly-sized training files.
+
+    Determinism does the shuffling: shard = hash(doc_id) bucket, and the
+    WITHIN-shard read order is the multiplicative order key (a fixed
+    pseudo-random permutation of doc ids), so any engine reproduces the
+    exact same shard contents in the exact same order with zero RNG
+    state and zero data shuffle — assignment is a narrow map, the rollup
+    one partial-agg groupBy (the same scale logic as hash_split_sizes).
+    min/max order keys pin the permutation, sum_doc_id exact membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    okey = (F.col("doc_id") * _ORDER_A) % _HASH_MOD_BIG
+    n_toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    per_doc = docs.select(
+        F.pmod(F.col("doc_id") * _HASH_A, F.lit(_N_SHARDS)).alias("shard"),
+        "doc_id",
+        okey.alias("okey"),
+        n_toks.alias("n_toks"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.min("okey").cast("bigint").alias("min_order_key"),
+        F.max("okey").cast("bigint").alias("max_order_key"),
+    )
+
+
+_HASH_MOD_BIG = 1_000_000_007
+
+
+register(
+    QuerySpec(
+        "training_shard_manifest",
+        q_training_shard_manifest,
+        f"""
+        WITH per_doc AS (
+            SELECT (doc_id * {_HASH_A}) % {_N_SHARDS} AS shard,
+                   doc_id,
+                   (doc_id * {_ORDER_A}) % {_HASH_MOD_BIG} AS okey,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(MIN(okey) AS BIGINT) AS min_order_key,
+               CAST(MAX(okey) AS BIGINT) AS max_order_key
+        FROM per_doc GROUP BY 1
+        """,
+        doc="deterministic training-export sharding: hash shard "
+        "assignment + multiplicative order-key permutation (narrow map "
+        "+ one partial-agg rollup; no shuffle of the data itself)",
+    )
+)

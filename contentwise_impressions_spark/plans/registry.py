@@ -111,6 +111,7 @@ DRIVER_PRIORITY: list[str] = [
     "png_decode_stats",
     "bpe_learned_merges",
     "bpe_compression_stats",
+    "training_shard_manifest",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
