@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_learned_merges",
     "bpe_compression_stats",
     "training_shard_manifest",
+    "lang_temperature_sampling",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",

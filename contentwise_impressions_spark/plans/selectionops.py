@@ -538,3 +538,78 @@ register(
         "smoothing; one partial-agg groupBy then B-row arithmetic)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multilingual temperature sampling (mT5 alpha-sampling)
+# ---------------------------------------------------------------------------
+_ALPHA = 0.3  # mT5's exponent (arXiv:2010.11934 §3.1)
+_EPOCH_TOKENS = 100_000
+
+
+def q_lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-adjusted sampling rates: p_l ∝ (share)^α
+    with α = 0.3 — the mT5/XLM-R recipe that up-samples low-resource
+    languages without drowning the head (arXiv:2010.11934 §3.1), plus
+    the resulting token allocation at a fixed epoch budget.
+
+    Scale shape: ONE partial-agg groupBy on the low-cardinality lang key
+    collapses the corpus; everything after is arithmetic on a
+    languages-count-sized table (two broadcast scalar joins).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    per_lang = docs.select("lang", n_toks.alias("nt")).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("t"))
+    raw = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_tokens") / F.col("t")
+    ).withColumn("w", F.pow("p_raw", F.lit(_ALPHA)))
+    z = raw.agg(F.sum("w").alias("z"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        (F.col("w") / F.col("z")).alias("p_sampling"),
+        F.round(F.col("w") / F.col("z") * _EPOCH_TOKENS)
+        .cast("bigint")
+        .alias("tokens_at_budget"),
+    )
+
+
+register(
+    QuerySpec(
+        "lang_temperature_sampling",
+        q_lang_temperature_sampling,
+        f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            t -> t <> ''))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per_lang),
+        raw AS (
+            SELECT lang, n_docs, n_tokens,
+                   n_tokens / t AS p_raw,
+                   pow(n_tokens / t, {_ALPHA}) AS w
+            FROM per_lang CROSS JOIN tot
+        ),
+        z AS (SELECT SUM(w) AS z FROM raw)
+        SELECT lang, n_docs, n_tokens, p_raw,
+               w / z AS p_sampling,
+               CAST(round(w / z * {_EPOCH_TOKENS}) AS BIGINT)
+                   AS tokens_at_budget
+        FROM raw CROSS JOIN z
+        """,
+        doc="mT5-style temperature sampling rates per language "
+        "(arXiv:2010.11934 §3.1, alpha=0.3) + epoch token allocation",
+    )
+)
