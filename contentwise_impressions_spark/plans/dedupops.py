@@ -1350,3 +1350,73 @@ register(
         "agg, TakeOrderedAndProject top-10",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier pruning (centroid-distance z-score)
+# ---------------------------------------------------------------------------
+def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dist, z, is_outlier): distance to the corpus centroid,
+    z-scored over the corpus — the curation pass that prunes off-manifold
+    junk embeddings (encoder failures, empty inputs) before they reach
+    dedup/retrieval indexes.  is_outlier ⟺ |z| > 2.
+
+    Scale shape: ONE explode of the vector column feeds a d-row per-dim
+    mean (map-side combine), broadcast back onto the exploded stream for
+    a per-vec distance aggregation; the corpus mean/std of distances is
+    a second broadcast scalar.  No shuffle ever carries more than the
+    exploded stream, and model state is d + 2 numbers.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "xf"),
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    cent = e.groupBy("pos").agg(F.avg("x").alias("mu"))
+    dist = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))))
+            .alias("dist")
+        )
+    )
+    stats = dist.agg(
+        F.avg("dist").alias("md"), F.stddev_pop("dist").alias("sd")
+    )
+    return dist.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "dist",
+        ((F.col("dist") - F.col("md")) / F.col("sd")).alias("z"),
+        (
+            F.abs((F.col("dist") - F.col("md")) / F.col("sd")) > 2.0
+        ).alias("is_outlier"),
+    )
+
+
+register(
+    QuerySpec(
+        "embedding_outlier_flags",
+        q_embedding_outlier_flags,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        cent AS (SELECT pos, AVG(x) AS mu FROM e GROUP BY 1),
+        dist AS (
+            SELECT e.vec_id, sqrt(SUM((e.x - c.mu) * (e.x - c.mu))) AS dist
+            FROM e JOIN cent c USING (pos)
+            GROUP BY 1
+        ),
+        stats AS (SELECT AVG(dist) AS md, stddev_pop(dist) AS sd FROM dist)
+        SELECT vec_id, dist,
+               (dist - md) / sd AS z,
+               abs((dist - md) / sd) > 2.0 AS is_outlier
+        FROM dist CROSS JOIN stats
+        """,
+        doc="embedding curation: centroid-distance z-score outlier flags "
+        "(d-row centroid broadcast, per-vec agg, scalar stats)",
+    )
+)

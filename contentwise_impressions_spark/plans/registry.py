@@ -113,6 +113,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_compression_stats",
     "training_shard_manifest",
     "lang_temperature_sampling",
+    "embedding_outlier_flags",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
