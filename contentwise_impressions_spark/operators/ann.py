@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -756,4 +757,143 @@ def semantic_dedup(
     # (i, j) is scored in exactly one (psub(j), isub(i)) task
     return partials.groupBy("vec_id", "list_id").agg(
         F.bool_or("pruned").alias("pruned")
+    )
+
+
+_HARDPAIR_PARTIAL = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("label", LongType()),
+        StructField("cat", StringType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def hard_pairs_cross(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_rows: int = 4096,
+    min_blocks: int | None = None,
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """Contrastive-pair mining: for every QUERY vector, the most-cosine-
+    similar corpus vector with the SAME label (the positive) and with a
+    DIFFERENT label (the hard negative) — the batch-mining pass that
+    builds triplet/contrastive training data from a labeled embedding
+    corpus.
+
+    Same blocked cross GEMM as `cosine_topk_cross` (quantized entries →
+    bit-identical cosines, bounded tasks), but each task emits the
+    per-category argmax per probe instead of a top-k, and the global
+    merge is one window per (query, category) followed by a pivot to
+    (pos_id, pos_cosine, neg_id, neg_cosine).  A query with no same-label
+    (or no different-label) corpus vector gets NULLs in that pair.
+    """
+    from pyspark import StorageLevel
+
+    from .blocked_topk import _cached
+
+    qp = queries.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col(label_col).cast("bigint").alias("label"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    )
+    spark = qp.sparkSession
+
+    def build() -> tuple[DataFrame, int]:
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if corpus_key
+            else StorageLevel.MEMORY_ONLY
+        )
+        p = corpus.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col(label_col).cast("bigint").alias("label"),
+            _as_double(F.col(vec_col)).alias("_emb"),
+        ).persist(level)
+        return p, p.count()
+
+    cp, n = _cached(spark, corpus_key and ("embh", corpus_key), build)
+    par = spark.sparkContext.defaultParallelism
+    if min_blocks is None:
+        min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
+    n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
+    idx = cp.withColumn("_side", F.lit(0)).withColumn(
+        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("pblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    prb = qp.withColumn("_side", F.lit(1)).withColumn(
+        "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    both = idx.unionByName(prb.select(idx.columns))
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        empty = pd.DataFrame(
+            {"vec_id": [], "label": [], "cat": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {
+                "vec_id": "int64",
+                "label": "int64",
+                "cat": "str",
+                "neighbor_id": "int64",
+                "cosine": "float64",
+            }
+        )
+        if len(probes) == 0 or len(index) == 0:
+            return empty
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        p_lab = probes["label"].to_numpy(dtype=np.int64)
+        i_lab = index["label"].to_numpy(dtype=np.int64)
+        pq, iq = _quant_matrix(probes), _quant_matrix(index)
+        cos = (pq @ iq.T) / np.outer(
+            np.sqrt((pq * pq).sum(axis=1)), np.sqrt((iq * iq).sum(axis=1))
+        )
+        self_mask = i_ids[None, :] == p_ids[:, None]
+        rows = []
+        for cat, match in (("pos", True), ("neg", False)):
+            lab_mask = (i_lab[None, :] == p_lab[:, None]) == match
+            masked = np.where(lab_mask & ~self_mask, cos, -np.inf)
+            # per-probe argmax with id tiebreak: among max-cosine ties
+            # (bit-identical quantized values) take the smallest id
+            best = masked.max(axis=1)
+            for r in np.nonzero(best > -np.inf)[0]:
+                ties = np.nonzero(masked[r] == best[r])[0]
+                j = ties[np.argmin(i_ids[ties])]
+                rows.append(
+                    (int(p_ids[r]), int(p_lab[r]), cat, int(i_ids[j]), float(cos[r, j]))
+                )
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["vec_id", "label", "cat", "neighbor_id", "cosine"]
+        )
+
+    partials = both.groupby("pblk", "iblk").applyInPandas(
+        task, _HARDPAIR_PARTIAL
+    )
+    w = Window.partitionBy("vec_id", "cat").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    best = partials.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cat") == "pos", F.col("neighbor_id"))).alias(
+            "pos_id"
+        ),
+        F.max(F.when(F.col("cat") == "pos", F.col("cosine"))).alias(
+            "pos_cosine"
+        ),
+        F.max(F.when(F.col("cat") == "neg", F.col("neighbor_id"))).alias(
+            "neg_id"
+        ),
+        F.max(F.when(F.col("cat") == "neg", F.col("cosine"))).alias(
+            "neg_cosine"
+        ),
     )

@@ -1420,3 +1420,82 @@ register(
         "(d-row centroid broadcast, per-vec agg, scalar stats)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-pair mining over the labeled embedding corpus
+# ---------------------------------------------------------------------------
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query vector (the vec_id % 50 == 0 split): the most-similar
+    SAME-label corpus vector (positive) and DIFFERENT-label corpus
+    vector (hard negative) — batch mining of contrastive/triplet
+    training pairs (operators/ann.hard_pairs_cross blocked GEMM;
+    quantized cosines keep the argmax bit-identical across engines)."""
+    from ..operators.ann import hard_pairs_cross
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return hard_pairs_cross(
+        queries, corpus, corpus_key=f"{sf_dir}:hardpair_corpus"
+    )
+
+
+register(
+    QuerySpec(
+        "hard_negative_pairs",
+        q_hard_negative_pairs,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5)
+                        AS BIGINT) AS xq
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                FROM embeddings),
+        dots AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
+            FROM e a JOIN e b ON a.pos = b.pos
+            WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+            GROUP BY 1, 2
+        ),
+        coss AS (
+            SELECT d.vec_id, d.neighbor_id,
+                   la.label AS qlab, lb.label AS nlab,
+                   d.dot / (na.nrm * nb.nrm) AS cosine
+            FROM dots d
+            JOIN norms na ON d.vec_id = na.vec_id
+            JOIN norms nb ON d.neighbor_id = nb.vec_id
+            JOIN lab la ON d.vec_id = la.vec_id
+            JOIN lab lb ON d.neighbor_id = lb.vec_id
+        ),
+        best AS (
+            SELECT vec_id, qlab, neighbor_id, cosine,
+                   CASE WHEN qlab = nlab THEN 'pos' ELSE 'neg' END AS cat,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id,
+                                    CASE WHEN qlab = nlab THEN 'pos'
+                                         ELSE 'neg' END
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM coss
+        )
+        SELECT vec_id, qlab AS label,
+               MAX(CASE WHEN cat = 'pos' THEN neighbor_id END) AS pos_id,
+               MAX(CASE WHEN cat = 'pos' THEN cosine END) AS pos_cosine,
+               MAX(CASE WHEN cat = 'neg' THEN neighbor_id END) AS neg_id,
+               MAX(CASE WHEN cat = 'neg' THEN cosine END) AS neg_cosine
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2
+        """,
+        doc="contrastive hard-pair mining: per-query best same-label and "
+        "different-label corpus neighbors (blocked GEMM, quantized-exact "
+        "argmax)",
+    )
+)

@@ -114,6 +114,7 @@ DRIVER_PRIORITY: list[str] = [
     "training_shard_manifest",
     "lang_temperature_sampling",
     "embedding_outlier_flags",
+    "hard_negative_pairs",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
