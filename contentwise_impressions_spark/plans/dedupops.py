@@ -1499,3 +1499,177 @@ register(
         "argmax)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (curation originality signal)
+# ---------------------------------------------------------------------------
+def q_doc_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_unique, novelty_frac): fraction of a doc's
+    3-gram shingles that occur NOWHERE else in the corpus — the
+    originality signal curation pipelines use to up-weight novel content
+    and down-weight recombined boilerplate.
+
+    One df groupBy over the shared shingle stream (map-side combine),
+    joined back on the shingle key, one per-doc rollup.  Docs with fewer
+    than 3 tokens have no shingles and no row (both engines agree).
+    """
+    sh = _shingles3(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_shingles")).alias("novelty_frac"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "doc_novelty_stats",
+        q_doc_novelty_stats,
+        f"""
+        WITH {_SHINGLE_CTE},
+        df AS (SELECT shingle, COUNT(*) AS df FROM shing GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                   AS novelty_frac
+        FROM shing s JOIN df USING (shingle)
+        GROUP BY 1
+        """,
+        doc="3-gram novelty scoring: fraction of corpus-unique shingles "
+        "per doc (curation originality signal)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding quality: recall of the candidate set vs exact Jaccard pairs
+# ---------------------------------------------------------------------------
+_RECALL_TAU = 0.35
+
+
+def q_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row evaluation of the MinHash banding config: how many of the
+    EXACT Jaccard ≥ 0.35 pairs does the LSH candidate set recover, and
+    how much does it over-generate — the measurement loop for tuning
+    bands/rows_per_band (recall up, candidate volume down).
+
+    Exact side: the capped shingle pair join (df ≤ 100, the same scale
+    guard `ngram_jaccard_topn` documents); candidate side: the banded
+    signature join.  Both reuse the session-shared shingle/sid streams;
+    the compare is one full-outer join on the pair key rolled into four
+    counters.
+    """
+    sh = _shingles3(spark, sf_dir)
+    exact = (
+        ngram_jaccard_pairs(sh, top_n=None, max_shingle_df=100)
+        .filter(F.col("jaccard") >= _RECALL_TAU)
+        .select("doc_i", "doc_j")
+    )
+    cand = minhash_lsh_candidates(
+        minhash_signatures(_sids(spark, sf_dir)), rows_per_band=2
+    ).select("doc_i", "doc_j")
+    both = exact.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_i", "doc_j"], "full_outer"
+    )
+    return both.agg(
+        F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_pairs"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_recovered"),
+        (
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+                .otherwise(0)
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0)),
+                F.lit(1),
+            )
+        ).alias("recall"),
+    )
+
+
+register(
+    QuerySpec(
+        "lsh_recall_stats",
+        q_lsh_recall_stats,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        shing_f AS (
+            SELECT s.* FROM shing s JOIN (
+                SELECT shingle FROM shing GROUP BY 1 HAVING COUNT(*) <= 100
+            ) k USING (shingle)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shing_f GROUP BY 1),
+        exact AS (
+            SELECT doc_i, doc_j FROM (
+                SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                       COUNT(*) AS inter
+                FROM shing_f a JOIN shing_f b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ) i
+            JOIN sizes ni ON i.doc_i = ni.doc_id
+            JOIN sizes nj ON i.doc_j = nj.doc_id
+            WHERE i.inter * 1.0 / (ni.n + nj.n - i.inter) >= {_RECALL_TAU}
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+        ),
+        cmp AS (
+            SELECT COALESCE(e.doc_i, c.doc_i) AS doc_i,
+                   COALESCE(e.doc_j, c.doc_j) AS doc_j,
+                   e.doc_i IS NOT NULL AS t,
+                   c.doc_i IS NOT NULL AS c
+            FROM exact e FULL OUTER JOIN cand c
+              ON e.doc_i = c.doc_i AND e.doc_j = c.doc_j
+        )
+        SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_pairs,
+               CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+               CAST(SUM(CASE WHEN t AND c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_recovered,
+               SUM(CASE WHEN t AND c THEN 1 ELSE 0 END) * 1.0
+                   / greatest(SUM(CASE WHEN t THEN 1 ELSE 0 END), 1)
+                   AS recall
+        FROM cmp
+        """,
+        doc="MinHash banding evaluation: recall of LSH candidates vs "
+        "exact Jaccard >= 0.35 pairs + candidate volume (the tuning "
+        "loop for bands/rows_per_band)",
+    )
+)

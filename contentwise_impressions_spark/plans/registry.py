@@ -115,6 +115,8 @@ DRIVER_PRIORITY: list[str] = [
     "lang_temperature_sampling",
     "embedding_outlier_flags",
     "hard_negative_pairs",
+    "doc_novelty_stats",
+    "lsh_recall_stats",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
