@@ -1673,3 +1673,126 @@ register(
         "loop for bands/rows_per_band)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch accuracy: estimated vs exact Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate pair: the MinHash-estimated Jaccard (fraction of the
+    8 signature components that agree) against the exact shingle-set
+    Jaccard, plus the absolute error — the sketch-accuracy check that
+    justifies replacing the exact O(Σdf²) pair join with signatures at
+    scale.
+
+    Candidates come from the banded join (never all-pairs); the exact
+    side joins the per-doc shingle sets only for those pairs.
+    """
+    sids = _sids(spark, sf_dir)
+    sigs = minhash_signatures(sids)
+    cand = minhash_lsh_candidates(sigs, rows_per_band=2).select(
+        "doc_i", "doc_j"
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_i"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(len(MINHASH_A))],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_j"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(len(MINHASH_A))],
+    )
+    agree = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(len(MINHASH_A))
+    )
+    est = cand.join(a, "doc_i").join(b, "doc_j").select(
+        "doc_i",
+        "doc_j",
+        (agree / float(len(MINHASH_A))).alias("est_jaccard"),
+    )
+    sz = sids.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sids.select(F.col("doc_id").alias("doc_i"), "sid"), "doc_i"
+        )
+        .join(
+            sids.select(F.col("doc_id").alias("doc_j"), "sid"),
+            ["doc_j", "sid"],
+        )
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = (
+        cand.join(inter, ["doc_i", "doc_j"], "left")
+        .join(sz.select(F.col("doc_id").alias("doc_i"), F.col("n").alias("ni")), "doc_i")
+        .join(sz.select(F.col("doc_id").alias("doc_j"), F.col("n").alias("nj")), "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            (
+                F.coalesce("inter", F.lit(0))
+                / (F.col("ni") + F.col("nj") - F.coalesce("inter", F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_i", "doc_j"]).select(
+        "doc_i",
+        "doc_j",
+        "est_jaccard",
+        "exact_jaccard",
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+    )
+
+
+register(
+    QuerySpec(
+        "minhash_jaccard_estimates",
+        q_minhash_jaccard_estimates,
+        f"""
+        WITH {_SHINGLE_CTE},
+        {_SID_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()}),
+        cand AS (
+            SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT c.doc_i, c.doc_j,
+                   ({" + ".join(f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(len(MINHASH_A)))})
+                       * 1.0 / {len(MINHASH_A)} AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON c.doc_i = sa.doc_id
+            JOIN sig sb ON c.doc_j = sb.doc_id
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sids GROUP BY 1),
+        inter AS (
+            SELECT c.doc_i, c.doc_j, COUNT(*) AS inter
+            FROM cand c
+            JOIN sids a ON c.doc_i = a.doc_id
+            JOIN sids b ON c.doc_j = b.doc_id AND a.sid = b.sid
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_i, c.doc_j, e.est_jaccard,
+               COALESCE(i.inter, 0) * 1.0
+                   / (ni.n + nj.n - COALESCE(i.inter, 0)) AS exact_jaccard,
+               abs(e.est_jaccard
+                   - COALESCE(i.inter, 0) * 1.0
+                     / (ni.n + nj.n - COALESCE(i.inter, 0))) AS abs_err
+        FROM cand c
+        JOIN est e ON c.doc_i = e.doc_i AND c.doc_j = e.doc_j
+        LEFT JOIN inter i ON c.doc_i = i.doc_i AND c.doc_j = i.doc_j
+        JOIN sz ni ON c.doc_i = ni.doc_id
+        JOIN sz nj ON c.doc_j = nj.doc_id
+        """,
+        doc="MinHash sketch accuracy: per-candidate estimated (signature "
+        "agreement / 8) vs exact shingle Jaccard + abs error",
+    )
+)

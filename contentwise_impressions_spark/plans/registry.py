@@ -117,6 +117,7 @@ DRIVER_PRIORITY: list[str] = [
     "hard_negative_pairs",
     "doc_novelty_stats",
     "lsh_recall_stats",
+    "minhash_jaccard_estimates",
     # oldest greens (r1 vintage, never re-checked since) — refresh
     "pricing_summary",
     "filter_project",
