@@ -274,28 +274,54 @@ def cosine_topk_cross(
     IVF-assign both sides with the same centroids and run this kernel per
     inverted list.
     """
+    both = _cross_blocks(
+        _norm_payload(queries, vec_col),
+        lambda: _norm_payload(corpus, vec_col),
+        corpus_key and ("embc", corpus_key),
+        block_rows,
+        min_blocks,
+    )
+    kk = int(k)
+
+    def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
+
+    partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _TOPK_PARTIAL)
+    return _merge_topk(partials, k)
+
+
+def _cross_blocks(
+    qp: DataFrame,
+    corpus_build,
+    corpus_cache_key: tuple | None,
+    block_rows: int,
+    min_blocks: int | None,
+) -> DataFrame:
+    """Shared two-payload block decomposition for the cross kernels
+    (retrieval, hard-pair mining): the CORPUS payload (built by
+    `corpus_build`) is persisted — it has two consumers (sizing count +
+    index branch) and is reusable across query batches; keyed
+    invocations share one MEMORY_AND_DISK copy per session, un-keyed
+    ones get MEMORY_ONLY (nothing ever releases them, so they must be
+    self-evicting with no disk blocks).  Block count sized by the big
+    (corpus) side; query rows replicate across index blocks and vice
+    versa, tagged union → one groupBy (see _hash_blocks)."""
     from pyspark import StorageLevel
 
     from .blocked_topk import _cached
 
-    qp = _norm_payload(queries, vec_col)
     spark = qp.sparkSession
 
     def build() -> tuple[DataFrame, int]:
-        # the corpus payload has TWO consumers (sizing count + index
-        # branch) and is reusable across query batches — persist it and
-        # share via the session cache (same contract as _hash_blocks).
-        # Un-keyed invocations get MEMORY_ONLY: nothing ever releases
-        # them, so they must be self-evicting (LRU) with no disk blocks
         level = (
             StorageLevel.MEMORY_AND_DISK
-            if corpus_key
+            if corpus_cache_key
             else StorageLevel.MEMORY_ONLY
         )
-        p = _norm_payload(corpus, vec_col).persist(level)
+        p = corpus_build().persist(level)
         return p, p.count()
 
-    cp, n = _cached(spark, corpus_key and ("embc", corpus_key), build)
+    cp, n = _cached(spark, corpus_cache_key, build)
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
         min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
@@ -306,14 +332,7 @@ def cosine_topk_cross(
     prb = qp.withColumn("_side", F.lit(1)).withColumn(
         "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
     ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
-    both = idx.unionByName(prb.select(idx.columns))
-    kk = int(k)
-
-    def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
-
-    partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _TOPK_PARTIAL)
-    return _merge_topk(partials, k)
+    return idx.unionByName(prb.select(idx.columns))
 
 
 def lsh_bucket_signatures(
@@ -793,42 +812,20 @@ def hard_pairs_cross(
     (pos_id, pos_cosine, neg_id, neg_cosine).  A query with no same-label
     (or no different-label) corpus vector gets NULLs in that pair.
     """
-    from pyspark import StorageLevel
-
-    from .blocked_topk import _cached
-
-    qp = queries.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.col(label_col).cast("bigint").alias("label"),
-        _as_double(F.col(vec_col)).alias("_emb"),
-    )
-    spark = qp.sparkSession
-
-    def build() -> tuple[DataFrame, int]:
-        level = (
-            StorageLevel.MEMORY_AND_DISK
-            if corpus_key
-            else StorageLevel.MEMORY_ONLY
-        )
-        p = corpus.select(
+    def labeled(df: DataFrame) -> DataFrame:
+        return df.select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             F.col(label_col).cast("bigint").alias("label"),
             _as_double(F.col(vec_col)).alias("_emb"),
-        ).persist(level)
-        return p, p.count()
+        )
 
-    cp, n = _cached(spark, corpus_key and ("embh", corpus_key), build)
-    par = spark.sparkContext.defaultParallelism
-    if min_blocks is None:
-        min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
-    n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
-    idx = cp.withColumn("_side", F.lit(0)).withColumn(
-        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
-    ).withColumn("pblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
-    prb = qp.withColumn("_side", F.lit(1)).withColumn(
-        "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
-    ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
-    both = idx.unionByName(prb.select(idx.columns))
+    both = _cross_blocks(
+        labeled(queries),
+        lambda: labeled(corpus),
+        corpus_key and ("embh", corpus_key),
+        block_rows,
+        min_blocks,
+    )
 
     def task(pdf: pd.DataFrame) -> pd.DataFrame:
         probes = pdf[pdf["_side"] == 1]
@@ -851,14 +848,22 @@ def hard_pairs_cross(
         p_lab = probes["label"].to_numpy(dtype=np.int64)
         i_lab = index["label"].to_numpy(dtype=np.int64)
         pq, iq = _quant_matrix(probes), _quant_matrix(index)
+        p_nrm = np.sqrt((pq * pq).sum(axis=1))
+        i_nrm = np.sqrt((iq * iq).sum(axis=1))
+        # zero-norm guard (same class as semantic_dedup): a degenerate
+        # vector has no direction — it must neither be mined nor poison
+        # its whole block via NaN propagation through max(); divide by a
+        # dummy 1.0 and mask validity instead (the SQL twin guards on
+        # nrm > 0 too, where NaN ordering would otherwise diverge)
         cos = (pq @ iq.T) / np.outer(
-            np.sqrt((pq * pq).sum(axis=1)), np.sqrt((iq * iq).sum(axis=1))
+            np.where(p_nrm > 0, p_nrm, 1.0), np.where(i_nrm > 0, i_nrm, 1.0)
         )
         self_mask = i_ids[None, :] == p_ids[:, None]
+        valid = (p_nrm > 0)[:, None] & (i_nrm > 0)[None, :]
         rows = []
         for cat, match in (("pos", True), ("neg", False)):
             lab_mask = (i_lab[None, :] == p_lab[:, None]) == match
-            masked = np.where(lab_mask & ~self_mask, cos, -np.inf)
+            masked = np.where(lab_mask & ~self_mask & valid, cos, -np.inf)
             # per-probe argmax with id tiebreak: among max-cosine ties
             # (bit-identical quantized values) take the smallest id
             best = masked.max(axis=1)

@@ -1384,13 +1384,15 @@ def q_embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dist.agg(
         F.avg("dist").alias("md"), F.stddev_pop("dist").alias("sd")
     )
+    # the BOOLEAN decision must be taken on the ROUNDED z (repo rule:
+    # float sums are order-dependent in the last ulp across engines, and
+    # booleans get no tolerance in the driver's hash gate)
+    z9 = F.round((F.col("dist") - F.col("md")) / F.col("sd"), 9)
     return dist.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         "dist",
         ((F.col("dist") - F.col("md")) / F.col("sd")).alias("z"),
-        (
-            F.abs((F.col("dist") - F.col("md")) / F.col("sd")) > 2.0
-        ).alias("is_outlier"),
+        (F.abs(z9) > 2.0).alias("is_outlier"),
     )
 
 
@@ -1413,7 +1415,7 @@ register(
         stats AS (SELECT AVG(dist) AS md, stddev_pop(dist) AS sd FROM dist)
         SELECT vec_id, dist,
                (dist - md) / sd AS z,
-               abs((dist - md) / sd) > 2.0 AS is_outlier
+               abs(round((dist - md) / sd, 9)) > 2.0 AS is_outlier
         FROM dist CROSS JOIN stats
         """,
         doc="embedding curation: centroid-distance z-score outlier flags "
@@ -1467,12 +1469,15 @@ register(
             GROUP BY 1, 2
         ),
         coss AS (
+            -- nrm > 0 guards: a zero-norm vector has no direction, so it
+            -- is neither mined nor a neighbor (the Spark kernel masks
+            -- validity the same way; NaN ordering would diverge)
             SELECT d.vec_id, d.neighbor_id,
                    la.label AS qlab, lb.label AS nlab,
                    d.dot / (na.nrm * nb.nrm) AS cosine
             FROM dots d
-            JOIN norms na ON d.vec_id = na.vec_id
-            JOIN norms nb ON d.neighbor_id = nb.vec_id
+            JOIN norms na ON d.vec_id = na.vec_id AND na.nrm > 0
+            JOIN norms nb ON d.neighbor_id = nb.vec_id AND nb.nrm > 0
             JOIN lab la ON d.vec_id = la.vec_id
             JOIN lab lb ON d.neighbor_id = lb.vec_id
         ),

@@ -916,14 +916,27 @@ register(
 # training-shard manifest: deterministic export sharding
 # ---------------------------------------------------------------------------
 _N_SHARDS = 16
-_ORDER_A = 1_000_003  # multiplicative order key (coprime to 2^64)
+#: order-key / shard-hash arithmetic: (doc_id * A) mod P is a PERMUTATION
+#: of [0, P) because P = 1e9+7 is prime and A is not a multiple of P —
+#: which requires doc_id < P (beyond that, order keys collide; at larger
+#: id spaces swap in xxhash64).  Shards take a SECOND multiply-mod round
+#: before the % 16: one round is not enough for small structured ids
+#: (doc_id·A < P never wraps, so low bits stay structured — doc_id·A
+#: % 16 with A odd degenerates to doc_id % 16 and all-even ids would
+#: leave half the shards empty); after the second round every tested id
+#: stride fills all 16 shards near-uniformly (tests/test_hard_pairs.py).
+_ORDER_A = 1_000_003
+_ORDER_A2 = 1_000_033
+_HASH_MOD_BIG = 1_000_000_007
 
 
 def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard manifest for the training-export step: docs assigned to
-    one of 16 shards by multiplicative hash, with doc/token totals and an
-    order-key span — the webdataset/TFRecord shard-prep pass that turns a
-    cleaned corpus into shuffled, evenly-sized training files.
+    one of 16 shards by a double multiply-mod hash (see the _ORDER_A
+    note: one scramble round does not wrap for small structured ids, so
+    the second round is what actually mixes the low bits), with
+    doc/token totals and an order-key span — the webdataset/TFRecord shard-prep pass that turns a cleaned
+    corpus into shuffled, evenly-sized training files.
 
     Determinism does the shuffling: shard = hash(doc_id) bucket, and the
     WITHIN-shard read order is the multiplicative order key (a fixed
@@ -939,7 +952,9 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ).cast("bigint")
     per_doc = docs.select(
-        F.pmod(F.col("doc_id") * _HASH_A, F.lit(_N_SHARDS)).alias("shard"),
+        F.pmod((okey * _ORDER_A2) % _HASH_MOD_BIG, F.lit(_N_SHARDS)).alias(
+            "shard"
+        ),
         "doc_id",
         okey.alias("okey"),
         n_toks.alias("n_toks"),
@@ -953,8 +968,6 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HASH_MOD_BIG = 1_000_000_007
-
 
 register(
     QuerySpec(
@@ -962,7 +975,9 @@ register(
         q_training_shard_manifest,
         f"""
         WITH per_doc AS (
-            SELECT (doc_id * {_HASH_A}) % {_N_SHARDS} AS shard,
+            SELECT ((((doc_id * {_ORDER_A}) % {_HASH_MOD_BIG})
+                        * {_ORDER_A2}) % {_HASH_MOD_BIG})
+                       % {_N_SHARDS} AS shard,
                    doc_id,
                    (doc_id * {_ORDER_A}) % {_HASH_MOD_BIG} AS okey,
                    len(list_filter(string_split(text, ' '), t -> t <> ''))

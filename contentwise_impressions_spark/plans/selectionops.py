@@ -570,13 +570,17 @@ def q_lang_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_raw", F.col("n_tokens") / F.col("t")
     ).withColumn("w", F.pow("p_raw", F.lit(_ALPHA)))
     z = raw.agg(F.sum("w").alias("z"))
+    # the exact-compared BIGINT allocation must come from a pre-rounded
+    # rate: pow() and the order-dependent z sum differ in the last ulp
+    # across engines, and a value sitting ON an x.5 boundary would round
+    # apart (repo rule: round before any discrete decision)
     return raw.crossJoin(F.broadcast(z)).select(
         "lang",
         "n_docs",
         "n_tokens",
         "p_raw",
         (F.col("w") / F.col("z")).alias("p_sampling"),
-        F.round(F.col("w") / F.col("z") * _EPOCH_TOKENS)
+        F.round(F.round(F.col("w") / F.col("z"), 9) * _EPOCH_TOKENS)
         .cast("bigint")
         .alias("tokens_at_budget"),
     )
@@ -605,7 +609,7 @@ register(
         z AS (SELECT SUM(w) AS z FROM raw)
         SELECT lang, n_docs, n_tokens, p_raw,
                w / z AS p_sampling,
-               CAST(round(w / z * {_EPOCH_TOKENS}) AS BIGINT)
+               CAST(round(round(w / z, 9) * {_EPOCH_TOKENS}) AS BIGINT)
                    AS tokens_at_budget
         FROM raw CROSS JOIN z
         """,
