@@ -902,3 +902,41 @@ def hard_pairs_cross(
             "neg_cosine"
         ),
     )
+
+
+def persist_ivf_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build-or-load the IVF coarse index through the split-cache protocol
+    (sources/model_io.cached_or_build — the same build-once/verify/reuse
+    lifecycle the reference gives its URM splits): the (vec_id, list_id)
+    assignment table persists as parquet, so later sessions (and other
+    jobs) serve `ivf_topk`/`semantic_dedup` from the saved index instead
+    of re-running Lloyd over the corpus.
+
+    The assignment is a pure function of the data (deterministic seeds,
+    argmin tiebreaks — ivf_assignments), so a rebuilt index is
+    bit-identical to a loaded one; the verify hook checks the schema and
+    that every list id is within range.
+    """
+    from ..sources.model_io import cached_or_build
+
+    def verify(df: DataFrame) -> bool:
+        if set(df.columns) != {"vec_id", "list_id"}:
+            return False
+        bad = df.filter(
+            (F.col("list_id") < 0) | (F.col("list_id") >= n_list)
+        ).count()
+        return bad == 0
+
+    return cached_or_build(
+        spark,
+        path,
+        lambda: ivf_assignments(embeddings, n_list, n_iters, vec_col),
+        verify=verify,
+    )

@@ -96,3 +96,34 @@ def test_shard_hash_mixes_structured_ids(spark):
     counts = {r["shard"]: r["count"] for r in shards}
     assert len(counts) == _N_SHARDS  # every shard non-empty
     assert max(counts.values()) <= 3 * min(counts.values())
+
+
+def test_persist_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    """Index lifecycle: build-to-parquet, reload, serve — the loaded
+    assignments must be bit-identical to a fresh build and feed
+    semantic_dedup to the same flags."""
+    from contentwise_impressions_spark.operators.ann import (
+        ivf_assignments,
+        persist_ivf_index,
+        semantic_dedup,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    built = persist_ivf_index(spark, path, emb, n_list=4, n_iters=2)
+    # second call must LOAD (marker present), not rebuild
+    loaded = persist_ivf_index(spark, path, emb, n_list=4, n_iters=2)
+    fresh = ivf_assignments(emb, n_list=4, n_iters=2)
+    as_set = lambda df: {(r["vec_id"], r["list_id"]) for r in df.collect()}
+    assert as_set(loaded) == as_set(fresh) == as_set(built)
+    # serving from the loaded index reproduces the fresh-build flags
+    a = {
+        (r["vec_id"], r["pruned"])
+        for r in semantic_dedup(emb, n_list=4, assignments=loaded).collect()
+    }
+    b = {
+        (r["vec_id"], r["pruned"])
+        for r in semantic_dedup(emb, n_list=4, assignments=fresh).collect()
+    }
+    assert a == b
