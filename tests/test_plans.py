@@ -241,3 +241,45 @@ def test_conversion_funnel_is_single_user_shuffle_one_job(spark, sf_dir):
     assert n_exchanges == 2, plan  # user-hash + final SinglePartition
     assert "SinglePartition" in plan
     assert "Join" not in plan  # min-timestamp windows, not a self-join chain
+
+
+def test_passage_chunks_is_shuffle_free(spark, sf_dir):
+    # the chunker is a pure map stage (split/slice/array_join + explode):
+    # ANY exchange would mean it stopped being embarrassingly parallel
+    plan = _formatted_plan(QUERIES["passage_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode fan-out stays in codegen
+
+
+def test_shard_manifest_single_rollup_exchange(spark, sf_dir):
+    # shard assignment is a narrow map; the only shuffle allowed is the
+    # 16-key partial-agg rollup
+    plan = _formatted_plan(QUERIES["training_shard_manifest"](spark, sf_dir))
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
+    ) + plan.count("+- Exchange")
+    assert plan.count("Exchange") <= 2  # plan text lists each once + AQE ref
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
+    # the O(B) log-ratio model table must broadcast onto the token
+    # stream — a sort-merge join here would shuffle the whole stream
+    plan = _formatted_plan(QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_pairs_is_cogrouped_kernel(spark, sf_dir):
+    plan = _formatted_plan(QUERIES["hard_negative_pairs"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_band_equi_join(spark, sf_dir):
+    # the ingest-batch check must be an equi-join on (band, bucket) —
+    # never a nested-loop over the corpus
+    plan = _formatted_plan(QUERIES["incremental_dedup_flags"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
