@@ -255,10 +255,9 @@ def test_shard_manifest_single_rollup_exchange(spark, sf_dir):
     # shard assignment is a narrow map; the only shuffle allowed is the
     # 16-key partial-agg rollup
     plan = _formatted_plan(QUERIES["training_shard_manifest"](spark, sf_dir))
-    n_exchanges = sum(
-        1 for ln in plan.splitlines() if ln.strip().startswith("Exchange")
-    ) + plan.count("+- Exchange")
-    assert plan.count("Exchange") <= 2  # plan text lists each once + AQE ref
+    # formatted plans list each operator once in the tree and once in the
+    # detail section; one physical Exchange therefore appears <= 2 times
+    assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
 
 
