@@ -17,6 +17,17 @@ process:
 
 - each row's payload = (dense feature sparse-pairs, adjacency list,
   Σv² and degree for the norm), built relationally;
+- ASYMMETRIC REPLICATION of the two payload components: the dense
+  feature matrix is low-cardinality × n rows — usually the payload-LIGHT
+  side — while the adjacency lists (CF user columns) are the heavy side,
+  often ~10× the bytes.  When the dense matrix fits a broadcast budget
+  (`feat_broadcast_mb`), it is shipped ONCE PER EXECUTOR as a torrent
+  broadcast instead of once per block copy through the shuffle: the
+  shuffled payload then carries ONLY (item_id, nbrs, deg), so the heavy
+  side keeps the minimal blocked replication and the light side is
+  replicated maximally but for free.  Above the budget the kernel falls
+  back to carrying features inside the blocked payload (each copy pays
+  for them) — the any-scale path;
 - rows are hashed into B home blocks; cosine is SYMMETRIC, so only the
   lower-triangular block grid is materialized: a row with home block h is
   shipped as the probe side to tasks (h, 0..h) and as the index side to
@@ -150,6 +161,32 @@ def _feat_payload(
     return _cached(feat.sparkSession, key and ("feat", key), build)
 
 
+def _feat_broadcast(
+    fp: DataFrame, n_feats: int, key: str | None
+):
+    """Driver-assembled (sorted ids, dense n×F matrix, sqf) broadcast.
+
+    Size-GATED by the caller: only reached when n·F·8 bytes fit the
+    broadcast budget, so the driver collect is bounded by construction —
+    this is the same contract as Spark's own broadcast-join threshold,
+    not an unbounded driver materialization."""
+    spark = fp.sparkSession
+
+    def build():
+        rows = fp.select("item_id", "fcodes", "fvals", "sqf").collect()
+        rows.sort(key=lambda r: r["item_id"])
+        ids = np.array([r["item_id"] for r in rows], dtype=np.int64)
+        dense = np.zeros((len(rows), n_feats))
+        sqf = np.zeros(len(rows))
+        for i, r in enumerate(rows):
+            if r["fcodes"]:
+                dense[i, np.asarray(r["fcodes"], dtype=np.int64)] = r["fvals"]
+            sqf[i] = r["sqf"] or 0.0
+        return spark.sparkContext.broadcast((ids, dense, sqf))
+
+    return _cached(spark, key and ("featbc", key), build)
+
+
 def _adj_payload(adj: DataFrame, key: str | None) -> DataFrame:
     """(item_id, nbrs, deg) adjacency payload, cached per session."""
     from pyspark import StorageLevel
@@ -165,6 +202,45 @@ def _adj_payload(adj: DataFrame, key: str | None) -> DataFrame:
         )
 
     return _cached(adj.sparkSession, key and ("adj", key), build)
+
+
+def _slim_payload(
+    fp: DataFrame,
+    adj: DataFrame | None,
+    feat_key: str | None,
+    adj_key: str | None,
+) -> tuple[DataFrame, int]:
+    """Adjacency-only shuffled payload (item_id, nbrs, deg) for the
+    broadcast-features path: the heavy CF side keeps the minimal blocked
+    replication while the light feature side rides the broadcast."""
+    from pyspark import StorageLevel
+
+    spark = fp.sparkSession
+
+    def build() -> DataFrame:
+        base = fp.select("item_id")
+        if adj is not None:
+            ap = _adj_payload(adj, adj_key)
+            base = base.join(ap, "item_id", "full_outer")
+        else:
+            base = base.withColumn(
+                "nbrs", F.lit(None).cast("array<bigint>")
+            ).withColumn("deg", F.lit(0.0))
+        out = base.select(
+            "item_id", "nbrs", F.coalesce("deg", F.lit(0.0)).alias("deg")
+        )
+        if adj is not None:
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        return out
+
+    cacheable = feat_key and (adj is None or adj_key)
+    payload = _cached(
+        spark, ("slim", feat_key, adj_key) if cacheable else None, build
+    )
+    n = _cached(
+        spark, ("slimn", feat_key, adj_key) if cacheable else None, payload.count
+    )
+    return payload, n
 
 
 def _payload(
@@ -263,6 +339,7 @@ def blocked_cosine_topk(
     min_blocks: int | None = None,
     feat_key: str | None = None,
     adj_key: str | None = None,
+    feat_broadcast_mb: float = 256.0,
 ) -> DataFrame:
     """(item_i, item_j, sim, rank): top-K most-cosine-similar item_i per
     item_j over the implicit matrix [ICM·w ⊕ adjacency].
@@ -273,6 +350,10 @@ def blocked_cosine_topk(
     intersection counts, the sparse AᵀA support).  Either may be None.
     `feat_key`/`adj_key`: optional session-cache keys — callers computing
     the same payload (same source table + sf_dir) share one build.
+    `feat_broadcast_mb`: budget for the asymmetric-replication fast path —
+    when the dense n×F feature matrix fits, it ships once per executor as
+    a broadcast and the blocked shuffle carries only the heavy adjacency
+    columns; 0 forces the carry-features-in-payload fallback (any scale).
 
     Exactly equals the feature-union join formulation
     (ItemKNN_CFCBF_Hybrid_Recommender.py:20-29 + Compute_Similarity_Python
@@ -281,7 +362,20 @@ def blocked_cosine_topk(
     """
     if feat is None and adj is None:
         raise ValueError("need at least one of feat/adj")
-    payload, n, n_feats = _payload(feat, adj, feat_key, adj_key)
+    bcast = None
+    if feat is not None:
+        fp, n_feats = _feat_payload(feat, feat_key)
+        spark0 = fp.sparkSession
+        nf_items = _cached(
+            spark0, feat_key and ("featn", feat_key), fp.count
+        )
+        if nf_items * max(n_feats, 1) * 8 <= feat_broadcast_mb * (1 << 20):
+            bcast = _feat_broadcast(fp, n_feats, feat_key)
+    if bcast is not None:
+        payload, n = _slim_payload(fp, adj, feat_key, adj_key)
+        n_feats = 0  # features come from the broadcast, not the payload
+    else:
+        payload, n, n_feats = _payload(feat, adj, feat_key, adj_key)
     spark = payload.sparkSession
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:
@@ -337,26 +431,47 @@ def blocked_cosine_topk(
             }
         )
 
+    def side_feats(block: pd.DataFrame):
+        """(dense feature matrix | None, Σv² array) for one block's rows.
+
+        Broadcast path: ids are looked up in the executor-local sorted
+        copy (zeros for feature-less items) — the shuffled rows carry no
+        feature columns at all.  Fallback path: densify from the per-row
+        payload columns."""
+        if bcast is not None:
+            ids_b, dense_b, sqf_b = bcast.value
+            ids = block["item_id"].to_numpy()
+            pos = np.searchsorted(ids_b, ids)
+            ok = (pos < len(ids_b)) & (
+                ids_b[np.clip(pos, 0, len(ids_b) - 1)] == ids
+            )
+            dm = np.zeros((len(ids), dense_b.shape[1]))
+            dm[ok] = dense_b[pos[ok]]
+            sq = np.zeros(len(ids))
+            sq[ok] = sqf_b[pos[ok]]
+            return dm, sq
+        sq = block["sqf"].to_numpy(dtype=np.float64)
+        return (_densify(block, nf) if nf else None), sq
+
     def task(probes: pd.DataFrame, index: pd.DataFrame, mirror: bool):
         if len(probes) == 0 or len(index) == 0:
             return _empty()
         same = index is probes  # diagonal task: one block, both roles
         p_ids = probes["item_id"].to_numpy()
         i_ids = p_ids if same else index["item_id"].to_numpy()
+        p_dense, p_sq = side_feats(probes)
+        i_dense, i_sq = (p_dense, p_sq) if same else side_feats(index)
         p_norm = np.sqrt(
-            wgt * wgt * probes["sqf"].to_numpy(dtype=np.float64)
-            + probes["deg"].to_numpy(dtype=np.float64)
+            wgt * wgt * p_sq + probes["deg"].to_numpy(dtype=np.float64)
         )
         i_norm = p_norm if same else np.sqrt(
-            wgt * wgt * index["sqf"].to_numpy(dtype=np.float64)
-            + index["deg"].to_numpy(dtype=np.float64)
+            wgt * wgt * i_sq + index["deg"].to_numpy(dtype=np.float64)
         )
         n_p, n_i = len(p_ids), len(i_ids)
         dots = np.zeros((n_p, n_i))
-        if nf:
+        if p_dense is not None and p_dense.shape[1]:
             # dense GEMM on raw values; w² factored out of the bilinear form
-            dp = _densify(probes, nf)
-            dots += (wgt * wgt) * (dp @ (dp if same else _densify(index, nf)).T)
+            dots += (wgt * wgt) * (p_dense @ i_dense.T)
         p_lens, p_flat = _lens_flat(probes["nbrs"].to_numpy())
         i_lens, i_flat = (
             (p_lens, p_flat) if same else _lens_flat(index["nbrs"].to_numpy())
@@ -458,7 +573,21 @@ def blocked_cosine_topk(
             return task(probes, probes, mirror=False)
         return task(probes, pdf[pdf["_side"] == 0], mirror=True)
 
-    partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _PARTIAL)
+    # explicit task-count repartition on the group keys: the block tasks
+    # are COMPUTE-heavy but (on the broadcast-features path) shuffle-tiny,
+    # and AQE's size-based coalescing would fold them onto a handful of
+    # cores (measured 3 partitions / 7 s vs 105 / 2 s at sf0.1).  A
+    # user-specified hash repartition is exempt from AQE coalescing and
+    # already satisfies applyInPandas' ClusteredDistribution, so no second
+    # exchange is inserted.
+    # one group per partition up to a cap: past it partitions process a
+    # few groups sequentially (per-group memory is bounded either way)
+    n_tasks = min(n_blk * (n_blk + 1) // 2, max(256, 8 * par))
+    partials = (
+        both.repartition(n_tasks, "pblk", "iblk")
+        .groupby("pblk", "iblk")
+        .applyInPandas(split_task, _PARTIAL)
+    )
     # rank on the task-emitted rounded value — identical doubles to the
     # task-side ranking, so no cross-stage rounding-convention divergence
     w = Window.partitionBy("item_j").orderBy(

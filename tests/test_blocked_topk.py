@@ -118,3 +118,19 @@ def test_blocking_invariance(tiny):
 def test_requires_some_input():
     with pytest.raises(ValueError):
         blocked_cosine_topk()
+
+
+def test_broadcast_path_matches_fallback(tiny):
+    # asymmetric replication: features via executor broadcast (default)
+    # must be bit-identical to features carried inside the blocked payload
+    # (feat_broadcast_mb=0 forces the fallback)
+    feat_rows, adj_rows, feat, adj = tiny
+    bc = _collected(
+        blocked_cosine_topk(feat=feat, adj=adj, k=3, icm_weight=0.5)
+    )
+    fb = _collected(
+        blocked_cosine_topk(
+            feat=feat, adj=adj, k=3, icm_weight=0.5, feat_broadcast_mb=0.0
+        )
+    )
+    assert bc == fb == _naive_hybrid(feat_rows, adj_rows, 0.5, 3)
