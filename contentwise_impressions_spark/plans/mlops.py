@@ -772,30 +772,116 @@ register(
 
 # ---------------------------------------------------------------------------
 # negative-item sampling (split_train_validation.py:141-260,
-# EvaluatorNegativeItemSample) — deterministic hash-ordered variant
+# EvaluatorNegativeItemSample) — deterministic bounded-proposal variant
 # ---------------------------------------------------------------------------
+def _bounded_negatives(
+    users: DataFrame,
+    items: DataFrame,
+    seen: list[DataFrame],
+    k: int = 5,
+    n_props: int = 64,
+) -> DataFrame:
+    """k deterministic pseudo-random unseen items per user — O(U·n_props).
+
+    Scale shape: the former formulation enumerated the full user×item
+    complement (O(U·I) rows — 10¹³ at 10⁷ users × 10⁶ items, a window
+    over ~n_items candidates per user just to keep 5).  This generator
+    instead proposes a BOUNDED ``n_props`` pseudo-random item indices per
+    user (two Lehmer/MINSTD rounds over portable int64 arithmetic —
+    exactly reproducible in ANSI SQL, no engine RNG), maps them through
+    the broadcast item index, dedupes by first proposal, anti-joins the
+    seen sets, and keeps the first k: O(U·n_props) rows end to end, no
+    cartesian anywhere.  ``n_props`` bounds the failure mode (a user with
+    ≥ n_props-k seen proposals yields fewer than k negatives) — with
+    n_props=64 and realistic seen/|I| ratios that probability is nil; the
+    reference's retry-until-unseen sampler has the same contract
+    (split_train_validation.py:141-260)."""
+    n_items = items.count()  # dimension-scale action: the item vocabulary
+    # single-partition window over the item VOCABULARY — a dimension-table
+    # rank (same justified shape as the feature codes in blocked_topk)
+    idx = items.select("item_id").withColumn(
+        "idx", F.row_number().over(Window.orderBy("item_id")) - 1
+    )
+    props = users.select("user_id").withColumn(
+        "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
+    )
+    m1 = F.pmod(
+        F.col("user_id") * F.lit(1000003) + F.col("seq"), F.lit(1000003619)
+    )
+    m2 = F.pmod(m1 * F.lit(48271), F.lit(2147483647))
+    m3 = F.pmod(m2 * F.lit(16807), F.lit(2147483647))
+    cand = (
+        props.withColumn("idx", F.pmod(m3, F.lit(n_items)))
+        .join(F.broadcast(idx), "idx")
+        .select("user_id", "item_id", "seq")
+    )
+    first = Window.partitionBy("user_id", "item_id").orderBy("seq")
+    cand = (
+        cand.withColumn("_f", F.row_number().over(first))
+        .filter(F.col("_f") == 1)
+        .drop("_f")
+    )
+    for s in seen:
+        cand = cand.join(
+            s.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+        )
+    wr = Window.partitionBy("user_id").orderBy("seq")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .drop("seq")
+    )
+
+
+def _neg_sql(extra_excl: str = "") -> str:
+    """SQL twin of :func:`_bounded_negatives` (k=5, n_props=64) — defines
+    CTE ``negatives(user_id, item_id, neg_rank)`` given train/test CTEs."""
+    return f"""
+        items_idx AS (
+            SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS idx
+            FROM (SELECT DISTINCT item_id FROM train)
+        ),
+        nitems AS (SELECT COUNT(*) AS n FROM items_idx),
+        props AS (
+            SELECT u.user_id, s.seq,
+                   ((((u.user_id * 1000003 + s.seq) % 1000003619) * 48271
+                     % 2147483647) * 16807 % 2147483647) % nitems.n AS idx
+            FROM (SELECT DISTINCT user_id FROM test) u
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS seq) s
+            CROSS JOIN nitems
+        ),
+        cand0 AS (
+            SELECT p.user_id, i.item_id, p.seq,
+                   ROW_NUMBER() OVER (PARTITION BY p.user_id, i.item_id
+                                      ORDER BY p.seq) AS _f
+            FROM props p JOIN items_idx i USING (idx)
+        ),
+        negatives AS (
+            SELECT user_id, item_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY seq) AS INT) AS neg_rank
+            FROM cand0 c
+            WHERE _f = 1
+              AND NOT EXISTS (SELECT 1 FROM train t
+                   WHERE t.user_id = c.user_id AND t.item_id = c.item_id)
+              {extra_excl}
+            QUALIFY neg_rank <= 5
+        )
+    """
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 pseudo-random unobserved items per test user.
 
     The reference samples uniformly (seeded NumPy); for engine portability
-    the 'random' order is the portable hash of (item, user) — same
-    distributional role, exactly reproducible in SQL.
+    the 'random' draw is a portable Lehmer mix over (user, proposal-seq) —
+    same distributional role, exactly reproducible in SQL, and BOUNDED:
+    see :func:`_bounded_negatives` for the scale shape.
     """
-    from ..functions.hashing import bucket_hash
-
     train, test = _train_test(spark, sf_dir)
     users = test.select("user_id").distinct()
     items = train.select("item_id").distinct()
-    cand = users.crossJoin(F.broadcast(items)).join(
-        train, ["user_id", "item_id"], "left_anti"
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
-    )
-    return (
-        cand.withColumn("neg_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("neg_rank") <= 5)
-    )
+    return _bounded_negatives(users, items, seen=[train], k=5)
 
 
 register(
@@ -805,20 +891,8 @@ register(
         f"""
         WITH {URM_CTE},
         {_SPLIT_SQL},
-        cand AS (
-            SELECT eu.user_id, it.item_id
-            FROM (SELECT DISTINCT user_id FROM test) eu
-            CROSS JOIN (SELECT DISTINCT item_id FROM train) it
-            WHERE NOT EXISTS (
-                SELECT 1 FROM train t
-                WHERE t.user_id = eu.user_id AND t.item_id = it.item_id
-            )
-        )
-        SELECT user_id, item_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                    ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
-                             item_id ASC) AS INT) AS neg_rank
-        FROM cand QUALIFY neg_rank <= 5
+        {_neg_sql()}
+        SELECT user_id, item_id, neg_rank FROM negatives
         """,
         doc="negative-item sampling (split_train_validation.py:141-260)",
     )
@@ -833,25 +907,17 @@ def q_negative_sample_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopPop ranked WITHIN each user's (test ∪ 5 negatives) candidate set;
     precision/recall/MRR at cutoff 5 averaged over users."""
     from ..evaluation.metrics import ranking_metrics
-    from ..functions.hashing import bucket_hash
 
     train, test = _train_test(spark, sf_dir)
     pop = train.groupBy("item_id").agg(F.count("*").cast("double").alias("score"))
     users = test.select("user_id").distinct()
     items = train.select("item_id").distinct()
-    # negatives: 5 hash-ordered unobserved items per user (mirrors the
-    # negative_samples query / split_train_validation.py:141-260)
-    cand_neg = users.crossJoin(F.broadcast(items)).join(
-        train, ["user_id", "item_id"], "left_anti"
-    ).join(test, ["user_id", "item_id"], "left_anti")
-    w = Window.partitionBy("user_id").orderBy(
-        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
-    )
-    negatives = (
-        cand_neg.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= 5)
-        .select("user_id", "item_id")
-    )
+    # negatives: 5 bounded-proposal unobserved items per user (mirrors the
+    # negative_samples query / split_train_validation.py:141-260); both
+    # train AND test count as seen here
+    negatives = _bounded_negatives(
+        users, items, seen=[train, test], k=5
+    ).select("user_id", "item_id")
     candidates = test.unionByName(negatives).dropDuplicates(
         ["user_id", "item_id"]
     )
@@ -879,23 +945,10 @@ register(
         {_SPLIT_SQL},
         pop AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS score
                 FROM train GROUP BY 1),
-        eu AS (SELECT DISTINCT user_id FROM test),
-        cand_neg AS (
-            SELECT eu.user_id, it.item_id
-            FROM eu CROSS JOIN (SELECT DISTINCT item_id FROM train) it
-            WHERE NOT EXISTS (SELECT 1 FROM train t
-                  WHERE t.user_id = eu.user_id AND t.item_id = it.item_id)
-              AND NOT EXISTS (SELECT 1 FROM test t
-                  WHERE t.user_id = eu.user_id AND t.item_id = it.item_id)
-        ),
-        negatives AS (
-            SELECT user_id, item_id FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                     ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
-                              item_id ASC) AS r
-                FROM cand_neg
-            ) WHERE r <= 5
-        ),
+        {_neg_sql(
+            "AND NOT EXISTS (SELECT 1 FROM test t2 "
+            "WHERE t2.user_id = c.user_id AND t2.item_id = c.item_id)"
+        )},
         candidates AS (
             SELECT DISTINCT user_id, item_id FROM (
                 SELECT user_id, item_id FROM test

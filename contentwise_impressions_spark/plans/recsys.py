@@ -295,30 +295,37 @@ register(
 # .py:12-57) as a checkable query: all violation counts must be 0
 # ---------------------------------------------------------------------------
 def q_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five assertion counters in ONE job (two stages, one action).
+
+    The former formulation ran SEVEN actions (three overlap joins + four
+    counts); under a deterministic per-pair tag the overlaps reduce to
+    per-pair split-membership products, so one groupBy(user, item) +
+    one global conditional aggregation computes every counter honestly —
+    no joins, no driver-side arithmetic over collected scalars."""
     urm = _urm(spark, sf_dir)
     tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
-    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id")
-    val = tagged.filter(F.col("split") == 1).select("user_id", "item_id")
-    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
-    non_implicit = urm.filter(F.col("value") != 1.0).count()
-    overlap_tv = train.join(val, ["user_id", "item_id"], "inner").count()
-    overlap_tt = train.join(test, ["user_id", "item_id"], "inner").count()
-    overlap_vt = val.join(test, ["user_id", "item_id"], "inner").count()
-    union_total = train.count() + val.count() + test.count()
-    total = urm.count()
-    return spark.createDataFrame(
-        [
-            (
-                int(non_implicit),
-                int(overlap_tv),
-                int(overlap_tt),
-                int(overlap_vt),
-                int(total - union_total),
-            )
-        ],
-        "n_non_implicit bigint, n_overlap_train_val bigint, "
-        "n_overlap_train_test bigint, n_overlap_val_test bigint, "
-        "n_missing_from_union bigint",
+    per_pair = tagged.groupBy("user_id", "item_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("value") != 1.0).cast("bigint")).alias("non_impl"),
+        F.sum(F.col("split").isin(0, 1, 2).cast("bigint")).alias("n_tagged"),
+        F.max((F.col("split") == 0).cast("int")).alias("h0"),
+        F.max((F.col("split") == 1).cast("int")).alias("h1"),
+        F.max((F.col("split") == 2).cast("int")).alias("h2"),
+    )
+    return per_pair.agg(
+        F.sum("non_impl").cast("bigint").alias("n_non_implicit"),
+        F.sum(F.col("h0") * F.col("h1"))
+        .cast("bigint")
+        .alias("n_overlap_train_val"),
+        F.sum(F.col("h0") * F.col("h2"))
+        .cast("bigint")
+        .alias("n_overlap_train_test"),
+        F.sum(F.col("h1") * F.col("h2"))
+        .cast("bigint")
+        .alias("n_overlap_val_test"),
+        (F.sum("n_rows") - F.sum("n_tagged"))
+        .cast("bigint")
+        .alias("n_missing_from_union"),
     )
 
 

@@ -282,3 +282,21 @@ def test_incremental_dedup_band_equi_join(spark, sf_dir):
     plan = _formatted_plan(QUERIES["incremental_dedup_flags"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_samples_is_cartesian_free(spark, sf_dir):
+    # bounded-proposal generator: O(users·n_props) rows, never the full
+    # user×item complement — no cartesian/nested-loop anywhere, and the
+    # item-index join stays a broadcast equi-join
+    for q in ("negative_samples", "negative_sample_eval"):
+        plan = _formatted_plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_split_invariants_is_one_fused_job(spark, sf_dir):
+    # all five assertion counters from one groupBy + one global agg —
+    # the former shape ran seven actions incl. three overlap joins
+    plan = _formatted_plan(QUERIES["split_invariants"](spark, sf_dir))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
