@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from contentwise_impressions_spark.plans.registry import (  # noqa: E402
     bench_queries,
     bench_query_families,
+    bench_warmups,
 )
 from contentwise_impressions_spark.plans.shared import (  # noqa: E402
     release_session_payloads,
@@ -59,8 +60,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    warmups = bench_warmups()
+    warmup_timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for fam in fam_order:
+        # family build line: materialize the family's SHARED payloads once,
+        # timed separately, so per-query numbers reflect plan cost rather
+        # than first-touch build attribution (total still includes it)
+        if fam in warmups:
+            t0 = time.perf_counter()
+            try:
+                warmups[fam](spark, sf_dir)
+                warmup_timings[fam] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                errors[f"warmup:{fam}"] = f"{type(exc).__name__}: {exc}"[:500]
         for name in sorted(n for n in queries if families.get(n, "misc") == fam):
             t0 = time.perf_counter()
             try:
@@ -80,6 +93,8 @@ def main() -> None:
     # test user in one aggregation.
     eval_sec = timings.get("toppop_eval_metrics")
     extras = {}
+    if warmup_timings:
+        extras["family_warmup"] = warmup_timings
     if errors:
         extras["errors"] = errors
     if eval_sec:

@@ -103,6 +103,23 @@ def _build_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the family's shared payloads — ICM, CF matrix, and the
+    blocked-kernel payloads/broadcast both KNN queries consume — so the
+    bench attributes the build cost to a family line, not to whichever of
+    itemcbf/cfcbf runs first (round-5 artifact: 19.4 s vs 3.5 s warm)."""
+    from ..operators import blocked_topk as bt
+
+    icm = _icm(spark, sf_dir)
+    adj = _cf(spark, sf_dir).select("item_id", F.col("user_id").alias("nbr"))
+    feat_key, adj_key = f"{sf_dir}:icm", f"{sf_dir}:cf"
+    fp, n_feats = bt._feat_payload(icm, feat_key)
+    bt._cached(spark, ("featn", feat_key), fp.count)
+    bt._feat_broadcast(fp, n_feats, feat_key)
+    bt._slim_payload(fp, None, feat_key, None)  # itemcbf payload
+    bt._slim_payload(fp, adj, feat_key, adj_key)  # cfcbf payload
+
+
 # ---------------------------------------------------------------------------
 # ItemKNN-CBF (KNN/ItemKNNCBFRecommender.py:30-51)
 # ---------------------------------------------------------------------------

@@ -135,6 +135,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(sids)
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the family's shared payloads (3-gram shingles, portable
+    shingle ids, 8-gram shingles) — bench family build line."""
+    from ..operators.neardup import shingles
+
+    _shingles3(spark, sf_dir).count()
+    _sids(spark, sf_dir).count()
+    shared.materialized(
+        spark, sf_dir, "shingles8", lambda: shingles(_docs(spark, sf_dir), n=8)
+    ).count()
+
+
 def _minhash_sql_cols() -> str:
     return ",\n               ".join(
         f"MIN((sid * {a} + {b}) % {MINHASH_P}) AS mh{k}"

@@ -53,6 +53,13 @@ def _rated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.rated(spark, sf_dir)
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the session-shared URM + rated tables (timed by
+    bench.py as the family build line; see plans/recsys.bench_warmup)."""
+    _urm(spark, sf_dir).count()
+    _rated(spark, sf_dir).count()
+
+
 # ---------------------------------------------------------------------------
 # similarity family: cosine/jaccard/dice/tversky/asymmetric/euclidean
 # (Compute_Similarity_Python.py:213-388, Compute_Similarity_Euclidean.py)

@@ -31,6 +31,11 @@ def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the session-shared URM (bench family build line)."""
+    _urm(spark, sf_dir).count()
+
+
 def _impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impression-shaped pairs: shown-but-not-interaction event types.
 

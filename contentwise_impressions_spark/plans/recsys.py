@@ -294,6 +294,13 @@ register(
 # implicit + disjoint split assertions (assertions_on_data_for_experiments
 # .py:12-57) as a checkable query: all violation counts must be 0
 # ---------------------------------------------------------------------------
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the session-shared URM.  bench.py times this as the
+    family's build line so per-query numbers reflect plans, not whichever
+    query happens to touch the shared payload first."""
+    _urm(spark, sf_dir).count()
+
+
 def q_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five assertion counters in ONE job (two stages, one action).
 

@@ -199,6 +199,34 @@ def bench_query_families() -> dict[str, str]:
     }
 
 
+def bench_warmups() -> dict[str, Callable[[SparkSession, str], None]]:
+    """Family → warmup callable that materializes the family's shared
+    payloads.  bench.py times each as its own ``family_warmup`` line so
+    per-query numbers reflect plan cost, not first-touch build attribution
+    (round-5 verdict: cfcbf_hybrid_topk carried a 15 s ICM/CF build)."""
+    import importlib
+
+    _load_all_modules()
+    out: dict[str, Callable[[SparkSession, str], None]] = {}
+    for modname in (
+        "relational",
+        "recsys",
+        "textops",
+        "mlops",
+        "dedupops",
+        "modelops",
+        "impressionops",
+        "cbfops",
+        "pipelineops",
+        "selectionops",
+    ):
+        mod = importlib.import_module(f".{modname}", __package__)
+        fn = getattr(mod, "bench_warmup", None)
+        if fn is not None:
+            out[modname] = fn
+    return out
+
+
 def utc(spark: SparkSession) -> SparkSession:
     """Pin the session timezone so calendar functions (hour/day/...) agree
     with the oracle, which always interprets naive parquet timestamps as-is."""

@@ -50,6 +50,17 @@ tokb AS (
 )
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the family's shared payloads (token buckets, classifier
+    features + labels) — bench family build line."""
+    from .shared import materialized
+
+    _tok_buckets(spark, sf_dir).count()
+    materialized(
+        spark, sf_dir, "qc_feats", lambda: _doc_feats(spark, sf_dir)
+    ).count()
+
+
 def _tok_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bucket) per token occurrence — hashed unigram features,
     materialized per session (DSIR consumes it twice in one plan, the

@@ -111,6 +111,11 @@ def release_session_payloads(
                         v.unpersist(blocking)
                     except Exception:  # stopped context — nothing to free
                         pass
+                elif hasattr(v, "destroy"):  # pyspark Broadcast
+                    try:
+                        v.destroy()
+                    except Exception:
+                        pass
     if spark is not None:
         try:
             # sweep the JVM block manager: catches localCheckpoint blocks

@@ -392,6 +392,13 @@ register(
 )
 
 
+def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the family's shared payloads (repetition stats, BPE
+    word vocabulary) — bench family build line."""
+    q_doc_repetition_stats(spark, sf_dir).count()
+    _bpe_vocab(spark, sf_dir).count()
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality (training-data-pipeline extension)
 # ---------------------------------------------------------------------------
