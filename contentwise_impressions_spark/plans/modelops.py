@@ -18,7 +18,7 @@ from ..recommenders.factor import (
     nmf_factors,
     pure_svd_item_factors,
 )
-from ..recommenders.slim import ease_r, slim_elasticnet
+from ..recommenders.slim import ease_r, slim_elasticnet_distributed
 from ..sources.interactions import events_as_interactions, implicit_urm
 from ..sources.tables import load_table
 from ..streaming.ingest import tumbling_event_counts
@@ -213,10 +213,11 @@ register(
 
 
 def q_slim_elasticnet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SLIM-EN per-item ElasticNet via applyInPandas
-    (SLIMElasticNetRecommender.py:41-149)."""
+    """SLIM-EN per-item ElasticNet, DISTRIBUTED co-occurrence-neighborhood
+    fit — no driver URM, no item cap (SLIMElasticNetRecommender.py:41-149;
+    equivalence vs the dense broadcast twin pinned in tests/test_models)."""
     urm = _urm(spark, sf_dir)
-    return slim_elasticnet(urm, alpha=1e-4, l1_ratio=0.1, top_k=10)
+    return slim_elasticnet_distributed(urm, alpha=1e-4, l1_ratio=0.1, top_k=10)
 
 
 register(
@@ -512,7 +513,12 @@ def q_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(users, "user_id", "left_semi")
     uf, itf = bpr_mf_fit(train, rank=8, epochs=3, seed=42, n_buckets=16)
     recs["bpr_mf"] = top10(mf_scores(uf, itf))
-    w_slim = slim_elasticnet(train_v, alpha=1e-4, l1_ratio=0.1, top_k=10)
+    # the DISTRIBUTED fit feeds the gate, so its MAP@10 floor certifies
+    # the scale path (equivalence vs the broadcast twin is pinned in
+    # tests/test_models.py)
+    w_slim = slim_elasticnet_distributed(
+        train_v, alpha=1e-4, l1_ratio=0.1, top_k=10
+    )
     recs["slim_elasticnet"] = top10(
         item_based_scores(
             train_v,

@@ -4,6 +4,7 @@ reference's own strategy for stochastic algorithms)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -79,6 +80,46 @@ def test_slim_elasticnet_invariants(spark, urm):
     assert w.filter(F.col("weight") < 0).count() == 0  # positive=True
     per_j = w.groupBy("item_j").count().agg(F.max("count")).collect()[0][0]
     assert per_j <= 5
+
+
+def test_slim_distributed_matches_broadcast(spark, urm):
+    """The co-occurrence-neighborhood distributed fit must reproduce the
+    dense-broadcast twin: same support, same coefficients (the two CD
+    kernels differ only in floating-point assembly of the inner
+    products)."""
+    from contentwise_impressions_spark.recommenders.slim import (
+        slim_elasticnet_distributed,
+    )
+
+    a = slim_elasticnet(urm, top_k=5).toPandas()
+    b = slim_elasticnet_distributed(urm, top_k=5).toPandas()
+    ka = a.sort_values(["item_j", "item_i"]).reset_index(drop=True)
+    kb = b.sort_values(["item_j", "item_i"]).reset_index(drop=True)
+    assert list(map(tuple, ka[["item_i", "item_j"]].to_numpy())) == list(
+        map(tuple, kb[["item_i", "item_j"]].to_numpy())
+    )
+    assert np.allclose(
+        ka["weight"].to_numpy(), kb["weight"].to_numpy(), atol=1e-6
+    )
+
+
+def test_slim_distributed_plan_is_cogrouped_no_driver_urm(spark, urm):
+    """Scale pin: the distributed fit is a join + groupBy(item_j) +
+    FlatMapGroupsInPandas — no cartesian, no driver URM collect (the only
+    action during plan construction is the scalar max-user aggregate)."""
+    from contentwise_impressions_spark.recommenders.slim import (
+        slim_elasticnet_distributed,
+    )
+
+    df = slim_elasticnet_distributed(urm, top_k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ease_r_no_diagonal_and_topk(spark, urm):
