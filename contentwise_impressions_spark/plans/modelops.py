@@ -300,6 +300,187 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# FunkSVD / AsySVD explicit-rating MF-SGD
+# (MatrixFactorization_Cython.py:195-266, epoch kernels in
+# MatrixFactorization_Cython_Epoch.pyx:286-520)
+# ---------------------------------------------------------------------------
+def q_funk_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunkSVD top-10 over the explicit rating table (bucketed parallel
+    pointwise SGD with biases; MatrixFactorization_Cython_Epoch.pyx:286-390).
+    The scalar global bias shifts every score equally, so rankings are
+    unaffected by adding it."""
+    from ..operators.scoring import recommend_top_k
+    from ..recommenders.mfsgd import funk_svd_fit, scoring_factors
+    from .mlops import _rated
+
+    rated = _rated(spark, sf_dir)
+    uf, itf, _g = funk_svd_fit(
+        rated, rank=8, epochs=3, lr=0.2, sgd_mode="adagrad", seed=42,
+        n_buckets=16,
+    )
+    su, si = scoring_factors(uf, itf)
+    scores = mf_scores(su, si)
+    return recommend_top_k(
+        scores, 10, train=rated.select("user_id", "item_id"), round_digits=9
+    )
+
+
+register(
+    QuerySpec(
+        "funk_svd_recommendations",
+        q_funk_svd_recommendations,
+        None,
+        doc="FunkSVD explicit-rating MF-SGD "
+        "(MatrixFactorization_Cython.py:195-225, epoch kernel "
+        "MatrixFactorization_Cython_Epoch.pyx:286-390)",
+        bench=False,
+    )
+)
+
+
+def q_asy_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsySVD top-10: users represented through the items they rated
+    (Koren 2008; MatrixFactorization_Cython.py:227-266).  User factors are
+    re-estimated as (URM·Y)/sqrt(profile length) after the fit — also the
+    cold-user path (any user with ratings gets factors)."""
+    from ..operators.scoring import recommend_top_k
+    from ..recommenders.mfsgd import (
+        asy_svd_fit,
+        asy_user_factors,
+        scoring_factors,
+    )
+    from .mlops import _rated
+
+    rated = _rated(spark, sf_dir)
+    x_fac, y_fac, ub, _g = asy_svd_fit(
+        rated, rank=8, epochs=3, lr=0.2, sgd_mode="adagrad", seed=42,
+        n_buckets=16,
+    )
+    su, si = scoring_factors(asy_user_factors(rated, y_fac, ub), x_fac)
+    scores = mf_scores(su, si)
+    return recommend_top_k(
+        scores, 10, train=rated.select("user_id", "item_id"), round_digits=9
+    )
+
+
+register(
+    QuerySpec(
+        "asy_svd_recommendations",
+        q_asy_svd_recommendations,
+        None,
+        doc="AsySVD item-profile MF-SGD "
+        "(MatrixFactorization_Cython.py:227-266, epoch kernel "
+        "MatrixFactorization_Cython_Epoch.pyx:393-520)",
+        bench=False,
+    )
+)
+
+
+def q_rating_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out RMSE of the explicit-rating MF fits vs the GlobalEffects
+    baseline on the fixed hash split — the rating-model analog of
+    model_quality_gates (pytest pins funk/asy ≤ baseline)."""
+    from functools import reduce
+
+    from ..functions.hashing import bucket_hash
+    from ..recommenders.mfsgd import (
+        asy_svd_fit,
+        asy_user_factors,
+        funk_svd_fit,
+        predict_ratings,
+    )
+    from ..recommenders.nonpersonalized import global_effects
+    from .mlops import _rated
+
+    rated = _rated(spark, sf_dir)
+    tagged = rated.withColumn(
+        "split",
+        F.when(
+            bucket_hash(F.col("user_id"), F.col("item_id")) < 698, 0
+        ).otherwise(1),
+    )
+    train = tagged.filter(F.col("split") == 0).drop("split")
+    test = tagged.filter(F.col("split") == 1).drop("split")
+
+    def rmse_of(pred: DataFrame, name: str) -> DataFrame:
+        return (
+            test.join(pred, ["user_id", "item_id"], "left")
+            .fillna(0.0, subset=["score"])
+            .agg(
+                F.lit(name).alias("model"),
+                F.sqrt(
+                    F.avg(F.pow(F.col("score") - F.col("rating"), 2))
+                ).alias("rmse"),
+            )
+        )
+
+    mu_df, item_bias, user_bias = global_effects(
+        train, lambda_item=25.0, lambda_user=10.0
+    )
+    ge_pred = (
+        test.select("user_id", "item_id")
+        .crossJoin(F.broadcast(mu_df))
+        .join(F.broadcast(item_bias), "item_id", "left")
+        .join(F.broadcast(user_bias), "user_id", "left")
+        .select(
+            "user_id",
+            "item_id",
+            (
+                F.col("mu")
+                + F.coalesce(F.col("item_bias"), F.lit(0.0))
+                + F.coalesce(F.col("user_bias"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+    uf, itf, g_f = funk_svd_fit(
+        train, rank=8, epochs=6, lr=0.2, sgd_mode="adagrad", seed=42,
+        n_buckets=16,
+    )
+    funk_pred = predict_ratings(test, uf, itf, g_f)
+
+    x_fac, y_fac, ub, g_a = asy_svd_fit(
+        train, rank=8, epochs=6, lr=0.2, sgd_mode="adagrad", seed=42,
+        n_buckets=16,
+    )
+    asy_pred = predict_ratings(
+        test, asy_user_factors(train, y_fac, ub), x_fac, g_a
+    )
+
+    rows = [
+        rmse_of(ge_pred, "global_effects"),
+        rmse_of(funk_pred, "funk_svd"),
+        rmse_of(asy_pred, "asy_svd"),
+    ]
+    allm = reduce(lambda a, b: a.unionByName(b), rows)
+    base = allm.filter(F.col("model") == "global_effects").select(
+        F.col("rmse").alias("_base")
+    )
+    return (
+        allm.crossJoin(F.broadcast(base))
+        .select(
+            "model",
+            "rmse",
+            (F.col("rmse") <= F.col("_base")).alias("beats_global_effects"),
+        )
+        .orderBy("model")
+    )
+
+
+register(
+    QuerySpec(
+        "rating_model_quality_gates",
+        q_rating_model_quality_gates,
+        None,
+        doc="held-out RMSE gates: FunkSVD/AsySVD vs GlobalEffects "
+        "(metrics.py:219-266 metric; fits from "
+        "MatrixFactorization_Cython.py:195-266)",
+        bench=False,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # gap-based sessionization (streaming extension; batch-checkable)
 # ---------------------------------------------------------------------------
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

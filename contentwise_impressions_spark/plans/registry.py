@@ -54,105 +54,70 @@ def _load_all_modules() -> None:
 
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
-#: registration order up to a fixed budget (50 per round).  Cumulative status
-#: after round 4: EVERY oracled query has a green driver row (r1-r4); the
-#: only specs with zero driver evidence are the rows-only ones (the r4
-#: budget was spent on oracled queries).  This round's rotation therefore
-#: fronts the 14 rows-only specs (``model_quality_gates`` first — one green
-#: row certifies the IALS/BPR/SLIM-EN/EASE_R fits against TopPop at once,
-#: and ``sketch_summary`` scalarized this round so the driver canonicalizer
-#: can finally hash it), then every query whose plan/kernel changed this
-#: round, then re-verification of the OLDEST greens (r1 vintage) to keep
-#: the cumulative evidence fresh.
+#: registration order up to a fixed budget (50 per round).  Cumulative
+#: status after round 5: every registered query has at least one driver
+#: row; the freshest evidence per query is r2 for 44 queries, r3 for 16,
+#: r4 for 39, r5 for 50.  Round-6 rotation: (1) the three NEW round-6
+#: specs (FunkSVD/AsySVD + the RMSE gate), (2) every query whose plan,
+#: kernel, or oracle changed this round (bounded negative sampling, fused
+#: split_invariants, the asymmetric-replication cosine kernel, the
+#: distributed SLIM-EN fit feeding both its spec and model_quality_gates),
+#: then (3) refresh of the OLDEST evidence (r2 vintage) up to the budget.
 DRIVER_PRIORITY: list[str] = [
-    # rows-only specs — the only registered queries with no driver row ever
-    "model_quality_gates",
-    "sketch_summary",
-    "tag_tokens_porter",
-    "random_recommendations",
-    "ials_recommendations",
-    "pure_svd_factors",
-    "nmf_user_factors",
-    "slim_elasticnet_weights",
-    "ease_r_weights",
-    "ease_r_blocked_weights",
-    "ease_r_cg_weights",
-    "slim_bpr_weights",
-    "bpr_mf_recommendations",
-    "custom_w_recommendations",
-    # plans/kernels touched in round 5 — need fresh green rows
-    "conversion_funnel",
-    "semantic_dedup_flags",
+    # new in round 6 — zero driver evidence yet
+    "funk_svd_recommendations",
+    "asy_svd_recommendations",
+    "rating_model_quality_gates",
+    # plans/kernels/oracles changed in round 6
+    "negative_samples",
+    "negative_sample_eval",
+    "split_invariants",
     "cfcbf_hybrid_topk",
     "itemcbf_cosine_topk",
-    "user_cosine_topk",
-    "userknn_recommendations",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "embedding_neardup_pairs",
-    "multimodal_decode_stats",
-    "audio_decode_stats",
-    "jpeg_decode_stats",
-    "duplicated_span_stats",
-    "span_scrubbed_docs",
-    "unigram_ppl_buckets",
-    "ann_retrieval_topk",
-    "token_budget_mixture",
-    "source_quality_rollup",
-    # new round-5 data-selection family
-    "dsir_importance_weights",
-    "quality_classifier_scores",
-    "blocklist_filter_stats",
-    "incremental_dedup_flags",
-    "passage_chunks",
-    "bm25_search_topk",
-    "batch_drift_stats",
-    "png_decode_stats",
-    "bpe_learned_merges",
-    "bpe_compression_stats",
-    "training_shard_manifest",
-    "lang_temperature_sampling",
-    "embedding_outlier_flags",
-    "hard_negative_pairs",
-    "doc_novelty_stats",
-    "lsh_recall_stats",
-    "minhash_jaccard_estimates",
-    # oldest greens (r1 vintage, never re-checked since) — refresh
+    "slim_elasticnet_weights",
+    "model_quality_gates",
+    # oldest driver evidence (r2 vintage) — refresh
     "pricing_summary",
     "filter_project",
-    "january_traffic",
-    "active_users",
-    "latest_event_per_user",
-    "events_of_known_customers",
-    "top_orders_by_revenue",
     "region_customer_rollup",
-    "revenue_rollup",
-    "sql_shipping_priority",
-    "hourly_event_type_pivot",
+    "top_orders_by_revenue",
+    "active_users",
+    "corpus_cardinalities",
+    "latest_event_per_user",
     "user_activity_gini",
-    "user_activity_deciles",
-    "users_covering_traffic",
-    "value_histogram",
-    "value_quantiles",
-    "value_outliers",
     "event_type_entropy",
     "event_type_herfindahl",
-    "fd_violations",
+    "value_histogram",
+    "users_covering_traffic",
+    "hourly_event_type_pivot",
+    "clickers_never_purchased",
+    "events_of_known_customers",
     "part_name_tokens",
     "token_position",
     "weekday_hour_traffic",
-    "salted_user_nation_counts",
+    "january_traffic",
     "top_events_per_type",
-    "clickers_never_purchased",
-    "corpus_cardinalities",
-    "split_sizes",
-    "urm_density",
+    "fd_violations",
+    "salted_user_nation_counts",
+    "sql_shipping_priority",
+    "revenue_rollup",
+    "value_quantiles",
+    "user_activity_deciles",
     "toppop",
+    "split_sizes",
+    "leave_last_out_sizes",
     "kcore_filter",
-    "split_invariants",
+    "urm_density",
+    "cold_start_split_sizes",
+    "popularity_bias_stats",
+    "weekly_cohort_retention",
+    "item_pmi_topk",
+    "value_outliers",
+    "item_similarity_family",
+    "item_cosine_topk",
     "exact_dedup_docs",
     "doc_token_stats",
+    # budget line (~50) — r2 stragglers below roll into the round-7 front
     "doc_quality",
     "langid",
     "tag_tokens",

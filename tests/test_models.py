@@ -122,6 +122,24 @@ def test_slim_distributed_plan_is_cogrouped_no_driver_urm(spark, urm):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rating_model_rmse_gates(spark):
+    """FunkSVD/AsySVD (adagrad, fixed seed/buckets) must beat the
+    GlobalEffects RMSE baseline on the held-out hash split at sf0.01 —
+    the explicit-rating analog of the MAP@10 gates.  Observed at sf0.01:
+    GE 46.88, funk 46.18, asy 46.21."""
+    from contentwise_impressions_spark.plans import all_queries
+
+    rows = {
+        r["model"]: r
+        for r in all_queries()["rating_model_quality_gates"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"global_effects", "funk_svd", "asy_svd"}
+    assert rows["funk_svd"]["beats_global_effects"]
+    assert rows["asy_svd"]["beats_global_effects"]
+
+
 def test_ease_r_no_diagonal_and_topk(spark, urm):
     w = ease_r(urm, l2=50.0, top_k=5).cache()
     assert w.filter(F.col("item_i") == F.col("item_j")).count() == 0
