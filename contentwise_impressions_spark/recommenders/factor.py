@@ -98,41 +98,33 @@ def ials_recommend(
 # ---------------------------------------------------------------------------
 # PureSVD — randomized range finder with distributed matmuls
 # ---------------------------------------------------------------------------
-def _matmul_urm_dense(
-    urm: DataFrame, dense: np.ndarray, key: str, other: str
-) -> np.ndarray:
-    """Distributed sparse×dense matmul: Σ_other value · dense[other, :]
-    grouped by `key` — the only distributed primitive randomized SVD needs.
+def _matmul_urm_df(
+    urm: DataFrame, fac: DataFrame, key: str, other: str
+) -> DataFrame:
+    """Distributed sparse×dense matmul AS A DATAFRAME: (key, features)
+    with features[p] = Σ_other value · fac.features[other][p] — the only
+    distributed primitive randomized SVD needs, chainable so power-
+    iteration intermediates never leave the cluster.
 
-    Stays declarative: broadcast-join the triples against the (id, features)
-    table, posexplode, one hash agg on (key, component).  Map-side partial
-    aggregation plays the role of the reference's blocked accumulation.
-    Returns a dense (max_key+1, r) driver array (k+p columns only).
-    """
-    spark = urm.sparkSession
-    r = dense.shape[1]
-    schema = StructType(
-        [
-            StructField("_oid", LongType()),
-            StructField("_feat", ArrayType(DoubleType())),
-        ]
-    )
-    fdf = spark.createDataFrame(
-        [(i, dense[i].tolist()) for i in range(dense.shape[0])], schema
-    )
-    agg = (
-        urm.select(F.col(key).alias("_kid"), F.col(other).alias("_oid"), "value")
-        .join(F.broadcast(fdf), "_oid")
+    Join the triples against the (id, features) table, posexplode, one
+    hash agg on (key, component), re-assemble the array.  Map-side
+    partial aggregation plays the role of the reference's blocked
+    accumulation."""
+    return (
+        urm.select(
+            F.col(key).alias("_kid"), F.col(other).alias("_oid"), "value"
+        )
+        .join(fac.select(F.col("_id").alias("_oid"), "_feat"), "_oid")
         .select("_kid", "value", F.posexplode("_feat").alias("_pos", "_f"))
         .groupBy("_kid", "_pos")
         .agg(F.sum(F.col("value") * F.col("_f")).alias("_s"))
-        .collect()
+        .groupBy("_kid")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_s"))).alias("_ps"))
+        .select(
+            F.col("_kid").alias("_id"),
+            F.transform("_ps", lambda s: s["_s"]).alias("_feat"),
+        )
     )
-    n = max((row["_kid"] for row in agg), default=-1) + 1
-    out = np.zeros((n, r))
-    for row in agg:
-        out[row["_kid"], row["_pos"]] = row["_s"]
-    return out
 
 
 def pure_svd_item_factors(
@@ -140,34 +132,70 @@ def pure_svd_item_factors(
 ) -> DataFrame:
     """Rank-k right singular vectors scaled by Σ: (item_id, features).
 
-    Randomized SVD: Y = (AᵀA)^q Aᵀ Ω via alternating distributed matmuls,
-    QR on the driver (only (n_items × k+p)), final small SVD.  Matches
-    PureSVDRecommender's factors up to sign/rotation — consumers use scores
-    U·Vᵀ which are rotation-invariant.
+    Randomized SVD with the ENTIRE power chain on the cluster: the
+    alternating matmuls Y_{q+1} = AᵀA·Y_q are chained DataFrames — the
+    user-side intermediate A·Y never reaches the driver — and ONE collect
+    brings back [(AᵀA)^q Ω | (AᵀA)^{q+1} Ω] (n_items × 2(k+p)).  The
+    driver then does only small linear algebra: Q,R = qr(Y_q); with
+    W = Y_{q+1}, BᵀB = QᵀAᵀAQ = (QᵀW)R⁻¹, and eigh(BᵀB) supplies the
+    singular values/right vectors of B = AQ without ever materializing B
+    (n_users × r stays distributed).  Matches PureSVDRecommender's
+    factors up to sign/rotation — consumers use scores U·Vᵀ which are
+    rotation-invariant (PureSVDRecommender.py:33-45).
+
+    Per-iteration driver QR is dropped; for the small q used here the
+    float64 power chain keeps full column rank (the energy pytest gate
+    guards the capture fraction).
     """
     rng = np.random.default_rng(seed)
-    n_items = int(urm.agg(F.max("item_id")).collect()[0][0]) + 1
-    omega = rng.standard_normal((n_items, k + n_oversample))
-    # power iterations: Q spans range of (Aᵀ A)^q (Aᵀ Ω̃)
-    y = omega
-    for _ in range(n_iter):
-        z = _matmul_urm_dense(urm, y, key="user_id", other="item_id")  # A·y
-        y = _matmul_urm_dense(urm, z, key="item_id", other="user_id")  # Aᵀ·z
-        y, _ = np.linalg.qr(y)
-    # project: B = A·Q  (n_users × k+p), small SVD of B
-    b = _matmul_urm_dense(urm, y, key="user_id", other="item_id")
-    _, s, vt = np.linalg.svd(b, full_matrices=False)
-    v_items = y @ vt.T[:, :k]  # right singular vectors in item space
-    factors = v_items * s[:k]  # scale by Σ (reference: (Σ·Vᵀ)ᵀ)
     spark = urm.sparkSession
+    n_items = int(urm.agg(F.max("item_id")).collect()[0][0]) + 1
+    r = k + n_oversample
+    omega = rng.standard_normal((n_items, r))
     schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("_feat", ArrayType(DoubleType())),
+        ]
+    )
+    y = spark.createDataFrame(
+        [(i, omega[i].tolist()) for i in range(n_items)], schema
+    )
+    w = None
+    for _ in range(n_iter + 1):
+        if w is not None:
+            y = w
+        z = _matmul_urm_df(urm, y, key="user_id", other="item_id")  # A·y
+        w = _matmul_urm_df(urm, z, key="item_id", other="user_id")  # Aᵀ·z
+    # ONE collect: Y_q and Y_{q+1} side by side (items absent from the URM
+    # have no product rows — they stay zero, exactly as a dense matmul)
+    both = y.select("_id", F.col("_feat").alias("_y")).join(
+        w.select("_id", F.col("_feat").alias("_w")), "_id", "full_outer"
+    )
+    ymat = np.zeros((n_items, r))
+    wmat = np.zeros((n_items, r))
+    for row in both.collect():
+        if row["_y"] is not None:
+            ymat[row["_id"]] = row["_y"]
+        if row["_w"] is not None:
+            wmat[row["_id"]] = row["_w"]
+    q_mat, r_mat = np.linalg.qr(ymat)
+    # BᵀB = QᵀAᵀAQ = (Qᵀ·W)·R⁻¹ — solve against triangular R, symmetrize
+    btb = np.linalg.solve(r_mat.T, (q_mat.T @ wmat).T).T
+    btb = 0.5 * (btb + btb.T)
+    eigvals, eigvecs = np.linalg.eigh(btb)
+    order = np.argsort(eigvals)[::-1][:k]
+    s = np.sqrt(np.clip(eigvals[order], 0.0, None))
+    v_items = q_mat @ eigvecs[:, order]  # right singular vectors, item space
+    factors = v_items * s  # scale by Σ (reference: (Σ·Vᵀ)ᵀ)
+    out_schema = StructType(
         [
             StructField("item_id", LongType()),
             StructField("features", ArrayType(DoubleType())),
         ]
     )
     rows = [(i, factors[i].tolist()) for i in range(factors.shape[0])]
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------
