@@ -14,6 +14,7 @@ from ..functions.text import bm25, term_frequencies, tf_idf
 from ..operators.ann import cosine_topk_bruteforce, lsh_bucket_signatures
 from ..operators.ann import N_PLANES, PLANE_A, PLANE_B, PLANE_P
 from ..operators.neardup import (
+    DEFAULT_ROWS_PER_BAND,
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
@@ -172,17 +173,15 @@ register(
 
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sids = _sids(spark, sf_dir)
-    return minhash_lsh_candidates(minhash_signatures(sids), rows_per_band=2)
+    return minhash_lsh_candidates(minhash_signatures(sids))
 
 
-def _lsh_band_sql() -> str:
+def _lsh_band_sql(rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> str:
     bands = []
-    for bidx in range(len(MINHASH_A) // 2):
-        c0, c1 = f"mh{2 * bidx}", f"mh{2 * bidx + 1}"
-        bands.append(
-            f"SELECT doc_id, {bidx} AS band, "
-            f"CAST({c0} AS VARCHAR) || '_' || CAST({c1} AS VARCHAR) AS bucket FROM sig"
-        )
+    for bidx in range(len(MINHASH_A) // rows_per_band):
+        cols = [f"mh{rows_per_band * bidx + r}" for r in range(rows_per_band)]
+        bucket = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        bands.append(f"SELECT doc_id, {bidx} AS band, {bucket} AS bucket FROM sig")
     return " UNION ALL ".join(bands)
 
 
@@ -702,7 +701,7 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     cand = minhash_lsh_candidates(
-        minhash_signatures(_sids(spark, sf_dir)), rows_per_band=2
+        minhash_signatures(_sids(spark, sf_dir))
     )
     cc = connected_components(cand, src="doc_i", dst="doc_j")
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -1229,7 +1228,7 @@ def q_incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipelineops import _HASH_A, _HASH_MOD, _TRAIN_LT
 
     sids = _sids(spark, sf_dir)
-    bands = band_buckets(minhash_signatures(sids), rows_per_band=2)
+    bands = band_buckets(minhash_signatures(sids))
     in_index = (F.col("doc_id") * _HASH_A) % _HASH_MOD < _TRAIN_LT
     idx = bands.filter(in_index).select(
         F.col("doc_id").alias("match_id"), "band", "bucket"
@@ -1598,7 +1597,7 @@ def q_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j")
     )
     cand = minhash_lsh_candidates(
-        minhash_signatures(_sids(spark, sf_dir)), rows_per_band=2
+        minhash_signatures(_sids(spark, sf_dir))
     ).select("doc_i", "doc_j")
     both = exact.withColumn("t", F.lit(1)).join(
         cand.withColumn("c", F.lit(1)), ["doc_i", "doc_j"], "full_outer"
@@ -1707,7 +1706,7 @@ def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sids = _sids(spark, sf_dir)
     sigs = minhash_signatures(sids)
-    cand = minhash_lsh_candidates(sigs, rows_per_band=2).select(
+    cand = minhash_lsh_candidates(sigs).select(
         "doc_i", "doc_j"
     )
     a = sigs.select(

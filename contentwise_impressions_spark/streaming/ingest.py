@@ -296,7 +296,9 @@ def dedup_events_stream(
     return src.dropDuplicates(keys)
 
 
-def rowwise_minhash_bands(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def rowwise_minhash_bands(
+    docs: DataFrame, rows_per_band: int | None = None
+) -> DataFrame:
     """(doc_id, band, bucket) MinHash LSH bands computed PER ROW — no
     groupBy, no state: shingle → xxhash64 sid → 8 affine min-hashes via
     array_min(transform(...)) entirely inside codegen.
@@ -346,7 +348,10 @@ def rowwise_minhash_bands(docs: DataFrame, rows_per_band: int = 2) -> DataFrame:
             ],
         )
     )
-    from ..operators.neardup import band_buckets
+    from ..operators.neardup import DEFAULT_ROWS_PER_BAND, band_buckets
+
+    if rows_per_band is None:
+        rows_per_band = DEFAULT_ROWS_PER_BAND
 
     return band_buckets(base, rows_per_band)
 
