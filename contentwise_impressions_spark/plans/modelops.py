@@ -114,28 +114,39 @@ register(
         f"""
         WITH {URM_CTE},
         {IMP_CTE},
+        items_idx AS (
+            SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS idx
+            FROM (SELECT DISTINCT item_id FROM urm)
+        ),
+        nitems AS (SELECT COUNT(*) AS n FROM items_idx),
+        props AS (
+            SELECT u.user_id, s.seq,
+                   ((((u.user_id * 1000003 + s.seq) % 1000003619) * 48271
+                     % 2147483647) * 16807 % 2147483647) % nitems.n AS idx
+            FROM (SELECT DISTINCT user_id FROM urm) u
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS seq) s
+            CROSS JOIN nitems
+        ),
         cand AS (
-            SELECT us.user_id, it.item_id
-            FROM (SELECT DISTINCT user_id FROM urm) us
-            CROSS JOIN (SELECT DISTINCT item_id FROM urm) it
+            SELECT p.user_id, i.item_id, p.seq
+            FROM props p JOIN items_idx i USING (idx)
             WHERE NOT EXISTS (SELECT 1 FROM urm u
-                  WHERE u.user_id = us.user_id AND u.item_id = it.item_id)
+                  WHERE u.user_id = p.user_id AND u.item_id = i.item_id)
               AND NOT EXISTS (SELECT 1 FROM imp m
-                  WHERE m.user_id = us.user_id AND m.item_id = it.item_id)
+                  WHERE m.user_id = p.user_id AND m.item_id = i.item_id)
         ),
         neg AS (
             SELECT user_id, item_id AS neg_item FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                     ORDER BY ((item_id * 1000003 + user_id * 7919) % 997 + 997) % 997,
-                              item_id ASC) AS r
+                     ORDER BY seq ASC, seq ASC) AS r
                 FROM cand
             ) WHERE r = 1
         )
         SELECT u.user_id, u.item_id AS pos_item, n.neg_item
         FROM urm u JOIN neg n USING (user_id)
         """,
-        doc="impression-aware BPR negative sampling, outside mode "
-        "(…Epoch.pyx:1069-1079)",
+        doc="impression-aware BPR negative sampling, outside mode, bounded "
+        "proposals (…Epoch.pyx:1069-1079)",
     )
 )
 

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     # plans/kernels/oracles changed in round 6
     "negative_samples",
     "negative_sample_eval",
+    "bpr_triplets_outside",
     "split_invariants",
     "cfcbf_hybrid_topk",
     "itemcbf_cosine_topk",

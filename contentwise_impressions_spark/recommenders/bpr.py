@@ -51,29 +51,58 @@ def bpr_triplets(
     impressions: DataFrame | None = None,
     mode: str = "outside",
     items: DataFrame | None = None,
+    n_props: int = 64,
 ) -> DataFrame:
     """One (user_id, pos_item, neg_item) triplet per train positive.
 
     mode='inside':  negative = hash-first item among the user's impressions
-                    minus seen (…Epoch.pyx:1047-1049).
-    mode='outside': negative = hash-first item among catalog minus seen
-                    minus impressions (:1069-1079).
-    Hash order replaces the reference's uniform draw so the sampler is
-    engine-reproducible; distributionally both are arbitrary-but-fixed picks.
+                    minus seen (…Epoch.pyx:1047-1049) — already bounded by
+                    the impression list.
+    mode='outside': negative = first unseen item among `n_props` bounded
+                    pseudo-random proposals per user (:1069-1079).  The
+                    former formulation enumerated the user×item complement
+                    (O(U·I) rows) just to keep one row per user; the
+                    proposal generator is O(U·n_props) — the same Lehmer
+                    mix as plans/mlops._bounded_negatives, reproducible in
+                    the SQL twin.  A user whose n_props proposals all hit
+                    seen∪impressions yields no triplet that epoch — the
+                    reference's retry-bounded sampler has the same contract.
+    Deterministic arithmetic replaces the reference's uniform draw so the
+    sampler is engine-reproducible; distributionally both are
+    arbitrary-but-fixed picks.
     """
     if items is None:
         items = train.select("item_id").distinct()
     seen = train.select("user_id", "item_id")
     users = train.select("user_id").distinct()
     if mode == "inside":
-        if impressions is None:
-            raise ValueError("mode='inside' requires impressions")
-        cand = impressions.select("user_id", "item_id").dropDuplicates(
-            ["user_id", "item_id"]
-        ).join(seen, ["user_id", "item_id"], "left_anti")
+        cand = (
+            _inside_candidates(seen, impressions)
+            .withColumn(
+                "_ord", bucket_hash(F.col("item_id"), F.col("user_id"))
+            )
+            .withColumn("_tie", F.col("item_id"))
+        )
     elif mode == "outside":
-        cand = users.crossJoin(F.broadcast(items)).join(
-            seen, ["user_id", "item_id"], "left_anti"
+        n_items = items.count()  # dimension-scale action (item vocabulary)
+        idx = items.select("item_id").withColumn(
+            "idx", F.row_number().over(Window.orderBy("item_id")) - 1
+        )
+        props = users.withColumn(
+            "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
+        )
+        m1 = F.pmod(
+            F.col("user_id") * F.lit(1000003) + F.col("seq"),
+            F.lit(1000003619),
+        )
+        m2 = F.pmod(m1 * F.lit(48271), F.lit(2147483647))
+        m3 = F.pmod(m2 * F.lit(16807), F.lit(2147483647))
+        cand = (
+            props.withColumn("idx", F.pmod(m3, F.lit(n_items)))
+            .join(F.broadcast(idx), "idx")
+            .select("user_id", "item_id", F.col("seq").alias("_ord"))
+            .withColumn("_tie", F.col("_ord"))
+            .join(seen, ["user_id", "item_id"], "left_anti")
         )
         if impressions is not None:
             cand = cand.join(
@@ -84,7 +113,7 @@ def bpr_triplets(
     else:
         raise ValueError(f"unknown sampling mode: {mode}")
     w = Window.partitionBy("user_id").orderBy(
-        bucket_hash(F.col("item_id"), F.col("user_id")), F.col("item_id").asc()
+        F.col("_ord").asc(), F.col("_tie").asc()
     )
     neg = (
         cand.withColumn("_r", F.row_number().over(w))
@@ -94,6 +123,18 @@ def bpr_triplets(
     return train.select(
         "user_id", F.col("item_id").alias("pos_item")
     ).join(neg, "user_id", "inner")
+
+
+def _inside_candidates(
+    seen: DataFrame, impressions: DataFrame | None
+) -> DataFrame:
+    if impressions is None:
+        raise ValueError("mode='inside' requires impressions")
+    return (
+        impressions.select("user_id", "item_id")
+        .dropDuplicates(["user_id", "item_id"])
+        .join(seen, ["user_id", "item_id"], "left_anti")
+    )
 
 
 def _init_factors(

@@ -288,7 +288,11 @@ def test_negative_samples_is_cartesian_free(spark, sf_dir):
     # bounded-proposal generator: O(users·n_props) rows, never the full
     # user×item complement — no cartesian/nested-loop anywhere, and the
     # item-index join stays a broadcast equi-join
-    for q in ("negative_samples", "negative_sample_eval"):
+    for q in (
+        "negative_samples",
+        "negative_sample_eval",
+        "bpr_triplets_outside",
+    ):
         plan = _formatted_plan(QUERIES[q](spark, sf_dir))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
