@@ -41,6 +41,11 @@ def test_every_query_has_oracle_or_is_declared():
         "ease_r_weights",
         "nmf_user_factors",
         "bpr_mf_recommendations",
+        # explicit-rating MF-SGD fits + their RMSE-vs-GlobalEffects gate —
+        # floors pinned in tests/test_models.py::test_rating_model_rmse_gates
+        "funk_svd_recommendations",
+        "asy_svd_recommendations",
+        "rating_model_quality_gates",
         "slim_bpr_weights",
         "custom_w_recommendations",
         "random_recommendations",
