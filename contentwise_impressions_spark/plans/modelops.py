@@ -262,9 +262,17 @@ register(
 
 
 def q_nmf_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NMF factor norms (NMFRecommender.py:36-73; numpy MU kernel)."""
+    """NMF factor norms — DISTRIBUTED multiplicative updates (both
+    matmuls on the cluster, only k×k Grams cross the driver;
+    NMFRecommender.py:36-73; equivalence vs the driver-numpy twin pinned
+    in tests/test_models.py)."""
+    from ..recommenders.factor import nmf_factors_distributed
+
     urm = _urm(spark, sf_dir)
-    uf, _ = nmf_factors(urm, k=8, n_iter=30)
+    # short MU budget: the query certifies the distributed serving
+    # surface; convergence quality is pinned in tests (equivalence + MU
+    # monotonicity on the fixture), not by this smoke row count
+    uf, _ = nmf_factors_distributed(urm, k=8, n_iter=8)
     return uf.select(
         "user_id",
         F.sqrt(

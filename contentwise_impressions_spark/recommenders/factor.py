@@ -22,10 +22,20 @@ shape, not weight equality (SURVEY.md §7 hard-parts note).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 
 def ials_factors(
@@ -243,6 +253,166 @@ def nmf_factors(
         [(j, h[:, j].tolist()) for j in range(n_i)], schema_i
     )
     return uf, itf
+
+
+def _gram_small(fac: DataFrame, k: int) -> np.ndarray:
+    """k×k Gram Σ_rows f·fᵀ of a (id, features) table — per-partition
+    partial outer products via mapInPandas, summed on the driver (k²
+    floats per partition; the only thing that ever leaves the cluster)."""
+    schema = StructType([StructField("_g", ArrayType(DoubleType()))])
+
+    def partial(batches):
+        acc = np.zeros((k, k))
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["features"].to_numpy())
+            acc += m.T @ m
+            seen = True
+        if seen:
+            yield pd.DataFrame({"_g": [acc.ravel().tolist()]})
+
+    parts = fac.select("features").mapInPandas(partial, schema).collect()
+    out = np.zeros((k, k))
+    for row in parts:
+        out += np.asarray(row["_g"]).reshape(k, k)
+    return out
+
+
+def _mu_update(
+    fac: DataFrame,
+    num: DataFrame,
+    gram: np.ndarray,
+    id_col: str,
+    k: int,
+    eps: float,
+) -> DataFrame:
+    """One Lee–Seung multiplicative update, id-local:
+    f ← f ⊙ num / max(G·f, eps).  `num` is the distributed matmul result
+    (_id, _feat); G is the k×k gram as driver literals (the matvec is a
+    codegen expression, k² literal terms)."""
+    import functools
+    import operator
+
+    den = F.array(
+        *[
+            functools.reduce(
+                operator.add,
+                [
+                    F.element_at("features", q + 1) * float(gram[p, q])
+                    for q in range(k)
+                ],
+            )
+            for p in range(k)
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0.0), k)
+    return (
+        fac.join(
+            num.select(F.col("_id").alias(id_col), F.col("_feat").alias("_n")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.zip_with(
+                F.zip_with(
+                    "features",
+                    F.coalesce("_n", zeros),
+                    lambda f, n_: f * n_,
+                ),
+                den,
+                lambda fn, d: fn / F.greatest(d, F.lit(eps)),
+            ).alias("features"),
+        )
+        .localCheckpoint()
+    )
+
+
+def nmf_factors_distributed(
+    urm: DataFrame,
+    k: int = 8,
+    n_iter: int = 20,
+    seed: int = 42,
+    eps: float = 1e-10,
+    init: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Lee–Seung multiplicative-update NMF with BOTH factor matrices and
+    both matmuls distributed — the scale path :func:`nmf_factors`'s
+    docstring promises (that driver twin stays as the small-fixture
+    equivalence oracle).
+
+    Per iteration, the only driver traffic is two k×k Grams:
+      H ← H ⊙ (AᵀW) / ((WᵀW)·H)   — AᵀW is the item-keyed distributed
+                                     matmul (same primitive as PureSVD's
+                                     range finder); (WᵀW) is k² floats.
+      W ← W ⊙ (A·H) / ((HᵀH)·W)
+    The ⊙ / ÷ steps are id-local codegen expressions; localCheckpoint per
+    update keeps plans shallow (the iterative-loop rule).
+
+    `init`: optional (W0, H0) DataFrames (user_id/item_id, features) —
+    used by the equivalence test to seed both paths identically; default
+    is per-id seeded uniform(1e-3, 1+1e-3), reproducible under any
+    partitioning.
+    """
+    spark = urm.sparkSession
+    users = urm.select("user_id").distinct()
+    items = urm.select("item_id").distinct()
+
+    def _uniform_init(ids: DataFrame, id_col: str, salt: int) -> DataFrame:
+        schema = StructType(
+            [
+                StructField(id_col, LongType()),
+                StructField("features", ArrayType(DoubleType())),
+            ]
+        )
+
+        def gen(batches, _k=k, _seed=seed, _salt=salt, _col=id_col):
+            for pdf in batches:
+                rows = [
+                    (
+                        int(fid),
+                        (
+                            np.random.default_rng((_seed, _salt, int(fid)))
+                            .random(_k)
+                            + 1e-3
+                        ).tolist(),
+                    )
+                    for fid in pdf[_col]
+                ]
+                yield pd.DataFrame(rows, columns=[_col, "features"])
+
+        return ids.select(F.col(id_col).cast("bigint")).mapInPandas(
+            gen, schema
+        )
+
+    if init is not None:
+        w_fac, h_fac = init
+        w_fac = w_fac.localCheckpoint()
+        h_fac = h_fac.localCheckpoint()
+    else:
+        w_fac = _uniform_init(users, "user_id", 7).localCheckpoint()
+        h_fac = _uniform_init(items, "item_id", 8).localCheckpoint()
+
+    for _ in range(n_iter):
+        gw = _gram_small(w_fac, k)  # WᵀW, k² floats
+        num_h = _matmul_urm_df(
+            urm,
+            w_fac.select(F.col("user_id").alias("_id"), F.col("features").alias("_feat")),
+            key="item_id",
+            other="user_id",
+        )
+        h_fac = _mu_update(h_fac, num_h, gw, "item_id", k, eps)
+        gh = _gram_small(h_fac, k)  # HHᵀ over item rows
+        num_w = _matmul_urm_df(
+            urm,
+            h_fac.select(F.col("item_id").alias("_id"), F.col("features").alias("_feat")),
+            key="user_id",
+            other="item_id",
+        )
+        w_fac = _mu_update(w_fac, num_w, gh, "user_id", k, eps)
+    return w_fac, h_fac
 
 
 def estimate_cold_user_factors(

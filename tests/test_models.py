@@ -154,6 +154,58 @@ def test_nmf_nonnegative(spark, urm):
     assert neg == 0
 
 
+def test_nmf_distributed_matches_driver_twin(spark, urm):
+    """The distributed MU fit must reproduce the driver-numpy twin when
+    seeded with the identical init (the two paths differ only in the
+    floating-point order of the matmul sums)."""
+    from contentwise_impressions_spark.recommenders.factor import (
+        nmf_factors_distributed,
+    )
+
+    rows = urm.select("user_id", "item_id").collect()
+    n_u = max(r[0] for r in rows) + 1
+    n_i = max(r[1] for r in rows) + 1
+    k, n_iter = 4, 10
+    rng = np.random.default_rng(42)  # same stream/order as nmf_factors
+    w0 = rng.random((n_u, k)) + 1e-3
+    h0 = rng.random((k, n_i)) + 1e-3
+    w0_df = spark.createDataFrame(
+        [(i, w0[i].tolist()) for i in range(n_u)],
+        "user_id long, features array<double>",
+    )
+    h0_df = spark.createDataFrame(
+        [(j, h0[:, j].tolist()) for j in range(n_i)],
+        "item_id long, features array<double>",
+    )
+    uf_d, itf_d = nmf_factors_distributed(
+        urm, k=k, n_iter=n_iter, init=(w0_df, h0_df)
+    )
+    uf_t, itf_t = nmf_factors(urm, k=k, n_iter=n_iter, seed=42)
+    for d, t, idc in ((uf_d, uf_t, "user_id"), (itf_d, itf_t, "item_id")):
+        a = {r[idc]: np.asarray(r["features"]) for r in d.collect()}
+        b = {r[idc]: np.asarray(r["features"]) for r in t.collect()}
+        # the twin densifies 0..n-1; the distributed path only carries ids
+        # present in the URM — compare on the shared support
+        assert set(a) <= set(b)
+        for fid in a:
+            assert np.allclose(a[fid], b[fid], rtol=1e-5, atol=1e-8), fid
+
+
+def test_nmf_distributed_nonnegative_and_converging(spark, urm):
+    from contentwise_impressions_spark.recommenders.factor import (
+        nmf_factors_distributed,
+    )
+
+    uf, itf = nmf_factors_distributed(urm, k=4, n_iter=5)
+    neg = (
+        uf.select(F.size(F.filter("features", lambda x: x < 0)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert neg == 0
+    assert itf.count() == urm.select("item_id").distinct().count()
+
+
 def test_bpr_triplets_are_valid(spark, urm):
     trip = bpr_triplets(urm, mode="outside").cache()
     # every triplet's negative is NOT in the user's seen set
