@@ -804,11 +804,14 @@ def _bounded_negatives(
     reference's retry-until-unseen sampler has the same contract
     (split_train_validation.py:141-260)."""
     n_items = items.count()  # dimension-scale action: the item vocabulary
-    # single-partition window over the item VOCABULARY — a dimension-table
-    # rank (same justified shape as the feature codes in blocked_topk)
-    idx = items.select("item_id").withColumn(
-        "idx", F.row_number().over(Window.orderBy("item_id")) - 1
-    )
+    # two-phase distributed rank (byte-identical to the global
+    # ROW_NUMBER the SQL twin uses) — no single-task sort even when the
+    # item vocabulary is catalog-scale
+    from ..operators.neardup import distributed_ordered_ids
+
+    idx = distributed_ordered_ids(
+        items.select("item_id"), "item_id", out_col="_sid"
+    ).select("item_id", (F.col("_sid") - 1).alias("idx"))
     props = users.select("user_id").withColumn(
         "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
     )

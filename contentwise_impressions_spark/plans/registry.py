@@ -77,6 +77,8 @@ DRIVER_PRIORITY: list[str] = [
     "itemcbf_cosine_topk",
     "slim_elasticnet_weights",
     "model_quality_gates",
+    "nmf_user_factors",
+    "pure_svd_factors",
     # oldest driver evidence (r2 vintage) — refresh
     "pricing_summary",
     "filter_project",

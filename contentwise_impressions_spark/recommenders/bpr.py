@@ -85,9 +85,13 @@ def bpr_triplets(
         )
     elif mode == "outside":
         n_items = items.count()  # dimension-scale action (item vocabulary)
-        idx = items.select("item_id").withColumn(
-            "idx", F.row_number().over(Window.orderBy("item_id")) - 1
-        )
+        # two-phase distributed rank — identical to global ROW_NUMBER
+        # (the SQL twin's formulation), no single-task sort at any scale
+        from ..operators.neardup import distributed_ordered_ids
+
+        idx = distributed_ordered_ids(
+            items.select("item_id"), "item_id", out_col="_sid"
+        ).select("item_id", (F.col("_sid") - 1).alias("idx"))
         props = users.withColumn(
             "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
         )
