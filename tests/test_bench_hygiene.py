@@ -32,6 +32,27 @@ def _run(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def test_family_warmups_cover_shared_payload_modules(spark):
+    """Every plan module that materializes session-shared payloads must
+    expose a bench warmup (so the bench attributes build cost to a family
+    line, not to whichever query touches the payload first) — and each
+    warmup must actually populate a cache layer."""
+    from contentwise_impressions_spark.operators import blocked_topk
+    from contentwise_impressions_spark.plans.registry import bench_warmups
+
+    warmups = bench_warmups()
+    for fam in ("recsys", "mlops", "modelops", "cbfops", "dedupops",
+                "textops", "selectionops"):
+        assert fam in warmups, fam
+    release_session_payloads(spark)
+    warmups["cbfops"](spark, SF)
+    assert blocked_topk._CACHE  # the kernel payloads are pre-built
+    release_session_payloads(spark)
+    warmups["recsys"](spark, SF)
+    assert shared._CACHE  # the URM is pre-materialized
+    release_session_payloads(spark)
+
+
 def test_release_empties_every_cache_layer(spark):
     """After release_session_payloads: the Python-side caches are empty and
     the JVM block manager holds zero persistent RDDs (persists AND
