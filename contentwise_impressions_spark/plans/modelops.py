@@ -544,11 +544,14 @@ register(
 
 
 def q_slim_bpr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SLIM-BPR item-item weights (SLIM_BPR_Cython_Epoch.pyx:59-1421)."""
-    from ..recommenders.bpr import slim_bpr_fit
+    """SLIM-BPR item-item weights, DISTRIBUTED sparse-W fit — no dense
+    n_items² matrix anywhere (SLIM_BPR_Cython_Epoch.pyx:59-1421;
+    single-bucket equivalence vs the driver twin pinned in
+    tests/test_models.py)."""
+    from ..recommenders.bpr import slim_bpr_fit_distributed
 
     urm = _urm(spark, sf_dir).select("user_id", "item_id")
-    return slim_bpr_fit(urm, epochs=2, top_k=10)
+    return slim_bpr_fit_distributed(urm, epochs=2, top_k=10, n_buckets=16)
 
 
 register(

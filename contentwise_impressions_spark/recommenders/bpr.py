@@ -449,3 +449,176 @@ def slim_bpr_fit(
     from ..operators.similarity import similarity_top_k
 
     return similarity_top_k(wdf, top_k, round_digits=9)
+
+
+def slim_bpr_fit_distributed(
+    train: DataFrame,
+    epochs: int = 5,
+    lr: float = 0.05,
+    reg_pos: float = 0.0025,
+    reg_neg: float = 0.00025,
+    top_k: int = 10,
+    impressions: DataFrame | None = None,
+    mode: str = "outside",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """SLIM-BPR with W as a SPARSE DISTRIBUTED table — no dense n_items²
+    matrix anywhere (the driver twin's documented ceiling removed).
+
+    Reference semantics: SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:59-1421
+    (per-triplet gradient restricted to the user's profile rows, separate
+    positive/negative regularization).  Spark decomposition — the bucketed
+    parallel-minibatch shape of :func:`bpr_mf_fit`:
+
+    - triplets co-bucket by user with the user PROFILES (seen-item lists);
+    - each bucket receives exactly the W entries whose TARGET column is
+      one of its triplets' pos/neg items (an equi-join on item_c — a W
+      entry ships only to buckets that will read it);
+    - local sequential updates over a sparse {(l, c): w} dict; per-entry
+      deltas are averaged across buckets and full-outer-merged into W
+      (new support appears as the union of profile-rows × touched-targets
+      — the same co-occurrence support class SLIM-EN's solution has);
+    - W never leaves the cluster; the diagonal is never touched because
+      l ranges over prof(u)\\{i} and the negative j is unseen by
+      construction.
+
+    Returns (item_i, item_j, sim, rank), top_k rows per item_j.
+    """
+    from ..operators.similarity import similarity_top_k
+
+    spark = train.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    B = int(n_buckets)
+
+    triplets = (
+        bpr_triplets(train, impressions=impressions, mode=mode)
+        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int"))
+        .persist()
+    )
+    triplets.count()
+    profiles = train.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("item_id")).alias("items")
+    )
+
+    w_schema = StructType(
+        [
+            StructField("item_l", LongType()),
+            StructField("item_c", LongType()),
+            StructField("w", DoubleType()),
+        ]
+    )
+    w_df = spark.createDataFrame([], w_schema).localCheckpoint()
+
+    _lr, _rp, _rn = float(lr), float(reg_pos), float(reg_neg)
+
+    def epoch_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2", "c"])
+        empty = pd.DataFrame({"item_l": [], "item_c": [], "d": []}).astype(
+            {"item_l": "int64", "item_c": "int64", "d": "float64"}
+        )
+        if len(t) == 0:
+            return empty
+        prows = pdf[pdf["_tag"] == "p"]
+        prof = {
+            int(a): np.asarray(arr, dtype=np.int64)
+            for a, arr in zip(prows["a"], prows["arr"])
+        }
+        wrows = pdf[pdf["_tag"] == "w"]
+        ws: dict[tuple[int, int], float] = {
+            (int(l), int(c)): float(v)
+            for l, c, v in zip(wrows["a"], wrows["b2"], wrows["val"])
+        }
+        orig = dict(ws)
+        for u, i, j in zip(
+            t["a"].to_numpy(), t["b2"].to_numpy(), t["c"].to_numpy()
+        ):
+            u, i, j = int(u), int(i), int(j)
+            mask = prof[u]
+            mask = mask[mask != i]
+            x_uij = 0.0
+            for l in mask:
+                x_uij += ws.get((l, i), 0.0) - ws.get((l, j), 0.0)
+            sig = 1.0 / (1.0 + np.exp(x_uij))
+            for l in mask:
+                li, lj = (int(l), i), (int(l), j)
+                wi = ws.get(li, 0.0)
+                wj = ws.get(lj, 0.0)
+                ws[li] = wi + _lr * (sig - _rp * wi)
+                ws[lj] = wj - _lr * (sig + _rn * wj)
+        rows = [
+            (l, c, v - orig.get((l, c), 0.0))
+            for (l, c), v in sorted(ws.items())
+            if v != orig.get((l, c), 0.0)
+        ]
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["item_l", "item_c", "d"])
+
+    out_schema = StructType(
+        [
+            StructField("item_l", LongType()),
+            StructField("item_c", LongType()),
+            StructField("d", DoubleType()),
+        ]
+    )
+    null_id = F.lit(None).cast("bigint")
+    null_arr = F.lit(None).cast("array<bigint>")
+    null_val = F.lit(None).cast("double")
+
+    for _ in range(epochs):
+        targets = (
+            triplets.select("_b", F.col("pos_item").alias("item_c"))
+            .unionByName(triplets.select("_b", F.col("neg_item").alias("item_c")))
+            .dropDuplicates(["_b", "item_c"])
+        )
+        w_side = targets.join(w_df, "item_c").select(
+            "_b",
+            F.lit("w").alias("_tag"),
+            F.col("item_l").alias("a"),
+            F.col("item_c").alias("b2"),
+            null_id.alias("c"),
+            null_arr.alias("arr"),
+            F.col("w").alias("val"),
+        )
+        p_side = profiles.select(
+            F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int").alias("_b"),
+            F.lit("p").alias("_tag"),
+            F.col("user_id").alias("a"),
+            null_id.alias("b2"),
+            null_id.alias("c"),
+            F.col("items").alias("arr"),
+            null_val.alias("val"),
+        )
+        t_side = triplets.select(
+            "_b",
+            F.lit("t").alias("_tag"),
+            F.col("user_id").alias("a"),
+            F.col("pos_item").alias("b2"),
+            F.col("neg_item").alias("c"),
+            null_arr.alias("arr"),
+            null_val.alias("val"),
+        )
+        unioned = t_side.unionByName(p_side).unionByName(w_side)
+        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, out_schema)
+        avg = deltas.groupBy("item_l", "item_c").agg(F.avg("d").alias("d"))
+        w_df = (
+            w_df.join(avg, ["item_l", "item_c"], "full_outer")
+            .select(
+                "item_l",
+                "item_c",
+                (
+                    F.coalesce("w", F.lit(0.0)) + F.coalesce("d", F.lit(0.0))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != 0.0)
+            .localCheckpoint()
+        )
+
+    triplets.unpersist()
+    wdf = w_df.select(
+        F.col("item_l").alias("item_i"),
+        F.col("item_c").alias("item_j"),
+        F.col("w").alias("sim"),
+    )
+    return similarity_top_k(wdf, top_k, round_digits=9)

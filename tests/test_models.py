@@ -206,6 +206,40 @@ def test_nmf_distributed_nonnegative_and_converging(spark, urm):
     assert itf.count() == urm.select("item_id").distinct().count()
 
 
+def test_slim_bpr_distributed_single_bucket_matches_twin(spark, urm):
+    """With one bucket the distributed SLIM-BPR processes the identical
+    (user, pos, neg) sequence as the driver twin — weights must agree
+    (up to the float summation-order of x_uij)."""
+    from contentwise_impressions_spark.recommenders.bpr import (
+        slim_bpr_fit,
+        slim_bpr_fit_distributed,
+    )
+
+    t = slim_bpr_fit(urm.select("user_id", "item_id"), epochs=2, top_k=5)
+    d = slim_bpr_fit_distributed(
+        urm.select("user_id", "item_id"), epochs=2, top_k=5, n_buckets=1
+    )
+    a = {(r["item_i"], r["item_j"]): r["sim"] for r in t.collect()}
+    b = {(r["item_i"], r["item_j"]): r["sim"] for r in d.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, k
+
+
+def test_slim_bpr_distributed_multibucket_invariants(spark, urm):
+    from contentwise_impressions_spark.recommenders.bpr import (
+        slim_bpr_fit_distributed,
+    )
+
+    w = slim_bpr_fit_distributed(
+        urm.select("user_id", "item_id"), epochs=2, top_k=5, n_buckets=4
+    ).cache()
+    assert w.count() > 0
+    assert w.filter(F.col("item_i") == F.col("item_j")).count() == 0
+    per_j = w.groupBy("item_j").count().agg(F.max("count")).collect()[0][0]
+    assert per_j <= 5
+
+
 def test_bpr_triplets_are_valid(spark, urm):
     trip = bpr_triplets(urm, mode="outside").cache()
     # every triplet's negative is NOT in the user's seen set
