@@ -304,3 +304,12 @@ def test_split_invariants_is_one_fused_job(spark, sf_dir):
     plan = _formatted_plan(QUERIES["split_invariants"](spark, sf_dir))
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_multi_cutoff_eval_is_single_pass(spark, sf_dir):
+    # per-cutoff metrics come from ONE stack() unpivot over one per-user
+    # aggregate — the former unionByName-of-branches shape recomputed the
+    # whole labeled-recs pipeline once per cutoff (3.6x the single-cutoff
+    # query); a Union of parallel eval pipelines must not come back
+    plan = _formatted_plan(QUERIES["toppop_eval_multi_cutoff"](spark, sf_dir))
+    assert "Union" not in plan
