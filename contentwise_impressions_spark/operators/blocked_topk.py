@@ -328,6 +328,43 @@ def _lens_flat(col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lens, flat.astype(np.int64)
 
 
+def prepare_kernel_payloads(
+    feat: DataFrame | None,
+    adj: DataFrame | None,
+    feat_key: str | None = None,
+    adj_key: str | None = None,
+    feat_broadcast_mb: float = 256.0,
+):
+    """Build (and session-cache) exactly the payloads
+    :func:`blocked_cosine_topk` will use for these inputs, honoring the
+    SAME broadcast size gate.  Bench family warmups call this so the
+    timed queries read warm caches — a warmup with its own gating logic
+    would drift (and an unconditional `_feat_broadcast` would collect an
+    unbounded feature matrix to the driver above the gate, warming a
+    cache the gated queries never read).
+
+    Returns (bcast, payload, n, n_feats); `bcast` is None on the
+    carry-features-in-payload fallback path.
+    """
+    bcast = None
+    fp = None
+    n_feats = 0
+    if feat is not None:
+        fp, n_feats = _feat_payload(feat, feat_key)
+        spark0 = fp.sparkSession
+        nf_items = _cached(
+            spark0, feat_key and ("featn", feat_key), fp.count
+        )
+        if nf_items * max(n_feats, 1) * 8 <= feat_broadcast_mb * (1 << 20):
+            bcast = _feat_broadcast(fp, n_feats, feat_key)
+    if bcast is not None:
+        payload, n = _slim_payload(fp, adj, feat_key, adj_key)
+        n_feats = 0  # features come from the broadcast, not the payload
+    else:
+        payload, n, n_feats = _payload(feat, adj, feat_key, adj_key)
+    return bcast, payload, n, n_feats
+
+
 def blocked_cosine_topk(
     feat: DataFrame | None = None,
     adj: DataFrame | None = None,
@@ -362,20 +399,9 @@ def blocked_cosine_topk(
     """
     if feat is None and adj is None:
         raise ValueError("need at least one of feat/adj")
-    bcast = None
-    if feat is not None:
-        fp, n_feats = _feat_payload(feat, feat_key)
-        spark0 = fp.sparkSession
-        nf_items = _cached(
-            spark0, feat_key and ("featn", feat_key), fp.count
-        )
-        if nf_items * max(n_feats, 1) * 8 <= feat_broadcast_mb * (1 << 20):
-            bcast = _feat_broadcast(fp, n_feats, feat_key)
-    if bcast is not None:
-        payload, n = _slim_payload(fp, adj, feat_key, adj_key)
-        n_feats = 0  # features come from the broadcast, not the payload
-    else:
-        payload, n, n_feats = _payload(feat, adj, feat_key, adj_key)
+    bcast, payload, n, n_feats = prepare_kernel_payloads(
+        feat, adj, feat_key, adj_key, feat_broadcast_mb
+    )
     spark = payload.sparkSession
     par = spark.sparkContext.defaultParallelism
     if min_blocks is None:

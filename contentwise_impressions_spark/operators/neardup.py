@@ -189,10 +189,12 @@ def distributed_ordered_ids(
     if n_values <= small_threshold:
         # below the threshold a single-task sort is cheaper than the extra
         # boundary/offset jobs; output is identical either way
-        return values.withColumn(
+        out = values.withColumn(
             out_col,
             F.row_number().over(Window.orderBy(col)).cast("bigint"),
-        )
+        ).localCheckpoint()  # eager: snapshot the RANK, then free the input
+        values.unpersist()
+        return out
     # deterministic range boundaries: a hash-sampled sketch of the key
     # space, quantiled on the driver.  (repartitionByRange would resample
     # boundaries on EVERY execution of the plan, so the offsets collected
@@ -231,11 +233,18 @@ def distributed_ordered_ids(
         offsets.append((p, acc))
         acc += cnt
     off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
-    return (
+    # eagerly snapshot the ranked output and release the input persist:
+    # callers would otherwise stack one never-unpersisted vocabulary copy
+    # per invocation (per-epoch samplers call this in a loop), and every
+    # downstream action would re-run the rank windows
+    out = (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_rn", "_off")
+        .localCheckpoint()
     )
+    values.unpersist()
+    return out
 
 
 def shingle_ids_portable(doc_shingles: DataFrame) -> DataFrame:

@@ -126,3 +126,48 @@ def per_user_holdout(
         )
         .drop("_rn", "_cnt")
     )
+
+
+def bounded_item_proposals(
+    users: DataFrame,
+    items: DataFrame,
+    n_props: int = 64,
+    epoch: int = 0,
+) -> DataFrame:
+    """(user_id, item_id, seq): ``n_props`` deterministic pseudo-random
+    item proposals per user — the shared negative-sampling proposal
+    stream.
+
+    Single source of truth for the Lehmer/MINSTD mix (constants 1000003 /
+    1000003619 / 48271 / 16807 over portable int64 arithmetic, exactly
+    reproducible in ANSI SQL) consumed by
+    ``plans/mlops._bounded_negatives`` + its SQL twins and
+    ``recommenders.bpr.bpr_triplets(mode='outside')`` — one site to keep
+    the Spark samplers and the DuckDB oracles in lock-step.  ``epoch``
+    salts the stream so fits can redraw per epoch; epoch=0 is the
+    SQL-twin arithmetic.  O(U·n_props) rows end to end; the item-index
+    join is a broadcast equi-join against the two-phase distributed rank
+    (no single-task sort at catalog scale, never a user×item complement).
+    """
+    from .neardup import distributed_ordered_ids
+
+    n_items = items.count()  # dimension-scale action: the item vocabulary
+    idx = distributed_ordered_ids(
+        items.select("item_id"), "item_id", out_col="_sid"
+    ).select("item_id", (F.col("_sid") - 1).alias("idx"))
+    props = users.select("user_id").withColumn(
+        "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
+    )
+    m1 = F.pmod(
+        F.col("user_id") * F.lit(1000003)
+        + F.col("seq")
+        + F.lit(int(epoch) * 7919),
+        F.lit(1000003619),
+    )
+    m2 = F.pmod(m1 * F.lit(48271), F.lit(2147483647))
+    m3 = F.pmod(m2 * F.lit(16807), F.lit(2147483647))
+    return (
+        props.withColumn("idx", F.pmod(m3, F.lit(n_items)))
+        .join(F.broadcast(idx), "idx")
+        .select("user_id", "item_id", "seq")
+    )

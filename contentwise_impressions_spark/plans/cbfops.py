@@ -108,16 +108,16 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     blocked-kernel payloads/broadcast both KNN queries consume — so the
     bench attributes the build cost to a family line, not to whichever of
     itemcbf/cfcbf runs first (round-5 artifact: 19.4 s vs 3.5 s warm)."""
-    from ..operators import blocked_topk as bt
+    from ..operators.blocked_topk import prepare_kernel_payloads
 
     icm = _icm(spark, sf_dir)
     adj = _cf(spark, sf_dir).select("item_id", F.col("user_id").alias("nbr"))
     feat_key, adj_key = f"{sf_dir}:icm", f"{sf_dir}:cf"
-    fp, n_feats = bt._feat_payload(icm, feat_key)
-    bt._cached(spark, ("featn", feat_key), fp.count)
-    bt._feat_broadcast(fp, n_feats, feat_key)
-    bt._slim_payload(fp, None, feat_key, None)  # itemcbf payload
-    bt._slim_payload(fp, adj, feat_key, adj_key)  # cfcbf payload
+    # same gate + cache keys as the queries' own kernel calls — above the
+    # broadcast budget this warms the fallback payload, never an
+    # unbounded driver collect
+    prepare_kernel_payloads(icm, None, feat_key)  # itemcbf
+    prepare_kernel_payloads(icm, adj, feat_key, adj_key)  # cfcbf
 
 
 # ---------------------------------------------------------------------------

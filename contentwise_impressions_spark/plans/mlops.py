@@ -803,28 +803,11 @@ def _bounded_negatives(
     n_props=64 and realistic seen/|I| ratios that probability is nil; the
     reference's retry-until-unseen sampler has the same contract
     (split_train_validation.py:141-260)."""
-    n_items = items.count()  # dimension-scale action: the item vocabulary
-    # two-phase distributed rank (byte-identical to the global
-    # ROW_NUMBER the SQL twin uses) — no single-task sort even when the
-    # item vocabulary is catalog-scale
-    from ..operators.neardup import distributed_ordered_ids
+    # shared proposal stream (single source of truth for the Lehmer mix
+    # that the SQL twins replicate — operators/splits.py)
+    from ..operators.splits import bounded_item_proposals
 
-    idx = distributed_ordered_ids(
-        items.select("item_id"), "item_id", out_col="_sid"
-    ).select("item_id", (F.col("_sid") - 1).alias("idx"))
-    props = users.select("user_id").withColumn(
-        "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
-    )
-    m1 = F.pmod(
-        F.col("user_id") * F.lit(1000003) + F.col("seq"), F.lit(1000003619)
-    )
-    m2 = F.pmod(m1 * F.lit(48271), F.lit(2147483647))
-    m3 = F.pmod(m2 * F.lit(16807), F.lit(2147483647))
-    cand = (
-        props.withColumn("idx", F.pmod(m3, F.lit(n_items)))
-        .join(F.broadcast(idx), "idx")
-        .select("user_id", "item_id", "seq")
-    )
+    cand = bounded_item_proposals(users, items, n_props=n_props)
     first = Window.partitionBy("user_id", "item_id").orderBy("seq")
     cand = (
         cand.withColumn("_f", F.row_number().over(first))

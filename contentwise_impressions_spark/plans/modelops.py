@@ -15,7 +15,6 @@ from ..recommenders.bpr import bpr_mf_fit, bpr_triplets
 from ..recommenders.factor import (
     ials_recommend,
     mf_scores,
-    nmf_factors,
     pure_svd_item_factors,
 )
 from ..recommenders.slim import ease_r, slim_elasticnet_distributed

@@ -52,6 +52,7 @@ def bpr_triplets(
     mode: str = "outside",
     items: DataFrame | None = None,
     n_props: int = 64,
+    epoch: int = 0,
 ) -> DataFrame:
     """One (user_id, pos_item, neg_item) triplet per train positive.
 
@@ -65,11 +66,16 @@ def bpr_triplets(
                     proposal generator is O(U·n_props) — the same Lehmer
                     mix as plans/mlops._bounded_negatives, reproducible in
                     the SQL twin.  A user whose n_props proposals all hit
-                    seen∪impressions yields no triplet that epoch — the
-                    reference's retry-bounded sampler has the same contract.
-    Deterministic arithmetic replaces the reference's uniform draw so the
-    sampler is engine-reproducible; distributionally both are
-    arbitrary-but-fixed picks.
+                    seen∪impressions yields no triplet THIS epoch — the
+                    fits pass ``epoch=N`` so the salted proposals rotate
+                    and the user is redrawn next epoch, matching the
+                    reference's per-epoch uniform redraw instead of
+                    excluding heavy users from the whole run.
+    ``epoch`` salts the deterministic pick; epoch=0 is byte-identical to
+    the SQL twins of the registered sampler queries.  Deterministic
+    arithmetic replaces the reference's uniform draw so the sampler is
+    engine-reproducible; distributionally both are arbitrary-but-fixed
+    picks.
     """
     if items is None:
         items = train.select("item_id").distinct()
@@ -79,31 +85,21 @@ def bpr_triplets(
         cand = (
             _inside_candidates(seen, impressions)
             .withColumn(
-                "_ord", bucket_hash(F.col("item_id"), F.col("user_id"))
+                "_ord",
+                bucket_hash(
+                    F.col("item_id"),
+                    F.col("user_id") + F.lit(int(epoch)),
+                ),
             )
             .withColumn("_tie", F.col("item_id"))
         )
     elif mode == "outside":
-        n_items = items.count()  # dimension-scale action (item vocabulary)
-        # two-phase distributed rank — identical to global ROW_NUMBER
-        # (the SQL twin's formulation), no single-task sort at any scale
-        from ..operators.neardup import distributed_ordered_ids
+        # shared proposal stream (single source of truth for the Lehmer
+        # mix that the SQL twins replicate — operators/splits.py)
+        from ..operators.splits import bounded_item_proposals
 
-        idx = distributed_ordered_ids(
-            items.select("item_id"), "item_id", out_col="_sid"
-        ).select("item_id", (F.col("_sid") - 1).alias("idx"))
-        props = users.withColumn(
-            "seq", F.explode(F.sequence(F.lit(0), F.lit(n_props - 1)))
-        )
-        m1 = F.pmod(
-            F.col("user_id") * F.lit(1000003) + F.col("seq"),
-            F.lit(1000003619),
-        )
-        m2 = F.pmod(m1 * F.lit(48271), F.lit(2147483647))
-        m3 = F.pmod(m2 * F.lit(16807), F.lit(2147483647))
         cand = (
-            props.withColumn("idx", F.pmod(m3, F.lit(n_items)))
-            .join(F.broadcast(idx), "idx")
+            bounded_item_proposals(users, items, n_props=n_props, epoch=epoch)
             .select("user_id", "item_id", F.col("seq").alias("_ord"))
             .withColumn("_tie", F.col("_ord"))
             .join(seen, ["user_id", "item_id"], "left_anti")
@@ -208,15 +204,6 @@ def bpr_mf_fit(
         n_buckets = spark.sparkContext.defaultParallelism
     B = int(n_buckets)
 
-    triplets = (
-        bpr_triplets(train, impressions=impressions, mode=mode)
-        .withColumn(
-            "_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
-        )
-        .persist()
-    )
-    triplets.count()
-
     users = train.select("user_id").distinct()
     items = train.select("item_id").distinct()
     if impressions is not None:
@@ -279,7 +266,16 @@ def bpr_mf_fit(
         return pd.DataFrame(rows, columns=["kind", "fid", "delta"])
 
     zeros = F.array_repeat(F.lit(0.0), rank)
-    for _ in range(epochs):
+    for ep in range(epochs):
+        # fresh epoch-salted negatives (the reference redraws uniformly
+        # every epoch; a user whose proposals all collided is recovered)
+        triplets = (
+            bpr_triplets(train, impressions=impressions, mode=mode, epoch=ep)
+            .withColumn(
+                "_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
+            )
+            .persist()
+        )
         # per-bucket item working set: only the factor rows a bucket's
         # triplets touch travel to it
         needs = (
@@ -365,8 +361,8 @@ def bpr_mf_fit(
             )
             .localCheckpoint()
         )
+        triplets.unpersist()
 
-    triplets.unpersist()
     return u_fac, i_fac
 
 
@@ -411,12 +407,12 @@ def slim_bpr_fit(
     ):
         profiles[row["user_id"]] = np.array(row["items"], dtype=np.int64)
 
-    triplets = (
-        bpr_triplets(train, impressions=impressions, mode=mode)
-        .orderBy("user_id", "pos_item")
-        .collect()
-    )
-    for _ in range(epochs):
+    for ep in range(epochs):
+        triplets = (
+            bpr_triplets(train, impressions=impressions, mode=mode, epoch=ep)
+            .orderBy("user_id", "pos_item")
+            .collect()
+        )
         for row in triplets:
             u, i, j = row["user_id"], row["pos_item"], row["neg_item"]
             prof = profiles[u]
@@ -491,14 +487,12 @@ def slim_bpr_fit_distributed(
         n_buckets = spark.sparkContext.defaultParallelism
     B = int(n_buckets)
 
-    triplets = (
-        bpr_triplets(train, impressions=impressions, mode=mode)
-        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int"))
-        .persist()
-    )
-    triplets.count()
-    profiles = train.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("item_id")).alias("items")
+    # profiles are epoch-invariant — checkpoint once, not one groupBy
+    # per epoch through the lazily-rebuilt p_side
+    profiles = (
+        train.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("item_id")).alias("items"))
+        .localCheckpoint()
     )
 
     w_schema = StructType(
@@ -566,7 +560,15 @@ def slim_bpr_fit_distributed(
     null_arr = F.lit(None).cast("array<bigint>")
     null_val = F.lit(None).cast("double")
 
-    for _ in range(epochs):
+    for ep in range(epochs):
+        # fresh epoch-salted negatives (reference redraws every epoch)
+        triplets = (
+            bpr_triplets(train, impressions=impressions, mode=mode, epoch=ep)
+            .withColumn(
+                "_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int")
+            )
+            .persist()
+        )
         targets = (
             triplets.select("_b", F.col("pos_item").alias("item_c"))
             .unionByName(triplets.select("_b", F.col("neg_item").alias("item_c")))
@@ -614,8 +616,8 @@ def slim_bpr_fit_distributed(
             .filter(F.col("w") != 0.0)
             .localCheckpoint()
         )
+        triplets.unpersist()
 
-    triplets.unpersist()
     wdf = w_df.select(
         F.col("item_l").alias("item_i"),
         F.col("item_c").alias("item_j"),

@@ -153,9 +153,11 @@ def pure_svd_item_factors(
     factors up to sign/rotation — consumers use scores U·Vᵀ which are
     rotation-invariant (PureSVDRecommender.py:33-45).
 
-    Per-iteration driver QR is dropped; for the small q used here the
-    float64 power chain keeps full column rank (the energy pytest gate
-    guards the capture fraction).
+    Per-iteration driver QR is dropped; the epilogue orthonormalizes via
+    a rank-truncated SVD of the collected Y, so a rank-deficient URM
+    (catalog smaller than k+p) or an underflown trailing direction yields
+    zero-padded factors instead of a singular solve (the energy pytest
+    gate guards the capture fraction).
     """
     rng = np.random.default_rng(seed)
     spark = urm.sparkSession
@@ -189,15 +191,32 @@ def pure_svd_item_factors(
             ymat[row["_id"]] = row["_y"]
         if row["_w"] is not None:
             wmat[row["_id"]] = row["_w"]
-    q_mat, r_mat = np.linalg.qr(ymat)
-    # BᵀB = QᵀAᵀAQ = (Qᵀ·W)·R⁻¹ — solve against triangular R, symmetrize
-    btb = np.linalg.solve(r_mat.T, (q_mat.T @ wmat).T).T
-    btb = 0.5 * (btb + btb.T)
-    eigvals, eigvecs = np.linalg.eigh(btb)
-    order = np.argsort(eigvals)[::-1][:k]
-    s = np.sqrt(np.clip(eigvals[order], 0.0, None))
-    v_items = q_mat @ eigvecs[:, order]  # right singular vectors, item space
-    factors = v_items * s  # scale by Σ (reference: (Σ·Vᵀ)ᵀ)
+    # rank-robust orthonormalization: SVD of Y instead of plain QR+solve —
+    # when rank(Y) < r (catalog smaller than k+p, or trailing power-chain
+    # directions underflown) triangular R is singular and solve() raises or
+    # amplifies float noise into the factors; truncating Y's spectrum at a
+    # relative tolerance drops exactly the collapsed directions, and the
+    # projection AᵀA·Q = W·(V_y Σ_y⁻¹) needs no inverse of R at all.
+    # Directions with σ_i/σ_1 below ~eps^(1/(2q+2)) are unrecoverable
+    # without per-iteration reorthonormalization (the documented tradeoff
+    # of the one-collect chain); the oversampling buffer p absorbs them
+    # and σ=0 columns are returned as zeros, matching a dense SVD's Σ·Vᵀ.
+    u_y, s_y, vt_y = np.linalg.svd(ymat, full_matrices=False)
+    tol = max(ymat.shape) * np.finfo(np.float64).eps * (
+        float(s_y[0]) if s_y.size else 0.0
+    )
+    rk = int(np.sum(s_y > tol))
+    factors = np.zeros((n_items, k))
+    if rk > 0:
+        q_mat = u_y[:, :rk]
+        proj = vt_y[:rk].T / s_y[:rk]  # V_y Σ_y⁻¹ on the kept directions
+        btb = q_mat.T @ (wmat @ proj)  # BᵀB = QᵀAᵀAQ
+        btb = 0.5 * (btb + btb.T)
+        eigvals, eigvecs = np.linalg.eigh(btb)
+        order = np.argsort(eigvals)[::-1][: min(k, rk)]
+        s = np.sqrt(np.clip(eigvals[order], 0.0, None))
+        v_items = q_mat @ eigvecs[:, order]  # right singular vecs, item space
+        factors[:, : len(order)] = v_items * s  # Σ·Vᵀ scaling (reference)
     out_schema = StructType(
         [
             StructField("item_id", LongType()),

@@ -68,9 +68,20 @@ _DELTA = StructType(
 
 
 def _avg_deltas(deltas: DataFrame) -> DataFrame:
-    """Per-(kind, fid) element-wise average of bucket deltas."""
+    """Per-(kind, fid) element-wise average of bucket deltas.
+
+    A diverged bucket (NaN/Inf anywhere in a delta) is dropped ROW-wise
+    before averaging so one bad bucket cannot poison the shared factor
+    state — the healthy buckets' average still applies, and the global-
+    bias row of the same bucket is filtered by the same predicate (the
+    driver-side `_collect_g_delta` NaN check is then just a backstop)."""
+    finite = deltas.filter(
+        ~F.exists(
+            "delta", lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e300))
+        )
+    )
     return (
-        deltas.select("kind", "fid", F.posexplode("delta").alias("pos", "d"))
+        finite.select("kind", "fid", F.posexplode("delta").alias("pos", "d"))
         .groupBy("kind", "fid", "pos")
         .agg(F.avg("d").alias("d"))
         .groupBy("kind", "fid")
@@ -406,8 +417,12 @@ def asy_svd_fit(
 
     Bucketing: samples co-bucket by user, and because each bucket's
     samples ARE its users' rated pairs, one distinct-items working set
-    serves both X and Y — the profile sum Σ y_l is maintained
-    incrementally per user block, so an epoch is O(Σ_u deg(u) · rank).
+    serves both X and Y.  The profile sum Σ y_l is maintained
+    incrementally, which removes the re-summing cost — but each sample
+    still sweeps all deg(u) of the user's y vectors (the reference's own
+    per-sample update, …Epoch.pyx:393-520), so an epoch is
+    O(Σ_u deg(u)² · rank): pathological power users dominate a bucket's
+    wall-clock, the same quadratic the reference pays.
     ``sgd_mode='adagrad'`` as in :func:`funk_svd_fit`.
     """
     if sgd_mode not in ("sgd", "adagrad"):

@@ -61,6 +61,31 @@ def test_pure_svd_captures_energy(spark, urm):
     assert norms > 0.1 * total
 
 
+def test_pure_svd_rank_deficient_catalog(spark):
+    """k + n_oversample larger than the catalog rank: the truncated-SVD
+    epilogue must return zero-padded factors (σ=0 directions), not a
+    singular-solve crash or NaN garbage, and still capture the energy of
+    the tiny catalog exactly (full-rank basis ⇒ Σσ² = ||A||_F²)."""
+    import numpy as np
+
+    rows = [
+        (u, i, 1.0 + ((u * 7 + i * 3) % 5))
+        for u in range(12)
+        for i in range(6)
+        if (u + i) % 3 != 0
+    ]
+    urm = spark.createDataFrame(rows, "user_id long, item_id long, value double")
+    f_ = pure_svd_item_factors(urm, k=16, n_oversample=8).collect()
+    mat = np.array([r["features"] for r in sorted(f_, key=lambda r: r["item_id"])])
+    assert mat.shape == (6, 16)
+    assert np.isfinite(mat).all()
+    total = sum(v * v for _, _, v in rows)
+    # rank(A) <= 6 < 16, so the 16-column basis is exhaustive: energy equal
+    assert abs((mat**2).sum() - total) < 1e-6 * total
+    # the padded σ=0 columns are exactly zero
+    assert np.abs(mat[:, 6:]).max() == 0.0
+
+
 def test_elastic_net_cd_recovers_sparse_signal():
     import numpy as np
 
@@ -251,6 +276,30 @@ def test_bpr_triplets_are_valid(spark, urm):
     assert bad == 0
     # one triplet per positive
     assert trip.count() == urm.count()
+
+
+def test_bpr_triplets_epoch_salt_redraws(spark, urm):
+    """The fits redraw negatives per epoch (the reference's uniform
+    redraw): a later-epoch sample must differ from epoch 0 while staying
+    valid, and epoch=0 must stay byte-identical to the unsalted sampler
+    (= the SQL twin the registered queries are oracled against)."""
+    e0 = bpr_triplets(urm, mode="outside").collect()
+    e0b = bpr_triplets(urm, mode="outside", epoch=0).collect()
+    assert sorted(map(tuple, e0)) == sorted(map(tuple, e0b))
+    e1 = bpr_triplets(urm, mode="outside", epoch=1).cache()
+    # still one triplet per positive and negatives still unseen
+    assert e1.count() == urm.count()
+    assert (
+        e1.join(
+            urm.select("user_id", F.col("item_id").alias("neg_item")),
+            ["user_id", "neg_item"],
+            "inner",
+        ).count()
+        == 0
+    )
+    neg0 = {(r["user_id"], r["neg_item"]) for r in e0}
+    neg1 = {(r["user_id"], r["neg_item"]) for r in e1.collect()}
+    assert neg0 != neg1  # the draw actually rotated
 
 
 def test_cold_user_factor_estimation(spark, urm):
