@@ -593,19 +593,18 @@ register(
 
 
 def q_random_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Random recommender (NonPersonalizedRecommender.py:155-180).
+    """Seeded Random recommender (NonPersonalizedRecommender.py:155-180)
+    via the bounded-proposal scale path (O(U·n_props) candidate rows, no
+    user×catalog crossJoin — top-k of uniform over a random subset IS a
+    uniform random pick).
 
-    Validated distribution-level only: Spark's rand(seed) stream differs
-    from NumPy's, so membership is engine-specific by design (SURVEY.md §4
-    seeded-reproducibility note) — rows-only check."""
-    from ..operators.scoring import recommend_top_k
-    from ..recommenders.nonpersonalized import random_scores
+    Validated distribution-level only: random membership is
+    engine-specific by design (SURVEY.md §4 seeded-reproducibility
+    note) — rows-only check."""
+    from ..recommenders.nonpersonalized import random_recommend
 
     urm = _urm(spark, sf_dir)
-    users = urm.select("user_id").distinct()
-    items = urm.select("item_id").distinct()
-    scores = random_scores(users, items, seed=42)
-    return recommend_top_k(scores, 10, train=urm)
+    return random_recommend(urm, k=10, seed=42)
 
 
 register(

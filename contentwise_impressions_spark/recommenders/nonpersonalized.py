@@ -54,7 +54,11 @@ def global_effects(
 
 
 def random_scores(users: DataFrame, items: DataFrame, seed: int = 42) -> DataFrame:
-    """Seeded uniform scores per (user, item) candidate.
+    """Seeded uniform scores per (user, item) candidate — the exact legacy
+    shape (every catalog item scored per user, like the reference's dense
+    score row).  O(U·I) candidate rows: fine while the catalog broadcast
+    and the per-user window are affordable; the scale path is
+    :func:`random_recommend` (bounded proposals, O(U·n_props)).
 
     Validated distribution-level only — Spark's RNG stream differs from
     NumPy's (SURVEY.md §4, seeded-reproducibility note).
@@ -64,3 +68,39 @@ def random_scores(users: DataFrame, items: DataFrame, seed: int = 42) -> DataFra
         .crossJoin(F.broadcast(items.select("item_id")))
         .withColumn("score", F.rand(seed))
     )
+
+
+def random_recommend(
+    urm: DataFrame, k: int = 10, n_props: int = 64, seed: int = 42
+) -> DataFrame:
+    """Seeded Random top-k, bounded-proposal formulation — the 100 TB
+    shape of NonPersonalizedRecommender.py:155-180.
+
+    Top-k of uniform scores over the whole catalog ≡ a uniform random
+    pick of k unseen items, so the user×catalog candidate stream (and the
+    per-user window over the entire catalog) is replaced by the shared
+    ``bounded_item_proposals`` stream: O(U·n_props) rows end to end.
+    Scores are a deterministic per-(user, item) hash so the ranking is
+    reproducible under any partitioning.  Same shortfall contract as the
+    bounded negative sampler: a user whose n_props proposals all collide
+    with seen items gets fewer than k rows — probability nil at real
+    seen/|catalog| ratios.
+    """
+    from ..operators.scoring import recommend_top_k
+    from ..operators.splits import bounded_item_proposals
+
+    users = urm.select("user_id").distinct()
+    items = urm.select("item_id").distinct()
+    cand = (
+        bounded_item_proposals(users, items, n_props=n_props, epoch=seed)
+        .dropDuplicates(["user_id", "item_id"])
+        .withColumn(
+            "score",
+            F.pmod(
+                F.xxhash64("user_id", "item_id", F.lit(seed)),
+                F.lit(1_000_000_007),
+            ).cast("double")
+            / F.lit(1_000_000_007.0),
+        )
+    )
+    return recommend_top_k(cand, k, train=urm)

@@ -573,3 +573,26 @@ def test_semantic_dedup_zero_norm_vectors_inert(spark):
         for r in semantic_dedup(emb, 0.9, assignments=assign).collect()
     }
     assert out == {0: False, 1: False, 2: True, 3: False}
+
+
+def test_random_recommend_bounded_and_valid(spark, urm):
+    from contentwise_impressions_spark.recommenders.nonpersonalized import (
+        random_recommend,
+    )
+
+    recs = random_recommend(urm, k=5, seed=7).cache()
+    # never recommends seen items
+    assert (
+        recs.join(
+            urm.select("user_id", "item_id"), ["user_id", "item_id"], "inner"
+        ).count()
+        == 0
+    )
+    per_u = recs.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_u <= 5
+    # deterministic: the hash-scored pick reproduces exactly
+    again = random_recommend(urm, k=5, seed=7).collect()
+    assert sorted(map(tuple, recs.collect())) == sorted(map(tuple, again))
+    # a different seed rotates the picks
+    other = random_recommend(urm, k=5, seed=8).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, again))

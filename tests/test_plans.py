@@ -313,3 +313,11 @@ def test_multi_cutoff_eval_is_single_pass(spark, sf_dir):
     # query); a Union of parallel eval pipelines must not come back
     plan = _formatted_plan(QUERIES["toppop_eval_multi_cutoff"](spark, sf_dir))
     assert "Union" not in plan
+
+
+def test_random_recommendations_is_cartesian_free(spark, sf_dir):
+    # bounded-proposal Random recommender: no user x catalog candidate
+    # stream (top-k of uniform over a random subset IS a uniform pick)
+    plan = _formatted_plan(QUERIES["random_recommendations"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
