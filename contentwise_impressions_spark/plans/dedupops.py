@@ -1738,7 +1738,7 @@ register(
 # ---------------------------------------------------------------------------
 def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per candidate pair: the MinHash-estimated Jaccard (fraction of the
-    8 signature components that agree) against the exact shingle-set
+    64 signature components that agree) against the exact shingle-set
     Jaccard, plus the absolute error — the sketch-accuracy check that
     justifies replacing the exact O(Σdf²) pair join with signatures at
     scale.
