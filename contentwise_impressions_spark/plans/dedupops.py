@@ -101,7 +101,10 @@ def q_ngram_jaccard_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jacc_pairs100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pair table (stop-shingle cap df ≤ 100),
     materialized once per session — the top-N query and the LSH-recall
-    instrument both consume the same capped pair join."""
+    instrument both consume the same capped pair join.  Tradeoff: a
+    session running ONLY the top-N query stores the full pair table where
+    a bare TakeOrderedAndProject would stream it; in the driver/bench
+    shape (whole suite, one session) the shared build always pays."""
     return shared.materialized(
         spark,
         sf_dir,

@@ -53,23 +53,6 @@ def global_effects(
     return mu_df, item_bias, user_bias
 
 
-def random_scores(users: DataFrame, items: DataFrame, seed: int = 42) -> DataFrame:
-    """Seeded uniform scores per (user, item) candidate — the exact legacy
-    shape (every catalog item scored per user, like the reference's dense
-    score row).  O(U·I) candidate rows: fine while the catalog broadcast
-    and the per-user window are affordable; the scale path is
-    :func:`random_recommend` (bounded proposals, O(U·n_props)).
-
-    Validated distribution-level only — Spark's RNG stream differs from
-    NumPy's (SURVEY.md §4, seeded-reproducibility note).
-    """
-    return (
-        users.select("user_id")
-        .crossJoin(F.broadcast(items.select("item_id")))
-        .withColumn("score", F.rand(seed))
-    )
-
-
 def random_recommend(
     urm: DataFrame, k: int = 10, n_props: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -77,8 +60,9 @@ def random_recommend(
     shape of NonPersonalizedRecommender.py:155-180.
 
     Top-k of uniform scores over the whole catalog ≡ a uniform random
-    pick of k unseen items, so the user×catalog candidate stream (and the
-    per-user window over the entire catalog) is replaced by the shared
+    pick of k unseen items, so the legacy user×catalog candidate stream
+    (the reference's dense per-user score row, and the per-user window
+    over the entire catalog that goes with it) is replaced by the shared
     ``bounded_item_proposals`` stream: O(U·n_props) rows end to end.
     Scores are a deterministic per-(user, item) hash so the ranking is
     reproducible under any partitioning.  Same shortfall contract as the
@@ -93,6 +77,10 @@ def random_recommend(
     items = urm.select("item_id").distinct()
     cand = (
         bounded_item_proposals(users, items, n_props=n_props, epoch=seed)
+        # drop the internal proposal ordinal BEFORE dedup: which `seq`
+        # survives dropDuplicates is partitioning-dependent and must not
+        # leak into the (deterministic) output schema
+        .select("user_id", "item_id")
         .dropDuplicates(["user_id", "item_id"])
         .withColumn(
             "score",
