@@ -394,9 +394,13 @@ register(
 
 def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the family's shared payloads (repetition stats, BPE
-    word vocabulary) — bench family build line."""
+    word vocabulary, and the BPE TRAINING itself — a training budget,
+    not a query, like the model fits) — bench family build line, so
+    `bpe_compression_stats` times the tokenizer APPLY rather than
+    absorbing the k training rounds on first touch."""
     q_doc_repetition_stats(spark, sf_dir).count()
     _bpe_vocab(spark, sf_dir).count()
+    _bpe_merges(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
