@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..recommenders.bpr import bpr_mf_fit, bpr_triplets
 from ..recommenders.factor import (
     ials_recommend,
-    mf_scores,
     pure_svd_item_factors,
 )
 from ..recommenders.slim import ease_r, slim_elasticnet_distributed
@@ -293,16 +292,18 @@ register(
 
 def q_bpr_mf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPR-MF top-10 (parallel minibatch SGD + averaging;
-    MatrixFactorization_Cython_Epoch.pyx:662-709)."""
-    from ..operators.scoring import recommend_top_k
+    MatrixFactorization_Cython_Epoch.pyx:662-709), served by the bounded
+    blocked-GEMM top-k (no user×catalog score stream)."""
+    from ..operators.mf_topk import mf_recommend_top_k
 
     urm = _urm(spark, sf_dir)
     uf, itf = bpr_mf_fit(
         urm, rank=8, epochs=3, impressions=_impressions(spark, sf_dir),
         mode="outside",
     )
-    scores = mf_scores(uf, itf)
-    return recommend_top_k(scores, 10, train=urm, round_digits=9)
+    return mf_recommend_top_k(
+        uf, itf, 10, train=urm.select("user_id", "item_id"), round_digits=9
+    )
 
 
 register(
@@ -326,8 +327,9 @@ def q_funk_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FunkSVD top-10 over the explicit rating table (bucketed parallel
     pointwise SGD with biases; MatrixFactorization_Cython_Epoch.pyx:286-390).
     The scalar global bias shifts every score equally, so rankings are
-    unaffected by adding it."""
-    from ..operators.scoring import recommend_top_k
+    unaffected by adding it.  Served by the bounded blocked-GEMM top-k
+    (no user×catalog score stream)."""
+    from ..operators.mf_topk import mf_recommend_top_k
     from ..recommenders.mfsgd import funk_svd_fit, scoring_factors
     from .mlops import _rated
 
@@ -337,9 +339,8 @@ def q_funk_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     su, si = scoring_factors(uf, itf)
-    scores = mf_scores(su, si)
-    return recommend_top_k(
-        scores, 10, train=rated.select("user_id", "item_id"), round_digits=9
+    return mf_recommend_top_k(
+        su, si, 10, train=rated.select("user_id", "item_id"), round_digits=9
     )
 
 
@@ -360,8 +361,9 @@ def q_asy_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AsySVD top-10: users represented through the items they rated
     (Koren 2008; MatrixFactorization_Cython.py:227-266).  User factors are
     re-estimated as (URM·Y)/sqrt(profile length) after the fit — also the
-    cold-user path (any user with ratings gets factors)."""
-    from ..operators.scoring import recommend_top_k
+    cold-user path (any user with ratings gets factors).  Served by the
+    bounded blocked-GEMM top-k (no user×catalog score stream)."""
+    from ..operators.mf_topk import mf_recommend_top_k
     from ..recommenders.mfsgd import (
         asy_svd_fit,
         asy_user_factors,
@@ -375,9 +377,8 @@ def q_asy_svd_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     su, si = scoring_factors(asy_user_factors(rated, y_fac, ub), x_fac)
-    scores = mf_scores(su, si)
-    return recommend_top_k(
-        scores, 10, train=rated.select("user_id", "item_id"), round_digits=9
+    return mf_recommend_top_k(
+        su, si, 10, train=rated.select("user_id", "item_id"), round_digits=9
     )
 
 
@@ -710,10 +711,15 @@ def q_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         toppop_scores(train_v, users, cutoff=10), 10, train=train
     )
     recs["ials"] = ials_recommend(
-        train_v, k=10, rank=16, max_iter=10, reg=0.1, alpha=20.0, seed=42
-    ).join(users, "user_id", "left_semi")
+        train_v, k=10, users=users, rank=16, max_iter=10, reg=0.1,
+        alpha=20.0, seed=42,
+    )
     uf, itf = bpr_mf_fit(train, rank=8, epochs=3, seed=42, n_buckets=16)
-    recs["bpr_mf"] = top10(mf_scores(uf, itf))
+    from ..operators.mf_topk import mf_recommend_top_k
+
+    recs["bpr_mf"] = mf_recommend_top_k(
+        uf, itf, 10, train=train, users=users, round_digits=9
+    )
     # the DISTRIBUTED fit feeds the gate, so its MAP@10 floor certifies
     # the scale path (equivalence vs the broadcast twin is pinned in
     # tests/test_models.py)

@@ -81,9 +81,13 @@ def ials_factors(
 
 
 def mf_scores(user_factors: DataFrame, item_factors: DataFrame) -> DataFrame:
-    """scores[u,i] = U[u]·V[i] — factor join + zip_with dot product
-    (BaseMatrixFactorizationRecommender.py:165-197).  Item side broadcast
-    (|items|·rank floats is small even at catalog scale)."""
+    """FULL scores[u,i] = U[u]·V[i] — factor join + zip_with dot product
+    (BaseMatrixFactorizationRecommender.py:165-197).
+
+    Test-scale oracle ONLY: this materializes the user×catalog cross
+    product, the definitional 100× scale-killer.  Every serving path goes
+    through :func:`operators.mf_topk.mf_recommend_top_k` (bounded blocked
+    GEMM); tests pin that operator's equivalence against this twin."""
     u = user_factors.select("user_id", F.col("features").alias("uf"))
     i = item_factors.select("item_id", F.col("features").alias("vf"))
     dot = F.aggregate(
@@ -95,14 +99,20 @@ def mf_scores(user_factors: DataFrame, item_factors: DataFrame) -> DataFrame:
 
 
 def ials_recommend(
-    urm: DataFrame, k: int = 10, **als_kwargs
+    urm: DataFrame, k: int = 10, users: DataFrame | None = None, **als_kwargs
 ) -> DataFrame:
-    """End-to-end IALS top-k with remove-seen."""
-    from ..operators.scoring import recommend_top_k
+    """End-to-end IALS top-k with remove-seen, served by the bounded
+    blocked-GEMM top-k (never a user×catalog score stream; MLlib's
+    ``recommendForUserSubset`` is the same blocked shape, but the shared
+    kernel keeps the repo-wide deterministic (round(score), item_id)
+    ordering contract).  `users`: optional subset to serve."""
+    from ..operators.mf_topk import mf_recommend_top_k
 
     uf, itf = ials_factors(urm, **als_kwargs)
-    scores = mf_scores(uf, itf)
-    return recommend_top_k(scores, k, train=urm, round_digits=9)
+    return mf_recommend_top_k(
+        uf, itf, k, train=urm.select("user_id", "item_id"), users=users,
+        round_digits=9,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -596,3 +596,98 @@ def test_random_recommend_bounded_and_valid(spark, urm):
     # a different seed rotates the picks
     other = random_recommend(urm, k=5, seed=8).collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# bounded MF top-k serving (operators/mf_topk.py)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def mf_factors(spark, urm):
+    uf, itf = ials_factors(urm, rank=4, max_iter=3)
+    uf = uf.cache()
+    itf = itf.cache()
+    uf.count(), itf.count()
+    return uf, itf
+
+
+def _rec_tuples(df):
+    return sorted(
+        (r["user_id"], r["item_id"], r["rank"]) for r in df.collect()
+    )
+
+
+def test_mf_topk_equals_crossjoin_twin_broadcast_path(spark, urm, mf_factors):
+    """The bounded operator must equal the full-crossJoin formulation —
+    identical (user, item, rank) triples under the shared (round(score,9)
+    desc, item_id asc) ordering."""
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+    from contentwise_impressions_spark.operators.scoring import (
+        recommend_top_k,
+    )
+
+    uf, itf = mf_factors
+    train = urm.select("user_id", "item_id")
+    want = _rec_tuples(
+        recommend_top_k(mf_scores(uf, itf), 5, train=train, round_digits=9)
+    )
+    got = _rec_tuples(mf_recommend_top_k(uf, itf, 5, train=train))
+    assert got == want
+
+
+def test_mf_topk_blocked_path_equals_broadcast_path(spark, urm, mf_factors):
+    """item_broadcast_mb=0 forces the UB×IB grid; tiny item blocks force
+    real multi-block merging.  Must agree with the gated fast path."""
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+
+    uf, itf = mf_factors
+    train = urm.select("user_id", "item_id")
+    fast = _rec_tuples(mf_recommend_top_k(uf, itf, 5, train=train))
+    blocked = _rec_tuples(
+        mf_recommend_top_k(
+            uf, itf, 5, train=train, item_broadcast_mb=0.0, item_block_rows=3
+        )
+    )
+    assert blocked == fast
+
+
+def test_mf_topk_remove_seen_and_user_subset(spark, urm, mf_factors):
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+
+    uf, itf = mf_factors
+    train = urm.select("user_id", "item_id")
+    users = uf.select("user_id").limit(7)
+    recs = mf_recommend_top_k(uf, itf, 5, train=train, users=users).cache()
+    # only the requested users, never a seen item, exactly k each (the
+    # catalog is large enough that every user has >= 5 unseen items)
+    assert recs.select("user_id").distinct().count() == users.count()
+    assert (
+        recs.join(train, ["user_id", "item_id"], "inner").count() == 0
+    )
+    per_u = recs.groupBy("user_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_u] == [5]
+
+
+def test_mf_topk_plan_has_no_user_catalog_crossjoin(spark, urm, mf_factors):
+    """The serving plan must not contain a cartesian/broadcast-nested-loop
+    user×catalog expansion — the round-6 verdict's scale-killer pin."""
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+
+    uf, itf = mf_factors
+    df = mf_recommend_top_k(
+        uf, itf, 5, train=urm.select("user_id", "item_id")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
