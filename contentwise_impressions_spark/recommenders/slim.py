@@ -317,16 +317,33 @@ def slim_elasticnet_distributed(
     return ship.groupBy("item_j").applyInPandas(fit_group, out_schema)
 
 
-def ease_r(urm: DataFrame, l2: float = 10.0, top_k: int | None = 10) -> DataFrame:
+def ease_r(
+    urm: DataFrame,
+    l2: float = 10.0,
+    top_k: int | None = 10,
+    max_driver_items: int = 4096,
+) -> DataFrame:
     """EASE_R closed form; returns (item_i, item_j, weight).
 
     Gram distributed (self-join + agg, same kernel as the similarity
     family); inverse on the driver (reference does the same —
     EASE_R_Recommender.py:64).
+
+    SIZE-GATED: the driver inverse is O(n_items³) time and O(n_items²)
+    memory, so above ``max_driver_items`` (default 4096 ≈ a 128 MB dense
+    Gram) this delegates to :func:`ease_r_cg` — the exact distributed
+    solver — instead of attempting an infeasible dense inverse.  Same
+    contract as ``blocked_topk``'s ``feat_broadcast_mb`` gate: the naive
+    formulation is reachable only below the budget where it is cheap,
+    and a naive caller at catalog scale gets the scale path
+    automatically.  Both paths converge to the same weights
+    (equivalence-tested), so the gate changes cost, not semantics.
     """
     from ..operators.similarity import pair_dots, similarity_top_k
 
     n_items = int(urm.agg(F.max("item_id")).collect()[0][0]) + 1
+    if n_items > max_driver_items:
+        return ease_r_cg(urm, l2=l2, top_k=top_k)
     dots = pair_dots(urm).collect()
     diag = (
         urm.groupBy("item_id")

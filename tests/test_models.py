@@ -414,6 +414,44 @@ def test_ease_r_cg_equals_exact(spark, urm):
         assert abs(exact[k] - cg[k]) < 1e-6
 
 
+def test_ease_r_size_gate_delegates_to_cg(spark, urm, monkeypatch):
+    """Above ``max_driver_items`` the O(n³) driver inverse must never run:
+    ease_r delegates to the distributed CG solver and still returns the
+    closed-form weights; below the gate the inverse path runs and CG is
+    never touched."""
+    import contentwise_impressions_spark.recommenders.slim as slim_mod
+
+    exact = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r(urm, l2=50.0, top_k=5).collect()
+    }
+
+    # above the gate → CG path, numerically equal to the closed form
+    gated = {
+        (r["item_i"], r["item_j"]): r["sim"]
+        for r in ease_r(urm, l2=50.0, top_k=5, max_driver_items=2).collect()
+    }
+    assert set(gated) == set(exact)
+    for k in exact:
+        assert abs(exact[k] - gated[k]) < 1e-6
+
+    # the gate actually routes: CG invoked above the gate, not below it
+    calls = []
+
+    def spy(urm_, **kw):
+        calls.append(kw)
+        raise RuntimeError("cg-called")
+
+    monkeypatch.setattr(slim_mod, "ease_r_cg", spy)
+    try:
+        ease_r(urm, l2=50.0, top_k=5, max_driver_items=2)
+    except RuntimeError:
+        pass
+    assert len(calls) == 1  # delegated
+    ease_r(urm, l2=50.0, top_k=5)  # default gate >> fixture catalog
+    assert len(calls) == 1  # inverse path, no delegation
+
+
 def test_ivf_nprobe_recall_monotone(spark):
     """Opening the IVF recall knob (n_probe 1 -> 2) must not lose recall
     against the exact brute force: the candidate set is a superset, so
