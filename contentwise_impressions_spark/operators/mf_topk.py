@@ -66,6 +66,30 @@ try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+#: per-session bounded registry of live item-factor broadcasts / persisted
+#: factor frames: repeated serving calls (e.g. the quality-gate plan serving
+#: several models in one session) would otherwise accumulate
+#: O(n_items·rank·8) blocks per call on driver + executors (never freed
+#: until GC).  Each new entry evicts beyond the cap with a non-blocking
+#: ``unpersist()`` — safe even if an evicted broadcast's DataFrame is
+#: re-executed later (Spark re-ships from the driver value) — so live
+#: footprint is bounded by the cap, not the call count.
+_LIVE_CAP = 3
+_LIVE: dict[str, list] = {}
+
+
+def _track(spark, handle) -> None:
+    key = spark.sparkContext.applicationId
+    live = _LIVE.setdefault(key, [])
+    live.append(handle)
+    while len(live) > _LIVE_CAP:
+        old = live.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:  # pragma: no cover
+            pass
+
+
 _PARTIAL = StructType(
     [
         StructField("user_id", LongType()),
@@ -182,21 +206,31 @@ def mf_recommend_top_k(
     tiebreak (the recommend_top_k contract).  `item_broadcast_mb`: budget
     for the broadcast-items fast path; 0 forces the blocked grid.
     """
+    from pyspark import StorageLevel
+
     spark = user_factors.sparkSession
     uf = _user_side(user_factors, train, users, k)
-    itf = item_factors.select("item_id", "features")
+    # persist across this operator's driver actions (count/first + the
+    # collect-or-grid consumption): a lazy caller whose factors are an
+    # unmaterialized fit lineage pays the fit ONCE here, not per action
+    itf = item_factors.select("item_id", "features").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_items = itf.count()  # dimension-scale action (catalog cardinality)
     if n_items == 0:
+        itf.unpersist(False)
         return spark.createDataFrame([], _PARTIAL).withColumn(
             "rank", F.lit(0).cast("int")
         ).drop("rsim")
-    width = len(itf.first()["features"])
+    width = len(itf.first()["features"])  # cached: reads one partition
     scale = None if round_digits is None else 10.0 ** int(round_digits)
 
     if n_items * max(width, 1) * 8 <= item_broadcast_mb * (1 << 20):
         cand = _broadcast_gemm(uf, itf, n_items, scale)
+        itf.unpersist(False)  # payload now lives in the broadcast
     else:
         cand = _blocked_gemm(uf, itf, n_items, scale, item_block_rows)
+        _track(spark, itf)  # lazily read by the grid; evicted by cap
 
     if train is not None:
         cand = cand.join(
@@ -216,13 +250,25 @@ def _broadcast_gemm(
     uf: DataFrame, itf: DataFrame, n_items: int, scale: float | None
 ) -> DataFrame:
     """Item factors once per executor; user partitions stream through a
-    chunked GEMM emitting per-user top-_m partials."""
+    chunked GEMM emitting per-user top-_m partials.
+
+    Driver materialization goes through Arrow (``toPandas``), not
+    ``collect()``: Row objects cost ~10-30× the packed 8 B/float the
+    ``item_broadcast_mb`` gate budgets, so the Arrow path keeps driver
+    peak near the gated estimate instead of a multiple of it."""
     spark = uf.sparkSession
-    rows = itf.collect()  # size-gated by the caller
-    rows.sort(key=lambda r: r["item_id"])
-    ids = np.array([r["item_id"] for r in rows], dtype=np.int64)
-    vmat = np.stack([np.asarray(r["features"], dtype=np.float64) for r in rows])
+    try:  # Arrow transfer keeps driver RSS ≈ the gated ndarray size
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:  # pragma: no cover
+        pass
+    pdf = itf.toPandas()  # size-gated by the caller
+    pdf = pdf.sort_values("item_id", kind="stable")
+    ids = pdf["item_id"].to_numpy(dtype=np.int64)
+    vmat = np.stack(
+        [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+    )
     bc = spark.sparkContext.broadcast((ids, vmat))
+    _track(spark, bc)  # bounded-lifetime: evicted beyond _LIVE_CAP
 
     def gen(batches):
         ids_b, v = bc.value

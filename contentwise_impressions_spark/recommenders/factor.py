@@ -71,11 +71,18 @@ def ials_factors(
             F.col("value").cast("float"),
         )
     )
+    # float64 at the fit boundary: ALS emits array<float>, but the serving
+    # kernel (mf_topk) upcasts to float64 before its GEMM while the
+    # crossJoin twin's zip_with would multiply in float32 — casting HERE
+    # makes both formulations compute in float64 by construction, so
+    # kernel/twin equivalence holds exactly, not modulo ~1e-7 near-ties.
     uf = model.userFactors.select(
-        F.col("id").cast("bigint").alias("user_id"), F.col("features")
+        F.col("id").cast("bigint").alias("user_id"),
+        F.col("features").cast("array<double>").alias("features"),
     )
     itf = model.itemFactors.select(
-        F.col("id").cast("bigint").alias("item_id"), F.col("features")
+        F.col("id").cast("bigint").alias("item_id"),
+        F.col("features").cast("array<double>").alias("features"),
     )
     return uf, itf
 

@@ -729,3 +729,44 @@ def test_mf_topk_plan_has_no_user_catalog_crossjoin(spark, urm, mf_factors):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mf_topk_lazy_input_computes_fit_once(spark, urm, mf_factors):
+    """A NON-checkpointed factor lineage must be evaluated once, not once
+    per driver action (count/first/collect used to re-run it 3×): the
+    operator persists its input across its own actions."""
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+
+    uf, itf = mf_factors
+    evals = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            evals.add(len(pdf))
+            yield pdf
+
+    lazy_itf = itf.mapInPandas(tag, itf.schema)  # uncached "fit" lineage
+    n_items = itf.count()
+    recs = mf_recommend_top_k(
+        uf, lazy_itf, 5, train=urm.select("user_id", "item_id")
+    )
+    assert recs.count() > 0
+    # persist materializes the lineage exactly once (count); first() and
+    # the Arrow collect read the cache.  Allow cache-miss slack of one
+    # extra partition read, never the 3× full re-run of before.
+    assert evals.value <= n_items + max(1, n_items // 4), evals.value
+
+
+def test_mf_topk_broadcast_registry_bounded(spark, urm, mf_factors):
+    """Repeated serving calls must not accumulate item-factor broadcasts
+    without bound: the per-session registry evicts beyond its cap."""
+    from contentwise_impressions_spark.operators import mf_topk as m
+
+    uf, itf = mf_factors
+    train = urm.select("user_id", "item_id")
+    for _ in range(m._LIVE_CAP + 3):
+        m.mf_recommend_top_k(uf, itf, 3, train=train).count()
+    live = m._LIVE[spark.sparkContext.applicationId]
+    assert len(live) <= m._LIVE_CAP
