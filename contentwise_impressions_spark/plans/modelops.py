@@ -395,6 +395,50 @@ register(
 )
 
 
+def q_funk_svd_epoch0_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic per-bucket ordered sample stream the FunkSVD /
+    AsySVD bucketed SGD consumes every epoch (n_buckets=16, matching
+    ``funk_svd_recommendations``) — the SQL-checkable input decomposition
+    of the otherwise rows-only iterative fits
+    (MatrixFactorization_Cython_Epoch.pyx:286-390's ordered sweep)."""
+    from ..recommenders.mfsgd import epoch0_stream
+    from .mlops import _rated
+
+    return epoch0_stream(_rated(spark, sf_dir), n_buckets=16)
+
+
+def _epoch0_oracle() -> str:
+    from ..functions.hashing import bucket_sql
+    from .mlops import RATED_CTE
+
+    return f"""
+        WITH {RATED_CTE},
+        b AS (
+            SELECT {bucket_sql("user_id", mod=16)} AS bucket,
+                   user_id, item_id, CAST(rating AS DOUBLE) AS rating
+            FROM rated
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY user_id, item_id
+               ) AS BIGINT) AS seq,
+               user_id, item_id, rating
+        FROM b
+    """
+
+
+register(
+    QuerySpec(
+        "funk_svd_epoch0_stream",
+        q_funk_svd_epoch0_stream,
+        _epoch0_oracle(),
+        doc="portable-hash bucket assignment + per-bucket (user,item) "
+        "sample order of the MF-SGD epoch kernel "
+        "(MatrixFactorization_Cython_Epoch.pyx:286-390)",
+    )
+)
+
+
 def q_rating_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out RMSE of the explicit-rating MF fits vs the GlobalEffects
     baseline on the fixed hash split — the rating-model analog of

@@ -38,8 +38,10 @@ import sys
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.hashing import bucket_hash
 
 try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
     from pyspark import cloudpickle as _cp
@@ -146,6 +148,42 @@ def _tagged_row(tag: str, id_col, b2=None, r=None, feats=None):
     ]
 
 
+def _user_bucket(B: int):
+    """Portable deterministic user->bucket assignment (functions/hashing).
+
+    The epoch decomposition is bucket-agnostic (any co-bucketing of users
+    is a valid parallel minibatch split), so the PORTABLE multiplicative
+    hash is used instead of xxhash64 — making the fit's exact epoch-0
+    sample stream reproducible by an external SQL engine (the
+    ``funk_svd_epoch0_stream`` oracle certifies it row-for-row)."""
+    return bucket_hash(F.col("user_id"), mod=B).cast("int")
+
+
+def epoch0_stream(ratings: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, seq, user_id, item_id, rating): the deterministic ordered
+    sample stream the bucketed SGD consumes at every epoch — exactly the
+    rows and per-bucket order ``epoch_task`` iterates (its
+    ``sort_values(["a", "b2"])`` pass over tag-'t' rows; the reference's
+    single-threaded analog is the ordered rated-pairs sweep in
+    MatrixFactorization_Cython_Epoch.pyx:286-390).
+
+    SQL-expressible by construction (portable bucket hash + row_number),
+    so the DuckDB oracle checks the fit's input decomposition row-for-row
+    even though the SGD fit itself is iterative/rows-only."""
+    B = int(n_buckets)
+    samples = ratings.select(
+        "user_id", "item_id", F.col("rating").cast("double").alias("rating")
+    ).withColumn("bucket", _user_bucket(B))
+    w = Window.partitionBy("bucket").orderBy("user_id", "item_id")
+    return samples.select(
+        "bucket",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        "user_id",
+        "item_id",
+        "rating",
+    )
+
+
 def _mean_rating(samples: DataFrame) -> float:
     return float(samples.agg(F.avg("rating")).collect()[0][0] or 0.0)
 
@@ -205,7 +243,7 @@ def funk_svd_fit(
 
     samples = (
         ratings.select("user_id", "item_id", F.col("rating").cast("double"))
-        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int"))
+        .withColumn("_b", _user_bucket(B))
         .persist()
     )
     samples.count()
@@ -306,7 +344,7 @@ def funk_svd_fit(
             "_b", *_tagged_row("i", "item_id", feats="features")
         )
         u_side = u_fac.select(
-            F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int").alias("_b"),
+            _user_bucket(B).alias("_b"),
             *_tagged_row("u", "user_id", feats="features"),
         )
         t_side = samples.select(
@@ -439,7 +477,7 @@ def asy_svd_fit(
 
     samples = (
         ratings.select("user_id", "item_id", F.col("rating").cast("double"))
-        .withColumn("_b", F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int"))
+        .withColumn("_b", _user_bucket(B))
         .persist()
     )
     samples.count()
@@ -579,7 +617,7 @@ def asy_svd_fit(
             "_b", *_tagged_row("y", "item_id", feats="features")
         )
         b_side = ub.select(
-            F.pmod(F.xxhash64("user_id"), F.lit(B)).cast("int").alias("_b"),
+            _user_bucket(B).alias("_b"),
             *_tagged_row("b", "user_id", feats="features"),
         )
         t_side = samples.select(
