@@ -439,6 +439,135 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# fit-free MF serving: the bounded top-k kernel itself, oracle-checkable
+# ---------------------------------------------------------------------------
+_MF_SERVE_RANK = 8
+
+
+def _hash_factors(ids: DataFrame, id_col: str, rank: int) -> DataFrame:
+    """Deterministic dense factors derived from the id alone:
+    feature[j] = ((id·P1 + j·P2) mod MOD)/MOD − 0.5 — portable across
+    Spark and SQL, so the SERVING kernel (not a stochastic fit) is what
+    the oracle certifies.  Mirrors functions/hashing.bucket_hash."""
+    from ..functions.hashing import MOD, P1, P2
+
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(rank - 1)),
+        lambda j: F.pmod(
+            F.col(id_col).cast("bigint") * F.lit(P1)
+            + j.cast("bigint") * F.lit(P2),
+            F.lit(MOD),
+        ).cast("double")
+        / F.lit(float(MOD))
+        - F.lit(0.5),
+    )
+    return ids.select(F.col(id_col), feats.alias("features"))
+
+
+def q_mf_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT-FREE MF serving: deterministic hash-derived rank-8 factors →
+    ``mf_recommend_top_k`` (k=10, remove-seen) on the broadcast-GEMM path.
+
+    This is the round-7 bounded serving kernel (operators/mf_topk.py,
+    replacing the reference's dense user-block scoring loop at
+    Evaluator.py:482-484 + BaseMatrixFactorizationRecommender.py:165-197)
+    exercised WITHOUT an iterative fit in front, so (a) the driver can
+    hash-check the kernel against a full U×I DuckDB twin, and (b) bench
+    times pure serving throughput."""
+    from ..operators.mf_topk import mf_recommend_top_k
+
+    urm = _urm(spark, sf_dir)
+    uf = _hash_factors(
+        urm.select("user_id").distinct(), "user_id", _MF_SERVE_RANK
+    )
+    itf = _hash_factors(
+        urm.select("item_id").distinct(), "item_id", _MF_SERVE_RANK
+    )
+    return mf_recommend_top_k(
+        uf, itf, 10, train=urm.select("user_id", "item_id"), round_digits=9
+    )
+
+
+def q_mf_serving_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same serving query with ``item_broadcast_mb=0``: pins the ANY-scale
+    UB×IB blocked-grid path (the 100 TB shape) to the same oracle."""
+    from ..operators.mf_topk import mf_recommend_top_k
+
+    urm = _urm(spark, sf_dir)
+    uf = _hash_factors(
+        urm.select("user_id").distinct(), "user_id", _MF_SERVE_RANK
+    )
+    itf = _hash_factors(
+        urm.select("item_id").distinct(), "item_id", _MF_SERVE_RANK
+    )
+    return mf_recommend_top_k(
+        uf,
+        itf,
+        10,
+        train=urm.select("user_id", "item_id"),
+        round_digits=9,
+        item_broadcast_mb=0.0,
+        item_block_rows=512,
+    )
+
+
+def _mf_serving_oracle() -> str:
+    from ..functions.hashing import MOD, P1, P2
+
+    val = (
+        f"CAST(((CAST({{id}} AS BIGINT) * {P1} + j * {P2}) % {MOD} + {MOD})"
+        f" % {MOD} AS DOUBLE) / {MOD} - 0.5"
+    )
+    return f"""
+        WITH {URM_CTE},
+        js AS (SELECT unnest(generate_series(0, {_MF_SERVE_RANK - 1})) AS j),
+        ufl AS (
+            SELECT user_id, j, {val.format(id="user_id")} AS v
+            FROM (SELECT DISTINCT user_id FROM urm) CROSS JOIN js
+        ),
+        ifl AS (
+            SELECT item_id, j, {val.format(id="item_id")} AS v
+            FROM (SELECT DISTINCT item_id FROM urm) CROSS JOIN js
+        ),
+        scores AS (
+            SELECT u.user_id, i.item_id, SUM(u.v * i.v) AS score
+            FROM ufl u JOIN ifl i USING (j)
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT s.* FROM scores s
+            LEFT JOIN urm t ON s.user_id = t.user_id AND s.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY round(score, 9) DESC, item_id ASC) AS INT) AS rank
+        FROM unseen QUALIFY rank <= 10
+    """
+
+
+register(
+    QuerySpec(
+        "mf_serving_topk",
+        q_mf_serving_topk,
+        _mf_serving_oracle(),
+        doc="bounded MF top-k serving kernel, broadcast-GEMM path "
+        "(operators/mf_topk.py; Evaluator.py:482-484 blocked scoring)",
+    )
+)
+
+register(
+    QuerySpec(
+        "mf_serving_topk_blocked",
+        q_mf_serving_topk_blocked,
+        _mf_serving_oracle(),
+        doc="bounded MF top-k serving kernel, forced UB×IB blocked-grid "
+        "path (operators/mf_topk.py)",
+    )
+)
+
+
 def q_rating_model_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out RMSE of the explicit-rating MF fits vs the GlobalEffects
     baseline on the fixed hash split — the rating-model analog of
