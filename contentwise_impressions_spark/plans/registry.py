@@ -54,76 +54,74 @@ def _load_all_modules() -> None:
 
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
-#: registration order up to a fixed budget (50 per round).  Cumulative
-#: status after round 5: every registered query has at least one driver
-#: row; the freshest evidence per query is r2 for 44 queries, r3 for 16,
-#: r4 for 39, r5 for 50.  Round-6 rotation: (1) the three NEW round-6
-#: specs (FunkSVD/AsySVD + the RMSE gate), (2) every query whose plan,
-#: kernel, or oracle changed this round (bounded negative sampling, fused
-#: split_invariants, the asymmetric-replication cosine kernel, the
-#: distributed SLIM-EN fit feeding both its spec and model_quality_gates),
-#: then (3) refresh of the OLDEST evidence (r2 vintage) up to the budget.
+#: registration order up to a fixed budget (50 per round).  Evidence ledger
+#: entering round 8 (from CORRECTNESS_r0{1..7} key sets): r7 evidence for
+#: 50 queries, r5 for 44, r4 for 36, r3 for 16, r2 for 6.  Round-8
+#: rotation: (1) the three NEW round-8 specs (MF-serving oracles + the
+#: epoch-0 stream), (2) every query whose kernel changed this round
+#: (mf_topk hardening + float64 ALS boundary → the four MF serving paths
+#: and both quality gates; the ease_r size gate → both EASE_R specs),
+#: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
+#: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
+#: Round-9 front = the remaining nineteen r4 rows (ngram_jaccard_topn …
+#: zorder_layout_stats) + the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
-    # new in round 6 — zero driver evidence yet
+    # new in round 8 — zero driver evidence yet
+    "mf_serving_topk",
+    "mf_serving_topk_blocked",
+    "funk_svd_epoch0_stream",
+    # kernels/gates changed in round 8 (mf_topk, ALS float64, ease_r gate,
+    # portable MF-SGD bucketing)
+    "ials_recommendations",
+    "bpr_mf_recommendations",
     "funk_svd_recommendations",
     "asy_svd_recommendations",
-    "rating_model_quality_gates",
-    # plans/kernels/oracles changed in round 6
-    "negative_samples",
-    "negative_sample_eval",
-    "bpr_triplets_outside",
-    "split_invariants",
-    "cfcbf_hybrid_topk",
-    "itemcbf_cosine_topk",
-    "slim_elasticnet_weights",
     "model_quality_gates",
-    "nmf_user_factors",
-    "pure_svd_factors",
-    # oldest driver evidence (r2 vintage) — refresh
-    "pricing_summary",
-    "filter_project",
-    "region_customer_rollup",
-    "top_orders_by_revenue",
-    "active_users",
-    "corpus_cardinalities",
-    "latest_event_per_user",
-    "user_activity_gini",
-    "event_type_entropy",
-    "event_type_herfindahl",
-    "value_histogram",
-    "users_covering_traffic",
-    "hourly_event_type_pivot",
-    "clickers_never_purchased",
-    "events_of_known_customers",
-    "part_name_tokens",
-    "token_position",
-    "weekday_hour_traffic",
-    "january_traffic",
-    "top_events_per_type",
-    "fd_violations",
-    "salted_user_nation_counts",
-    "sql_shipping_priority",
-    "revenue_rollup",
-    "value_quantiles",
-    "user_activity_deciles",
-    "toppop",
-    "split_sizes",
-    "leave_last_out_sizes",
-    "kcore_filter",
-    "urm_density",
-    "cold_start_split_sizes",
-    "popularity_bias_stats",
-    "weekly_cohort_retention",
-    "item_pmi_topk",
-    "value_outliers",
-    "item_similarity_family",
+    "rating_model_quality_gates",
+    "ease_r_weights",
+    "ease_r_cg_weights",
+    # r2-vintage driver evidence (5 rounds stale) — refresh
     "item_cosine_topk",
     "exact_dedup_docs",
     "doc_token_stats",
-    # budget line (~50) — r2 stragglers below roll into the round-7 front
     "doc_quality",
     "langid",
     "tag_tokens",
+    # r3-vintage — refresh (all 16)
+    "ann_ivf_assignments",
+    "ann_lsh_buckets",
+    "bm25_weights",
+    "click_attribution",
+    "click_position_heatmap",
+    "cold_entities",
+    "corpus_cleaning_funnel",
+    "decayed_toppop",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "eval_contamination",
+    "feature_pruning",
+    "impression_list_invariants",
+    "impression_urm",
+    "simhash_neardup_pairs",
+    "view_to_click_conversions",
+    # oldest r4-vintage — refresh up to the 50 budget
+    "bm25_weighted_itemknn",
+    "bpr_triplets_inside",
+    "centered_similarities",
+    "confidence_matrix",
+    "corpus_bigrams",
+    "diversity_similarity",
+    "doc_bpe_token_stats",
+    "doc_packing_stats",
+    "global_effects_item_bias",
+    "global_effects_user_bias",
+    "hash_split_sizes",
+    "hopping_window_counts",
+    "item_pagerank",
+    "itemknn_recommendations",
+    "minhash_dedup_clusters",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
 ]
 
 
