@@ -716,6 +716,77 @@ register(
 )
 
 
+def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the REAL Structured Streaming engine: file
+    source over the events parquet → 1-hour watermark → session_window
+    state store → append-mode emission, run to completion with an
+    ``availableNow`` trigger and returned from the memory sink.
+
+    Driver-checkable streaming evidence (the streaming family was
+    pytest-only before round 8): the emitted set is deterministic —
+    sessions whose end ≤ final watermark, where the final watermark is
+    the millisecond-floored max event time minus the delay (Spark keeps
+    event-time stats in ms) — so a batch SQL twin reproduces it exactly.
+    Single-file source ⇒ one data micro-batch, then the watermark-flush
+    batch; with multi-file logs the same holds as long as no user's
+    session straddles a watermark advance (late data would be dropped,
+    which is the documented streaming semantics, not a defect)."""
+    from ..streaming.ingest import (
+        run_stream_once,
+        sessionize_events,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    sess = sessionize_events(src, gap="30 minutes", watermark="1 hour")
+    return run_stream_once(sess, "sessionization")
+
+
+register(
+    QuerySpec(
+        "stream_sessionization_counts",
+        q_stream_sessionization,
+        """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM marked
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                   CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   SUM(value) AS sum_value
+            FROM sess GROUP BY user_id, sess_id
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+            FROM events
+        )
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM agg, wm WHERE session_end <= w
+        """,
+        doc="streaming sessionization through the live engine (file "
+        "source + watermark + state store, availableNow); emission "
+        "boundary = ms-floored max event time - delay, end <= wm "
+        "(pinned empirically in tests/test_streaming.py)",
+    )
+)
+
+
 def q_slim_bpr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIM-BPR item-item weights, DISTRIBUTED sparse-W fit — no dense
     n_items² matrix anywhere (SLIM_BPR_Cython_Epoch.pyx:59-1421;

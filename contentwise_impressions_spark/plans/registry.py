@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "mf_serving_topk",
     "mf_serving_topk_blocked",
     "funk_svd_epoch0_stream",
+    "stream_sessionization_counts",
     # kernels/gates changed in round 8 (mf_topk, ALS float64, ease_r gate,
     # portable MF-SGD bucketing)
     "ials_recommendations",
@@ -121,7 +122,7 @@ DRIVER_PRIORITY: list[str] = [
     "itemknn_recommendations",
     "minhash_dedup_clusters",
     "minhash_lsh_candidates",
-    "minhash_signatures",
+    # (minhash_signatures rolls to the r9 front to hold the 50 budget)
 ]
 
 

@@ -85,6 +85,48 @@ def stream_events(
     return reader.load(source_dir)
 
 
+def run_stream_once(
+    stream_df: DataFrame, name_prefix: str = "stream_once"
+) -> DataFrame:
+    """Execute a streaming transformation to completion with an
+    ``availableNow`` trigger into a memory sink and return the sink as a
+    batch DataFrame.
+
+    This is the driver-evidence bridge for the streaming family: the
+    REAL Structured Streaming engine runs (file source → watermark →
+    state store → append emission), then the emitted rows are handed
+    back as an ordinary DataFrame an external oracle can check.
+    ``availableNow`` processes every available input, then keeps running
+    micro-batches while the advancing watermark can still evict state
+    (shouldRunAnotherBatch), so the final emission reflects the
+    end-of-input watermark deterministically."""
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_dir_for_file(path: str) -> str:
+    """A temp directory containing a symlink to `path` — the parquet
+    file-stream source requires a DIRECTORY (basePath), while the test
+    tables are single parquet files.  Symlinking instead of copying keeps
+    this O(1) at any table size."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
 def sessionize_events(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -463,3 +463,71 @@ def test_stream_static_incremental_dedup_matches_batch(spark, sf_dir):
         assert all(m not in incoming_ids for _, m, _ in got)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_availablenow_sessionization_watermark_boundary(spark):
+    """Pins the emission contract the stream_sessionization_counts oracle
+    encodes: final watermark = MILLISECOND-floored max event time minus
+    the delay, and a session is emitted iff session_end <= watermark
+    (inclusive).  Crafted boundary rows: one session ending exactly AT
+    the watermark (emitted), one 200 us past it (held), one 1 s before
+    it (emitted); max event time carries +500 us to prove ms flooring."""
+    import datetime
+    import os
+    import tempfile
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        run_stream_once,
+        sessionize_events,
+        stream_events,
+    )
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ts(**kw):
+        return T0 + datetime.timedelta(**kw)
+
+    rows = [
+        (1, ts(minutes=30), 1.0),                    # end == wm -> emitted
+        (2, ts(minutes=29, seconds=59), 1.0),        # end < wm  -> emitted
+        (3, ts(minutes=31), 1.0),                    # end > wm  -> held
+        (4, ts(minutes=30, microseconds=200), 1.0),  # past ms-floored wm -> held
+        (9, ts(hours=2, microseconds=500), 1.0),     # sets max (wm floors to +1h)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    d = tempfile.mkdtemp(prefix="cwi_sessbnd_")
+    df.coalesce(1).write.parquet(os.path.join(d, "data"))
+    src = stream_events(spark, os.path.join(d, "data"), schema=df.schema)
+    out = run_stream_once(
+        sessionize_events(src, gap="30 minutes", watermark="1 hour"),
+        "sessbnd",
+    )
+    got = sorted(r["user_id"] for r in out.collect())
+    assert got == [1, 2], got
+
+
+def test_stream_sessionization_query_runs_live_engine(spark, sf_dir):
+    """The registered query drives the real streaming engine and returns
+    exactly the batch sessions whose end clears the final watermark."""
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.plans.modelops import (
+        q_stream_sessionization,
+        q_user_sessions,
+    )
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in q_stream_sessionization(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    wm = mx.replace(microsecond=mx.microsecond // 1000 * 1000) - __import__(
+        "datetime"
+    ).timedelta(hours=1)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in q_user_sessions(spark, sf_dir).collect()
+        if r["session_end"] <= wm
+    }
+    assert got == want and len(got) > 0
