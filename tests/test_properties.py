@@ -198,3 +198,91 @@ def test_item_pagerank_is_a_distribution(spark, sf_dir):
         total = sum(r["pagerank"] for r in pr)
         assert abs(total - 1.0) < 1e-9
         assert all(r["pagerank"] > 0 for r in pr)
+
+
+mf_strategy = st.tuples(
+    # interactions: (user, item) pairs over small id spaces so remove-seen
+    # and the per-user k+deg(u) over-fetch both bind
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    ),
+    # factor values drawn from a tiny grid so coarse rounding produces
+    # MANY exact score ties — the boundary-tie emission in
+    # mf_topk._emit_topm is the subtlest code path
+    st.integers(0, 2**31 - 1),
+)
+
+
+@given(data=mf_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mf_topk_equals_crossjoin_twin_under_ties(spark, data):
+    """Randomized equivalence of the bounded MF serving kernel against
+    the full-crossJoin formulation with round_digits=1: grid-valued
+    factors make rounded scores collide constantly, so the (rounded desc,
+    item_id asc) total order and the per-row boundary-tie trim inside
+    _emit_topm are exercised on every example — on BOTH kernel paths."""
+    import numpy as np
+
+    from contentwise_impressions_spark.operators.mf_topk import (
+        mf_recommend_top_k,
+    )
+    from contentwise_impressions_spark.operators.scoring import (
+        recommend_top_k,
+    )
+    from contentwise_impressions_spark.recommenders.factor import mf_scores
+
+    pairs, seed = data
+    rng = np.random.default_rng(seed)
+    users = sorted({u for u, _ in pairs})
+    items = sorted({i for _, i in pairs})
+    rank = 3
+    grid = np.array([-0.5, 0.0, 0.5, 1.0])
+
+    def factors(ids, id_col):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "features": [
+                        rng.choice(grid, size=rank).tolist() for _ in ids
+                    ],
+                }
+            )
+        )
+
+    uf = factors(users, "user_id")
+    itf = factors(items, "item_id")
+    train = spark.createDataFrame(
+        pd.DataFrame(sorted(set(pairs)), columns=["user_id", "item_id"])
+    )
+
+    def triples(df):
+        return sorted(
+            (r["user_id"], r["item_id"], r["rank"]) for r in df.collect()
+        )
+
+    want = triples(
+        recommend_top_k(mf_scores(uf, itf), 3, train=train, round_digits=1)
+    )
+    got_bcast = triples(
+        mf_recommend_top_k(uf, itf, 3, train=train, round_digits=1)
+    )
+    got_blocked = triples(
+        mf_recommend_top_k(
+            uf,
+            itf,
+            3,
+            train=train,
+            round_digits=1,
+            item_broadcast_mb=0.0,
+            item_block_rows=2,
+        )
+    )
+    assert got_bcast == want
+    assert got_blocked == want
