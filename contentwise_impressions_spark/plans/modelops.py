@@ -738,12 +738,17 @@ def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
+    import shutil
+
     utc(spark)
     batch = load_table(spark, sf_dir, "events")
     src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
     src = stream_events(spark, src_dir, schema=batch.schema)
     sess = sessionize_events(src, gap="30 minutes", watermark="1 hour")
-    return run_stream_once(sess, "sessionization")
+    out = run_stream_once(sess, "sessionization")
+    # the memory sink holds materialized rows; the symlink dir is done
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
 
 
 register(
@@ -783,6 +788,58 @@ register(
         "source + watermark + state store, availableNow); emission "
         "boundary = ms-floored max event time - delay, end <= wm "
         "(pinned empirically in tests/test_streaming.py)",
+    )
+)
+
+
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts through the LIVE streaming engine (same
+    bridge as ``stream_sessionization_counts``; the batch twin is
+    ``tumbling_window_counts``).  Append mode emits a window once the
+    final watermark reaches its end (inclusive — same eviction predicate
+    as session windows, pinned in tests/test_streaming.py)."""
+    import shutil
+
+    from ..streaming.ingest import (
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+        tumbling_event_counts,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    out = run_stream_once(
+        tumbling_event_counts(src, "1 hour", watermark="1 hour"), "tumbling"
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_tumbling_counts",
+        q_stream_tumbling_counts,
+        """
+        WITH agg AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR AS w
+            FROM events
+        )
+        SELECT window_start, event_type, cnt, sum_value
+        FROM agg, wm WHERE window_start + INTERVAL 1 HOUR <= w
+        """,
+        doc="live-engine tumbling windows + watermark (availableNow); "
+        "append emission at window_end <= final watermark",
+        bench=False,
     )
 )
 

@@ -63,8 +63,9 @@ def _load_all_modules() -> None:
 #: and both quality gates; the ease_r size gate → both EASE_R specs),
 #: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
 #: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
-#: Round-9 front = the remaining nineteen r4 rows (ngram_jaccard_topn …
-#: zorder_layout_stats) + the oldest r5 rows.
+#: Round-9 front = stream_tumbling_counts (new, unchecked), minhash_signatures,
+#: the remaining nineteen r4 rows (ngram_jaccard_topn … zorder_layout_stats),
+#: then the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
     # new in round 8 — zero driver evidence yet
     "mf_serving_topk",
