@@ -531,3 +531,43 @@ def test_stream_sessionization_query_runs_live_engine(spark, sf_dir):
         if r["session_end"] <= wm
     }
     assert got == want and len(got) > 0
+
+
+def test_availablenow_tumbling_watermark_boundary(spark):
+    """Tumbling windows share the inclusive eviction predicate the
+    stream_tumbling_counts oracle encodes: a window whose end equals the
+    final watermark IS emitted; a later window is held."""
+    import datetime
+    import os
+    import tempfile
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        run_stream_once,
+        stream_events,
+        tumbling_event_counts,
+    )
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ts(**kw):
+        return T0 + datetime.timedelta(**kw)
+
+    rows = [
+        (1, ts(minutes=10), "a", 1.0),  # [00:00,01:00) end == wm -> emitted
+        (2, ts(minutes=70), "a", 1.0),  # [01:00,02:00) end > wm  -> held
+        (9, ts(hours=2), "b", 1.0),     # sets max -> wm = 01:00
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    d = tempfile.mkdtemp(prefix="cwi_tmbbnd_")
+    df.coalesce(1).write.parquet(os.path.join(d, "data"))
+    src = stream_events(spark, os.path.join(d, "data"), schema=df.schema)
+    out = run_stream_once(
+        tumbling_event_counts(src, "1 hour", watermark="1 hour"), "tmbbnd"
+    )
+    got = sorted(
+        (str(r["window_start"]), r["event_type"], r["cnt"])
+        for r in out.collect()
+    )
+    assert got == [("2024-01-01 00:00:00", "a", 1)], got
