@@ -29,6 +29,9 @@ ALLOWED_UNCAST = {
     ("toppop_eval_metrics", "SUM(is_hit) OVER"),
     ("toppop_eval_multi_cutoff", "SUM(is_hit) OVER"),
     ("user_sessions", "SUM(new_sess) OVER"),
+    # same construct as user_sessions: sess_id is GROUP-BY-only, never an
+    # output column; strict parity green at sf0.001/0.01/0.1 (r8)
+    ("stream_sessionization_counts", "SUM(new_sess) OVER"),
     ("users_covering_traffic", "SUM(cnt) OVER"),
 }
 
