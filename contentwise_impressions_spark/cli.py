@@ -127,8 +127,21 @@ def run_results_gathering(history_dir: str) -> None:
     print(latex_results(results_table(histories)))
 
 
+_USAGE = """usage: cwi-spark <command> [args]
+
+commands:
+  statistics [sf_dir] [table]      dataset statistics suite (default cmd)
+  generate-splits [sf_dir] [out]   build+cache train/val/test splits
+  tuning [sf_dir] [recommender]    Bayesian hyperparameter search
+  results-gathering [history_dir]  LaTeX results table from search histories
+"""
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "statistics"
+    if cmd in ("--help", "-h", "help"):
+        print(_USAGE)
+        return
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     if cmd == "generate-splits":
         run_generate_splits(sf_dir, sys.argv[3] if len(sys.argv) > 3 else "/tmp/cwi_out")
@@ -139,7 +152,7 @@ def main() -> None:
     elif cmd == "results-gathering":
         run_results_gathering(sys.argv[2] if len(sys.argv) > 2 else "/tmp/cwi_hist")
     else:
-        raise SystemExit(f"unknown command: {cmd}")
+        raise SystemExit(f"unknown command: {cmd}\n{_USAGE}")
 
 
 if __name__ == "__main__":
