@@ -86,7 +86,9 @@ def stream_events(
 
 
 def run_stream_once(
-    stream_df: DataFrame, name_prefix: str = "stream_once"
+    stream_df: DataFrame,
+    name_prefix: str = "stream_once",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming transformation to completion with an
     ``availableNow`` trigger into a memory sink and return the sink as a
@@ -99,19 +101,36 @@ def run_stream_once(
     ``availableNow`` processes every available input, then keeps running
     micro-batches while the advancing watermark can still evict state
     (shouldRunAnotherBatch), so the final emission reflects the
-    end-of-input watermark deterministically."""
+    end-of-input watermark deterministically.
+
+    ``shuffle_partitions`` right-sizes the state-store partition count
+    for this EPHEMERAL run (a streaming query freezes the count into its
+    checkpoint at first start; the session default — over-provisioned
+    for batch AQE to coalesce — would pin dozens of tiny state tasks per
+    micro-batch, and stateful workloads disable AQE).  A long-lived
+    production stream should instead size it to its cluster and keep it
+    for the checkpoint's lifetime; pass None to inherit the session
+    setting."""
     import uuid
 
+    spark = stream_df.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_dir_for_file(path: str) -> str:
