@@ -1,0 +1,285 @@
+"""Product quantization for embedding ANN — the memory-compression scale
+path (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011; the PQ half of FAISS-style IVF-PQ — public
+knowledge, no reference-repo analog).
+
+Why this exists at 100 TB: full-precision float32 embeddings at
+10⁹ × 768 dims are ~3 TB — too big to keep executor-resident for serving.
+PQ splits each vector into M subspaces and replaces every subvector with
+the id of its nearest per-subspace centroid: M small codes (1 byte each at
+K=256) per vector, a 50-100× compression that makes the whole index fit a
+modest executor fleet, scored against full-precision probes via per-probe
+lookup tables (asymmetric distance computation, ADC).
+
+Engine-exactness (the house QUANT discipline, see operators/ann.py):
+embedding entries are fixed-point quantized (2²² grid) AND codebook
+centroids are re-rounded to the same integer grid after every Lloyd
+update, so every distance, lookup-table entry, reconstruction norm and
+ADC dot product is a sum of exact integers — bit-identical in numpy and
+any SQL engine, no round(·, 9) crutch anywhere in the ranking key.
+
+Structure mirrors the IVF family:
+- :func:`pq_codebooks` — declarative per-subspace Lloyd k-means (one plan
+  for ALL subspaces: the subspace id is just another grouping key), seeds
+  hash-ranked by the engine's multiplicative-hash convention.  Centroids
+  are always tiny (M·K·d/M = K·d values → broadcast); only the corpus
+  scan scales.
+- :func:`pq_codes` — the encoder: per-(vector, subspace) argmin with the
+  (d2 asc, c asc) integer tiebreak.
+- :func:`pq_adc_topk` — blocked Arrow ADC serving: probe slabs build
+  their M×K lookup tables against the broadcast codebook, index slabs
+  carry ONLY codes (the compressed representation — this is the point),
+  each grid task scores probes × codes by LUT gather and emits per-probe
+  partial top-k; window merge, identical ranking contract to the exact
+  ANN family.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ann import QUANT, _as_double, _merge_topk, _TOPK_PARTIAL
+
+try:  # by-value pickling (see recommenders/slim.py note)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+
+def _sub_frame(embeddings: DataFrame, vec_col: str, dsub: int) -> DataFrame:
+    """(vec_id, sub, pos, xq): fixed-point long frame with the subspace
+    key.  `pos` stays global (0-based), so (pos) alone keys the centroid
+    join and `sub = pos // dsub` is derivable in any engine."""
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    )
+    return e.select(
+        "vec_id",
+        F.floor(F.col("pos") / dsub).cast("int").alias("sub"),
+        "pos",
+        F.floor(F.col("x") * F.lit(QUANT) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+
+
+def _pq_seeds(embeddings: DataFrame, k: int) -> DataFrame:
+    """(vec_id, c): the k seed vectors, hash-ranked — same convention as
+    ivf_assignments (TakeOrderedAndProject, not a corpus-wide window);
+    every subspace uses the same seed vectors."""
+    from ..functions.hashing import P1
+
+    seed_hash = ((F.col("vec_id").cast("bigint") * P1) % 997).alias("_h")
+    return (
+        embeddings.select("vec_id", seed_hash)
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .withColumn(
+            "c",
+            F.row_number().over(Window.orderBy("_h", F.col("vec_id"))) - 1,
+        )
+        .drop("_h")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    n_iters: int = 2,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, c, pos, y): per-subspace integer-grid centroids after
+    ``n_iters - 1`` Lloyd updates (the codebook the final assignment runs
+    against — same iteration convention as ``ivf_assignments``).
+
+    Every update re-rounds the mean to the fixed-point grid
+    (FLOOR(AVG(xq) + 0.5)), keeping all downstream arithmetic exact
+    integer sums.  The grid step is 2⁻²² of the embedding scale — far
+    below centroid-separation scales, so clustering quality is
+    unaffected."""
+    e = _sub_frame(embeddings, vec_col, dsub)
+    seeds = _pq_seeds(embeddings, k)
+    cent = e.join(seeds, "vec_id").select("c", "sub", "pos", F.col("xq").alias("y"))
+    for _ in range(n_iters - 1):
+        d = (
+            e.join(F.broadcast(cent.drop("sub")), "pos")
+            .groupBy("vec_id", "sub", "c")
+            .agg(F.sum((F.col("xq") - F.col("y")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d2", "c")
+        assign = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "sub", F.col("c").alias("code"))
+        )
+        # mean re-rounded to the integer grid, written as SUM/COUNT (not
+        # AVG) so both engines hit the identical IEEE path: exact BIGINT
+        # sum ÷ exact count → one double division → floor
+        cent = (
+            assign.join(e, ["vec_id", "sub"])
+            .groupBy(F.col("code").alias("c"), "sub", "pos")
+            .agg(
+                F.floor(
+                    F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5)
+                ).cast("bigint").alias("y")
+            )
+        )
+    return cent.select("sub", "c", "pos", "y")
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    codebooks: DataFrame | None = None,
+    m: int = 8,
+    k: int = 8,
+    n_iters: int = 2,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code): the PQ encoding — per-subspace argmin against
+    the codebook with the exact (d2 asc, c asc) integer order."""
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, k, n_iters, dsub, vec_col)
+    e = _sub_frame(embeddings, vec_col, dsub)
+    d = (
+        e.join(F.broadcast(codebooks.drop("sub")), "pos")
+        .groupBy("vec_id", "sub", "c")
+        .agg(F.sum((F.col("xq") - F.col("y")) ** 2).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "c")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", F.col("c").cast("int").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    kcent: int = 8,
+    n_iters: int = 2,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """(vec_id, neighbor_id, adc_cosine, rank): approximate cosine top-k
+    by asymmetric distance computation over PQ codes.
+
+    Scale shape: the codebook (M·K·dsub integers) broadcasts everywhere;
+    the INDEX side of the blocked all-pairs grid ships only (vec_id, M
+    codes) — the compressed representation, 8 small ints instead of d
+    floats per vector, which is what makes a 10⁹-vector index
+    executor-resident.  Probes ship full precision once per index block
+    and build their own M×K lookup tables task-side; scoring is a LUT
+    gather, O(M) per pair instead of O(d).  adc_cosine =
+    LUT-dot / (‖probe‖ · ‖reconstruction‖) — every term an exact integer
+    sum (see module docstring), so the ranking is engine-portable with
+    the plain (score desc, id asc) total order."""
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, kcent, n_iters, dsub, vec_col)
+    cb_rows = codebooks.collect()  # tiny by construction: m·kcent·dsub ints
+    cb = np.zeros((m, kcent, dsub))
+    for r in cb_rows:
+        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
+    bc = spark.sparkContext.broadcast(cb)
+
+    codes_long = pq_codes(embeddings, codebooks, m, kcent, n_iters, dsub, vec_col)
+    idx_payload = (
+        codes_long.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("_codes")
+        )
+        .select("vec_id", "_codes", F.lit(None).cast("array<double>").alias("_emb"))
+    )
+    prb_payload = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.lit(None).cast("array<int>").alias("_codes"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    )
+    n = prb_payload.count()
+    par = spark.sparkContext.defaultParallelism
+    min_blocks = max(2, int(math.ceil(math.sqrt(3.0 * par))))
+    n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
+    idx = idx_payload.withColumn("_side", F.lit(0)).withColumn(
+        "iblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("pblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    prb = prb_payload.withColumn("_side", F.lit(1)).withColumn(
+        "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
+    ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
+    both = idx.unionByName(prb.select(idx.columns))
+
+    kk = int(k)
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        if len(probes) == 0 or len(index) == 0:
+            return empty
+        cbv = bc.value  # (m, kcent, dsub) integer-valued doubles
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        pmat = np.floor(
+            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+        )
+        psub = pmat.reshape(len(p_ids), cbv.shape[0], cbv.shape[2])
+        lut = np.einsum("pmd,mkd->pmk", psub, cbv)  # exact integer sums
+        codes = np.array(list(index["_codes"]), dtype=np.int64)
+        scores = np.zeros((len(p_ids), len(i_ids)))
+        for s in range(cbv.shape[0]):
+            scores += lut[:, s, :][:, codes[:, s]]
+        p_norm = np.sqrt((pmat * pmat).sum(axis=1))
+        cbn2 = (cbv * cbv).sum(axis=2)  # (m, kcent)
+        recon2 = np.zeros(len(i_ids))
+        for s in range(cbv.shape[0]):
+            recon2 += cbn2[s, codes[:, s]]
+        cos = scores / np.outer(p_norm, np.sqrt(recon2))
+        masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
+        out_p, out_n, out_c = [], [], []
+        full = np.arange(len(i_ids))
+        for r in range(len(p_ids)):
+            order = np.lexsort((i_ids, -masked[r]))
+            taken = 0
+            for j in full[order]:
+                if i_ids[j] == p_ids[r]:
+                    continue
+                out_p.append(p_ids[r])
+                out_n.append(i_ids[j])
+                out_c.append(cos[r][j])
+                taken += 1
+                if taken >= kk:
+                    break
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_p, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cosine": np.array(out_c, dtype=np.float64),
+            }
+        )
+
+    partials = both.repartition(n_blk * n_blk, "pblk", "iblk").groupby(
+        "pblk", "iblk"
+    ).applyInPandas(lambda _k, pdf: task(pdf), _TOPK_PARTIAL)
+    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")

@@ -695,6 +695,200 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# product quantization: compressed-index ANN (Jégou et al., TPAMI 2011)
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB = 8, 32, 2, 8
+
+
+def _pq_sql_ctes(m: int, k: int, n_iters: int, dsub: int) -> str:
+    """DuckDB twin of operators/pq.pq_codebooks + pq_codes — same seeds,
+    same integer-grid centroid rounding (FLOOR(SUM/COUNT + 0.5)), same
+    (d2 asc, c asc) integer argmin; generated from the same constants."""
+    from ..functions.hashing import P1
+
+    ctes = [
+        f"""pe AS (
+            SELECT vec_id, i.i - 1 AS pos,
+                   CAST((i.i - 1) // {dsub} AS INT) AS sub,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        )""",
+        f"""pseeds AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (CAST(vec_id AS BIGINT) * {P1}) % 997, vec_id
+                   ) - 1 AS c
+            FROM embeddings
+            QUALIFY c < {k}
+        )""",
+        "pcent0 AS (SELECT s.c, e.sub, e.pos, e.xq AS y "
+        "FROM pseeds s JOIN pe e USING (vec_id))",
+    ]
+    prev = "pcent0"
+    for it in range(n_iters - 1):
+        ctes.append(
+            f"""pd{it} AS (
+                SELECT e.vec_id, e.sub, c.c,
+                       SUM((e.xq - c.y) * (e.xq - c.y)) AS d2
+                FROM pe e JOIN {prev} c ON e.pos = c.pos
+                GROUP BY 1, 2, 3
+            )"""
+        )
+        ctes.append(
+            f"""pa{it} AS (
+                SELECT vec_id, sub, c AS code FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+                    FROM pd{it}
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""pcent{it + 1} AS (
+                SELECT a.code AS c, e.sub, e.pos,
+                       CAST(FLOOR(SUM(e.xq) / COUNT(*) + 0.5) AS BIGINT) AS y
+                FROM pa{it} a JOIN pe e
+                  ON a.vec_id = e.vec_id AND a.sub = e.sub
+                GROUP BY 1, 2, 3
+            )"""
+        )
+        prev = f"pcent{it + 1}"
+    ctes.append(
+        f"""pdF AS (
+            SELECT e.vec_id, e.sub, c.c,
+                   SUM((e.xq - c.y) * (e.xq - c.y)) AS d2
+            FROM pe e JOIN {prev} c ON e.pos = c.pos
+            GROUP BY 1, 2, 3
+        )"""
+    )
+    ctes.append(
+        """pcodes AS (
+            SELECT vec_id, sub, c AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+                FROM pdF
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(ctes), prev
+
+
+def _pq_codebooks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized PQ codebook (a deployment trains it offline;
+    both PQ queries share one Lloyd run — same pattern as the shared IVF
+    quantizer `_ivf_distances`)."""
+    from ..operators.pq import pq_codebooks
+
+    return shared.materialized(
+        spark,
+        sf_dir,
+        f"pq_cb_{_PQ_M}_{_PQ_K}_{_PQ_ITERS}",
+        lambda: pq_codebooks(
+            load_table(spark, sf_dir, "embeddings"),
+            m=_PQ_M,
+            k=_PQ_K,
+            n_iters=_PQ_ITERS,
+            dsub=_PQ_DSUB,
+        ),
+    )
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(
+        emb,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+    ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+
+
+_PQ_CTES, _PQ_CENT_F = _pq_sql_ctes(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB)
+
+register(
+    QuerySpec(
+        "ann_pq_codes",
+        q_ann_pq_codes,
+        f"""
+        WITH {_PQ_CTES}
+        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+        FROM pcodes
+        """,
+        doc="product-quantization encoder: per-subspace integer-grid "
+        "k-means codes (Jégou et al. TPAMI 2011; M=8 × K=32 over 64 dims "
+        "— the 50-100× index compression that makes a 10⁹-vector ANN "
+        "index executor-resident)",
+        bench=False,  # sub-plan of ann_pq_adc_topk; benching both double-counts
+    )
+)
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        k=3,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        n_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+    )
+
+
+register(
+    QuerySpec(
+        "ann_pq_adc_topk",
+        q_ann_pq_adc_topk,
+        f"""
+        WITH {_PQ_CTES},
+        plut AS (
+            SELECT p.vec_id, c.sub, c.c, SUM(p.xq * c.y) AS ip
+            FROM pe p JOIN {_PQ_CENT_F} c ON p.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        pcbn AS (SELECT sub, c, SUM(y * y) AS n2 FROM {_PQ_CENT_F} GROUP BY 1, 2),
+        precon AS (
+            SELECT s.vec_id, SUM(n.n2) AS r2
+            FROM pcodes s JOIN pcbn n ON s.sub = n.sub AND s.code = n.c
+            GROUP BY 1
+        ),
+        ppn AS (SELECT vec_id, SUM(xq * xq) AS p2 FROM pe GROUP BY 1),
+        pscore AS (
+            SELECT l.vec_id, s.vec_id AS neighbor_id, SUM(l.ip) AS dot
+            FROM pcodes s JOIN plut l ON l.sub = s.sub AND l.c = s.code
+            WHERE l.vec_id <> s.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT sc.vec_id, sc.neighbor_id,
+               CAST(sc.dot AS DOUBLE)
+                   / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE)))
+                   AS adc_cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+                    ORDER BY CAST(sc.dot AS DOUBLE)
+                        / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))) DESC,
+                             sc.neighbor_id ASC) AS INT) AS rank
+        FROM pscore sc
+        JOIN ppn p ON sc.vec_id = p.vec_id
+        JOIN precon r ON sc.neighbor_id = r.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="asymmetric-distance (ADC) top-k over PQ codes: probes build "
+        "M×K lookup tables against the broadcast codebook, the index side "
+        "ships only 8 codes per vector; every LUT entry / norm / dot is "
+        "an exact integer sum (engine-portable ranking, operators/pq.py)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

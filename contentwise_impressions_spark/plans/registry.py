@@ -63,15 +63,17 @@ def _load_all_modules() -> None:
 #: and both quality gates; the ease_r size gate → both EASE_R specs),
 #: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
 #: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
-#: Round-9 front = stream_tumbling_counts (new, unchecked), minhash_signatures,
-#: the remaining nineteen r4 rows (ngram_jaccard_topn … zorder_layout_stats),
-#: then the oldest r5 rows.
+#: Round-9 front = stream_tumbling_counts (new, unchecked), the three minhash
+#: rows, the remaining nineteen r4 rows (ngram_jaccard_topn …
+#: zorder_layout_stats), then the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
     # new in round 8 — zero driver evidence yet
     "mf_serving_topk",
     "mf_serving_topk_blocked",
     "funk_svd_epoch0_stream",
     "stream_sessionization_counts",
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
     # kernels/gates changed in round 8 (mf_topk, ALS float64, ease_r gate,
     # portable MF-SGD bucketing)
     "ials_recommendations",
@@ -121,9 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "hopping_window_counts",
     "item_pagerank",
     "itemknn_recommendations",
-    "minhash_dedup_clusters",
-    "minhash_lsh_candidates",
-    # (minhash_signatures rolls to the r9 front to hold the 50 budget)
+    # (minhash_dedup_clusters / minhash_lsh_candidates / minhash_signatures
+    # roll to the r9 front to hold the 50 budget)
 ]
 
 

@@ -770,3 +770,98 @@ def test_mf_topk_broadcast_registry_bounded(spark, urm, mf_factors):
         m.mf_recommend_top_k(uf, itf, 3, train=train).count()
     live = m._LIVE[spark.sparkContext.applicationId]
     assert len(live) <= m._LIVE_CAP
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+def test_pq_codes_valid_and_deterministic(spark, sf_dir):
+    """Every vector gets exactly M codes in [0, K); a re-run is
+    byte-identical (integer-grid Lloyd has no RNG or float-order
+    dependence)."""
+    from contentwise_impressions_spark.operators.pq import pq_codes
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = sorted(map(tuple, pq_codes(emb, m=8, k=8, dsub=8).collect()))
+    n_vec = emb.count()
+    assert len(c1) == n_vec * 8
+    assert all(0 <= code < 8 for _, _, code in c1)
+    c2 = sorted(map(tuple, pq_codes(emb, m=8, k=8, dsub=8).collect()))
+    assert c1 == c2
+
+
+def test_pq_adc_recall_floor_and_k_monotone(spark, sf_dir):
+    """ADC recall@3 vs the exact brute force: far above the random-ranking
+    baseline at K=8, and opening the codebook (K=8 → 32) must not lose
+    recall on i.i.d. gaussian embeddings (PQ's hardest case — real
+    embeddings with low intrinsic dimension compress far better; the gate
+    is the knob's direction, not an absolute fidelity claim)."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.pq import pq_adc_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    n_vec = emb.count()
+
+    def recall(kcent):
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in pq_adc_topk(emb, k=3, m=8, kcent=kcent, dsub=8).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r8, r32 = recall(8), recall(32)
+    random_baseline = 3.0 / max(n_vec - 1, 1)
+    assert r8 > 10 * random_baseline, (r8, random_baseline)
+    assert r32 >= r8 * 0.9, (r8, r32)  # knob direction (slack for ties)
+
+
+def test_pq_adc_score_matches_manual_lut(spark, sf_dir):
+    """ADC score of one pair equals the hand-computed LUT dot from the
+    codes and codebook — pins the exact-integer contract end to end."""
+    import numpy as np
+
+    from contentwise_impressions_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+    from contentwise_impressions_spark.operators.ann import QUANT
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_df = pq_codebooks(emb, m=8, k=8, dsub=8).cache()
+    adc = pq_adc_topk(emb, k=1, m=8, kcent=8, dsub=8, codebooks=cb_df)
+    row = adc.orderBy("vec_id").first()
+    p, v, score = row["vec_id"], row["neighbor_id"], row["adc_cosine"]
+
+    cb = np.zeros((8, 8, 8))
+    for r in cb_df.collect():
+        cb[r["sub"], r["c"], r["pos"] - r["sub"] * 8] = float(r["y"])
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_codes(emb, cb_df, m=8, k=8, dsub=8)
+        .filter(F.col("vec_id") == v)
+        .collect()
+    }
+    pe = np.floor(
+        np.asarray(
+            emb.filter(F.col("vec_id") == p).first()["embedding"],
+            dtype=np.float64,
+        )
+        * QUANT
+        + 0.5
+    )
+    dot = sum(
+        float(pe[s * 8 : (s + 1) * 8] @ cb[s, codes[(v, s)]]) for s in range(8)
+    )
+    r2 = sum(float(cb[s, codes[(v, s)]] @ cb[s, codes[(v, s)]]) for s in range(8))
+    manual = dot / (np.sqrt((pe * pe).sum()) * np.sqrt(r2))
+    assert score == manual, (score, manual)
