@@ -283,3 +283,144 @@ def pq_adc_topk(
         "pblk", "iblk"
     ).applyInPandas(lambda _k, pdf: task(pdf), _TOPK_PARTIAL)
     return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_list: int = 8,
+    ivf_iters: int = 2,
+    m: int = 8,
+    kcent: int = 8,
+    pq_iters: int = 2,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    ivf_distances: DataFrame | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """(vec_id, neighbor_id, adc_cosine, rank): the composed FAISS-style
+    IVF-PQ serving path — the coarse quantizer PRUNES (only same-list
+    candidates are scored, Σ n_l² pair support instead of n²) and PQ
+    COMPRESSES (index rows ship M codes, not d floats).  Together they
+    are what makes 10⁹-vector ANN serving tractable on a Spark fleet:
+    the candidate count AND the bytes-per-candidate both drop by orders
+    of magnitude, while probes stay full-precision (asymmetric distance).
+
+    Same exactness discipline as :func:`pq_adc_topk` — every score is an
+    exact integer sum, rankings engine-portable; the IVF assignment is
+    the declarative k-means of ``ivf_assignments`` (n_probe=1, the home
+    list).  Merge exactness: a candidate's home list is unique, so each
+    (probe, candidate) pair is scored at most once — per-task partial
+    top-k + window merge equals one-shot ranking over the candidate set.
+    """
+    from .ann import ivf_assignments
+
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, kcent, pq_iters, dsub, vec_col)
+    cb_rows = codebooks.collect()
+    cb = np.zeros((m, kcent, dsub))
+    for r in cb_rows:
+        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
+    bc = spark.sparkContext.broadcast(cb)
+
+    home = ivf_assignments(
+        embeddings, n_list=n_list, n_iters=ivf_iters, vec_col=vec_col,
+        distances=ivf_distances,
+    )
+    codes_long = pq_codes(embeddings, codebooks, m, kcent, pq_iters, dsub, vec_col)
+    idx_payload = (
+        codes_long.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("_codes")
+        )
+        .join(home, "vec_id")
+        .select(
+            "vec_id", "list_id", "_codes",
+            F.lit(None).cast("array<double>").alias("_emb"),
+        )
+    )
+    prb_payload = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.lit(None).cast("array<int>").alias("_codes"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    ).join(home, "vec_id").select("vec_id", "list_id", "_codes", "_emb")
+
+    # sub-block the largest list so a hot cluster cannot make one task
+    # unbounded (same discipline as ivf_topk)
+    mx_row = (
+        idx_payload.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()
+    )
+    mx = int(mx_row[0]["m"] or 1)
+    n_sub = max(1, int(math.ceil(mx / float(block_rows))))
+    idx = idx_payload.withColumn("_side", F.lit(0)).withColumn(
+        "sub_b", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+    )
+    prb = prb_payload.withColumn("_side", F.lit(1)).withColumn(
+        "sub_b", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+    )
+    both = idx.unionByName(prb.select(idx.columns))
+
+    kk = int(k)
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        if len(probes) == 0 or len(index) == 0:
+            return empty
+        cbv = bc.value
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        pmat = np.floor(
+            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+        )
+        psub = pmat.reshape(len(p_ids), cbv.shape[0], cbv.shape[2])
+        lut = np.einsum("pmd,mkd->pmk", psub, cbv)
+        codes = np.array(list(index["_codes"]), dtype=np.int64)
+        scores = np.zeros((len(p_ids), len(i_ids)))
+        for s in range(cbv.shape[0]):
+            scores += lut[:, s, :][:, codes[:, s]]
+        p_norm = np.sqrt((pmat * pmat).sum(axis=1))
+        cbn2 = (cbv * cbv).sum(axis=2)
+        recon2 = np.zeros(len(i_ids))
+        for s in range(cbv.shape[0]):
+            recon2 += cbn2[s, codes[:, s]]
+        cos = scores / np.outer(p_norm, np.sqrt(recon2))
+        masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
+        out_p, out_n, out_c = [], [], []
+        full = np.arange(len(i_ids))
+        for r in range(len(p_ids)):
+            order = np.lexsort((i_ids, -masked[r]))
+            taken = 0
+            for j in full[order]:
+                if i_ids[j] == p_ids[r]:
+                    continue
+                out_p.append(p_ids[r])
+                out_n.append(i_ids[j])
+                out_c.append(cos[r][j])
+                taken += 1
+                if taken >= kk:
+                    break
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_p, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cosine": np.array(out_c, dtype=np.float64),
+            }
+        )
+
+    partials = both.repartition(
+        max(n_list * n_sub, 32), "list_id", "sub_b"
+    ).groupby("list_id", "sub_b").applyInPandas(
+        lambda _k, pdf: task(pdf), _TOPK_PARTIAL
+    )
+    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")

@@ -888,6 +888,78 @@ register(
 )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ serving: the coarse quantizer prunes candidates to
+    the home list, PQ compresses the index rows to 8 codes — candidate
+    count AND bytes-per-candidate both drop by orders of magnitude, the
+    genuine 10⁹-vector serving shape (FAISS IVFPQ; Jégou et al. 2011)."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        k=3,
+        n_list=8,
+        ivf_iters=2,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+        ivf_distances=_ivf_distances(spark, sf_dir),
+    )
+
+
+register(
+    QuerySpec(
+        "ann_ivfpq_topk",
+        q_ann_ivfpq_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        {_PQ_CTES},
+        plut AS (
+            SELECT p.vec_id, c.sub, c.c, SUM(p.xq * c.y) AS ip
+            FROM pe p JOIN {_PQ_CENT_F} c ON p.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        pcbn AS (SELECT sub, c, SUM(y * y) AS n2 FROM {_PQ_CENT_F} GROUP BY 1, 2),
+        precon AS (
+            SELECT s.vec_id, SUM(n.n2) AS r2
+            FROM pcodes s JOIN pcbn n ON s.sub = n.sub AND s.code = n.c
+            GROUP BY 1
+        ),
+        ppn AS (SELECT vec_id, SUM(xq * xq) AS p2 FROM pe GROUP BY 1),
+        pscore AS (
+            SELECT ap.vec_id, s.vec_id AS neighbor_id, SUM(l.ip) AS dot
+            FROM pcodes s
+            JOIN a1 ai ON ai.vec_id = s.vec_id
+            JOIN a1 ap ON ap.vec_id <> s.vec_id AND ap.list_id = ai.list_id
+            JOIN plut l ON l.vec_id = ap.vec_id AND l.sub = s.sub
+                       AND l.c = s.code
+            GROUP BY 1, 2
+        )
+        SELECT sc.vec_id, sc.neighbor_id,
+               CAST(sc.dot AS DOUBLE)
+                   / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE)))
+                   AS adc_cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+                    ORDER BY CAST(sc.dot AS DOUBLE)
+                        / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))) DESC,
+                             sc.neighbor_id ASC) AS INT) AS rank
+        FROM pscore sc
+        JOIN ppn p ON sc.vec_id = p.vec_id
+        JOIN precon r ON sc.neighbor_id = r.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="composed IVF-PQ top-k: coarse quantizer prunes to the home "
+        "list, ADC scores PQ codes — candidate count AND bytes/candidate "
+        "both collapse; the FAISS-style 10⁹-vector serving shape "
+        "(operators/pq.ivfpq_topk; shares the session IVF quantizer and "
+        "PQ codebook)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------

@@ -865,3 +865,27 @@ def test_pq_adc_score_matches_manual_lut(spark, sf_dir):
     r2 = sum(float(cb[s, codes[(v, s)]] @ cb[s, codes[(v, s)]]) for s in range(8))
     manual = dot / (np.sqrt((pe * pe).sum()) * np.sqrt(r2))
     assert score == manual, (score, manual)
+
+
+def test_ivfpq_candidates_same_list_and_deterministic(spark, sf_dir):
+    """Composed IVF-PQ serving: every returned neighbor shares the
+    probe's IVF home list (the pruning invariant), per-probe results are
+    bounded by k, and a re-run is byte-identical."""
+    from contentwise_impressions_spark.operators.ann import ivf_assignments
+    from contentwise_impressions_spark.operators.pq import ivfpq_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ivfpq_topk(emb, k=3, n_list=8, m=8, kcent=8, dsub=8).cache()
+    lists = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assignments(emb, n_list=8, n_iters=2).collect()
+    }
+    rows = got.collect()
+    assert rows and all(
+        lists[r["vec_id"]] == lists[r["neighbor_id"]] for r in rows
+    )
+    per_probe = got.groupBy("vec_id").count().agg(F.max("count")).collect()
+    assert per_probe[0][0] <= 3
+    again = sorted(map(tuple, ivfpq_topk(emb, k=3, n_list=8, m=8, kcent=8, dsub=8).collect()))
+    assert sorted(map(tuple, rows)) == again
