@@ -64,7 +64,7 @@ def _load_all_modules() -> None:
 #: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
 #: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
 #: Round-9 front = stream_tumbling_counts (new, unchecked), the three minhash
-#: rows, the remaining nineteen r4 rows (ngram_jaccard_topn …
+#: rows, item_pagerank, the remaining r4 rows (ngram_jaccard_topn …
 #: zorder_layout_stats), then the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
     # new in round 8 — zero driver evidence yet
@@ -74,6 +74,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_sessionization_counts",
     "ann_pq_codes",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # kernels/gates changed in round 8 (mf_topk, ALS float64, ease_r gate,
     # portable MF-SGD bucketing)
     "ials_recommendations",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: list[str] = [
     "global_effects_user_bias",
     "hash_split_sizes",
     "hopping_window_counts",
-    "item_pagerank",
     "itemknn_recommendations",
     # (minhash_dedup_clusters / minhash_lsh_candidates / minhash_signatures
     # roll to the r9 front to hold the 50 budget)
