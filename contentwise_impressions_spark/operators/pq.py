@@ -298,6 +298,7 @@ def ivfpq_topk(
     codebooks: DataFrame | None = None,
     ivf_distances: DataFrame | None = None,
     block_rows: int = 4096,
+    n_probe: int = 1,
 ) -> DataFrame:
     """(vec_id, neighbor_id, adc_cosine, rank): the composed FAISS-style
     IVF-PQ serving path — the coarse quantizer PRUNES (only same-list
@@ -309,12 +310,15 @@ def ivfpq_topk(
 
     Same exactness discipline as :func:`pq_adc_topk` — every score is an
     exact integer sum, rankings engine-portable; the IVF assignment is
-    the declarative k-means of ``ivf_assignments`` (n_probe=1, the home
-    list).  Merge exactness: a candidate's home list is unique, so each
-    (probe, candidate) pair is scored at most once — per-task partial
-    top-k + window merge equals one-shot ranking over the candidate set.
+    the declarative k-means of ``ivf_assignments``.  ``n_probe`` is the
+    standard recall knob: probes search their n_probe nearest lists
+    (candidates monotonically grow with it).  Merge exactness: a
+    candidate's home list is unique and a probe's n_probe lists are
+    distinct, so each (probe, candidate) pair is scored at most once —
+    per-task partial top-k + window merge equals one-shot ranking over
+    the candidate union.
     """
-    from .ann import ivf_assignments
+    from .ann import ivf_assignments, ivf_probe_lists
 
     spark = embeddings.sparkSession
     if codebooks is None:
@@ -329,6 +333,10 @@ def ivfpq_topk(
         embeddings, n_list=n_list, n_iters=ivf_iters, vec_col=vec_col,
         distances=ivf_distances,
     )
+    probe_lists = ivf_probe_lists(
+        embeddings, n_list=n_list, n_iters=ivf_iters,
+        n_probe=max(1, n_probe), vec_col=vec_col, distances=ivf_distances,
+    ).select("vec_id", "list_id")
     codes_long = pq_codes(embeddings, codebooks, m, kcent, pq_iters, dsub, vec_col)
     idx_payload = (
         codes_long.groupBy("vec_id")
@@ -348,7 +356,7 @@ def ivfpq_topk(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.lit(None).cast("array<int>").alias("_codes"),
         _as_double(F.col(vec_col)).alias("_emb"),
-    ).join(home, "vec_id").select("vec_id", "list_id", "_codes", "_emb")
+    ).join(probe_lists, "vec_id").select("vec_id", "list_id", "_codes", "_emb")
 
     # sub-block the largest list so a hot cluster cannot make one task
     # unbounded (same discipline as ivf_topk)

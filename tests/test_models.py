@@ -889,3 +889,33 @@ def test_ivfpq_candidates_same_list_and_deterministic(spark, sf_dir):
     assert per_probe[0][0] <= 3
     again = sorted(map(tuple, ivfpq_topk(emb, k=3, n_list=8, m=8, kcent=8, dsub=8).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_ivfpq_nprobe_recall_monotone(spark, sf_dir):
+    """Opening the IVF-PQ probe knob (n_probe 1 → 2) must not lose recall
+    against the exact brute force — candidate sets are supersets and the
+    ADC scoring of a pair is probe-count-invariant (same knob contract as
+    ivf_topk)."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.pq import ivfpq_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, k=3, n_list=8, m=8, kcent=8, dsub=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1 * 0.95, (r1, r2)  # slack only for ADC near-ties
