@@ -82,6 +82,11 @@ def test_cheap_query_cost_flat_after_heavy_payload_query(spark):
     # heavy: builds and persists the ICM+CF payloads and runs the GEMM grid
     _run(spark, "cfcbf_hybrid_topk")
     release_session_payloads(spark)
+    # one untimed settle run, mirroring the pre-t_iso warm-up: the GEMM grid
+    # leaves JVM GC churn that decays within one run and is not the retained-
+    # payload pollution this test pins (a re-accumulated persisted payload
+    # would still slow the settled triple).
+    _run(spark, "value_histogram")
     t_after = min(_run(spark, "value_histogram") for _ in range(3))
     # floor the baseline: sub-100ms plans are scheduler-noise-dominated
     assert t_after <= 2.0 * max(t_iso, 0.1)
