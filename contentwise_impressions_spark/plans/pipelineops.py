@@ -913,6 +913,97 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# image near-dup: perceptual average-hash over really-decoded pixels
+# ---------------------------------------------------------------------------
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dup grouping by perceptual average-hash: every
+    image fingerprinted from its REALLY-decoded PNG pixels (CRC chunk
+    walk → inflate → unfilter → aHash bits), then grouped by the 64-bit
+    hash into duplicate classes (size + canonical min-id).
+
+    The multimodal counterpart of MinHash text dedup (the LAION-style
+    image-dedup pass).  aHash's integer-exact bit rule
+    (multimodal/binary_ops.image_ahash) + a lossless codec make the
+    fingerprint engine-reproducible, so the SQL twin re-derives the bits
+    analytically from the generator raster — the oracle goes red if any
+    stage of decode or hashing drifts by one bit.  Decode+hash is a
+    row-independent Arrow kernel (map-side, scales with executors); the
+    grouping shuffles 16 bytes/image on the hash key — at 100 TB the
+    pixels never cross the wire.
+    """
+    from pyspark.sql import Window
+
+    from ..multimodal.binary_ops import attach_generated_media, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    # single parquet split at test scale — spread the CPU-bound
+    # encode+decode kernel across every core (same shape as
+    # _decode_certification above)
+    par = spark.sparkContext.defaultParallelism
+    media = attach_generated_media(docs.repartition(par), fmt="png")
+    hashed = image_ahash(media)
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return hashed.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.count("*").over(w).cast("bigint").alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+
+
+register(
+    QuerySpec(
+        "image_ahash_dedup",
+        q_image_ahash_dedup,
+        """
+        WITH dims AS (
+            SELECT doc_id, CAST(n_chars % 31 + 2 AS BIGINT) AS w,
+                   CAST(doc_id % 23 + 2 AS BIGINT) AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, x.i AS x, y.i AS y,
+                   (x.i * 7 + y.i * 13 + doc_id) % 256
+                 + (x.i * 7 + y.i * 13 + doc_id + 85) % 256
+                 + (x.i * 7 + y.i * 13 + doc_id + 170) % 256 AS g
+            FROM dims, range(0, 32) x(i), range(0, 24) y(i)
+            WHERE x.i < w AND y.i < h
+        ),
+        blocks AS (
+            SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+                   SUM(g) AS bs, COUNT(*) AS bc
+            FROM px GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT doc_id, SUM(g) AS ts, COUNT(*) AS tc FROM px GROUP BY 1),
+        bits AS (
+            SELECT b.doc_id, b.by * 8 + b.bx AS i,
+                   CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t USING (doc_id)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32)
+                                 ELSE 0 END) AS BIGINT) AS ahash_hi,
+                   CAST(SUM(CASE WHEN i < 32 THEN bit::BIGINT << i
+                                 ELSE 0 END) AS BIGINT) AS ahash_lo
+            FROM bits GROUP BY 1
+        )
+        SELECT doc_id, ahash_hi, ahash_lo,
+               CAST(COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo)
+                    AS BIGINT) AS group_size,
+               MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo)
+                    AS canonical_id
+        FROM hashes
+        """,
+        doc="perceptual-hash image dedup: aHash bits from really-decoded "
+        "PNG pixels (integer-exact threshold), duplicate classes by "
+        "64-bit fingerprint — multimodal twin of MinHash text dedup",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # training-shard manifest: deterministic export sharding
 # ---------------------------------------------------------------------------
 _N_SHARDS = 16

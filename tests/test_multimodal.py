@@ -567,3 +567,65 @@ def test_jpeg_separate_scans_ignores_restart_interval():
     assert b"\xff\xdd" not in blob.split(b"\xff\xda")[0]  # no DRI emitted
     out = decode_jpeg(blob)
     assert np.abs(out.astype(float) - img.astype(float)).max() <= 4.0
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash (image near-dup fingerprint)
+# ---------------------------------------------------------------------------
+def _ahash_reference(img: np.ndarray) -> tuple[int, int]:
+    """Independent pure-python aHash: per-pixel loop, exact integer rule."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, _ = img.shape
+    bsum = [0] * 64
+    bcnt = [0] * 64
+    tsum = 0
+    for y in range(h):
+        for x in range(w):
+            g = int(img[y, x].astype(np.int64).sum())
+            i = (y * 8 // h) * 8 + (x * 8 // w)
+            bsum[i] += g
+            bcnt[i] += 1
+            tsum += g
+    bits = [1 if bsum[i] * (h * w) > tsum * bcnt[i] else 0 for i in range(64)]
+    lo = sum(b << i for i, b in enumerate(bits[:32]))
+    hi = sum(b << i for i, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+def test_image_ahash_matches_reference_and_groups_duplicates(spark, sf_dir):
+    """Spark kernel bits == the per-pixel reference on every image, and
+    identical rasters (the generator repeats mod doc_id/n_chars cycles)
+    land in the same duplicate group."""
+    from contentwise_impressions_spark.multimodal.binary_ops import image_ahash
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = attach_generated_media(docs, fmt="png")
+    got = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"])
+           for r in image_ahash(media).collect()}
+    assert len(got) == docs.count()
+    for row in docs.select("doc_id", "n_chars").collect():
+        d, n = int(row["doc_id"]), int(row["n_chars"])
+        w, h = n % 31 + 2, d % 23 + 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 13 + d) % 256
+        img = np.stack([base, (base + 85) % 256, (base + 170) % 256],
+                       -1).astype(np.uint8)
+        assert got[d] == _ahash_reference(img), f"doc {d}"
+
+
+def test_image_ahash_identical_pixels_identical_hash(spark):
+    """Two docs whose generator rasters coincide (same w, h, doc_id mod
+    256 — pixel values depend on doc_id only through mod 256) must
+    collide; a third, different raster must not collide with them."""
+    from contentwise_impressions_spark.multimodal.binary_ops import image_ahash
+
+    # doc_ids 0 and 256*23 = 5888: same mod-256 AND same mod-23 -> same
+    # raster for equal n_chars; doc 1 differs
+    rows = [(0, 40), (5888, 40), (1, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    media = attach_generated_media(docs, fmt="png")
+    got = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"])
+           for r in image_ahash(media).collect()}
+    assert got[0] == got[5888]
+    assert got[0] != got[1]
