@@ -699,6 +699,78 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# cluster-balanced prototype sampling (diversity-aware curation)
+# ---------------------------------------------------------------------------
+_PROTO_M = 4
+
+
+def q_cluster_prototype_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster prototype sample: each k-means cluster's ``_PROTO_M``
+    members closest to its centroid — the cluster-balanced selection
+    pass of diversity-aware curation (sample every region of embedding
+    space instead of head-heavy uniform sampling; the dual of
+    SemDeDup's farthest-kept rule, which PRUNES within clusters).
+
+    Reuses the session's shared IVF quantizer (one Lloyd run serves
+    assignment, search, SemDeDup and this query), so the plan adds one
+    per-vec argmin window + one per-cluster top-m window over the
+    already-materialized distance table.  Scale shape: both windows
+    partition on bounded keys (vec_id fans out n_list rows; cluster
+    populations are data-sized but the window only carries 24-byte rows
+    and k-means keeps clusters near-balanced — a skewed megacluster is
+    the quantizer's defect to fix, not this plan's).
+    """
+    d = _ivf_distances(spark, sf_dir)
+    w_home = Window.partitionBy("vec_id").orderBy(
+        F.round("d2", 9), F.col("c")
+    )
+    home = (
+        d.withColumn("_rn", F.row_number().over(w_home))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("c").alias("list_id"), "d2")
+    )
+    w_proto = Window.partitionBy("list_id").orderBy(
+        F.round("d2", 9), F.col("vec_id")
+    )
+    return (
+        home.withColumn("proto_rank", F.row_number().over(w_proto))
+        .filter(F.col("proto_rank") <= _PROTO_M)
+        .select(
+            "vec_id",
+            F.col("list_id").cast("bigint").alias("list_id"),
+            F.col("proto_rank").cast("int").alias("proto_rank"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "cluster_prototype_sample",
+        q_cluster_prototype_sample,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        home AS (
+            SELECT vec_id, c AS list_id, d2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, CAST(list_id AS BIGINT) AS list_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY list_id
+                   ORDER BY round(d2, 9), vec_id) AS INT) AS proto_rank
+        FROM home
+        QUALIFY proto_rank <= {_PROTO_M}
+        """,
+        doc="cluster-balanced prototype sampling: top-m closest-to-"
+        "centroid members per k-means cluster (diversity-aware "
+        "curation; shares the session IVF quantizer)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # product quantization: compressed-index ANN (Jégou et al., TPAMI 2011)
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB = 8, 32, 2, 8
@@ -1065,6 +1137,99 @@ register(
         """,
         doc="near-dup cluster assignment: connected components "
         "(large-star/small-star) over MinHash-LSH candidate pairs",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# survivor selection: clusters → the deduplicated corpus
+# ---------------------------------------------------------------------------
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step a dedup pipeline actually ships: ONE survivor
+    per near-dup cluster (keep the longest document, min doc_id on
+    ties — the deterministic keep-best policy), every other member
+    flagged dropped.
+
+    Composes the cluster labeling (connected components over the
+    materialized LSH candidate pairs) with a per-cluster argmax window.
+    Scale shape: the window partitions on cluster_id — cluster sizes are
+    LSH-bounded (no giant key), and the shuffle carries (doc_id,
+    n_chars, cluster_id) rows only, never text.  The kept-flag output is
+    exactly the semi-join mask that filters the corpus for training.
+    """
+    from ..operators.dedup import connected_components
+
+    cand = _cands(spark, sf_dir)
+    cc = connected_components(cand, src="doc_i", dst="doc_j")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    lab = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", F.col("doc_id").cast("long")).alias(
+            "cluster_id"
+        ),
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        F.when(F.row_number().over(wr) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_survivors",
+        q_dedup_survivors,
+        f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        {_SID_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sql_cols()}
+            FROM sids GROUP BY doc_id
+        ),
+        bands AS ({_lsh_band_sql()}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_i AS s, doc_j AS d FROM cand
+            UNION ALL
+            SELECT doc_j, doc_i FROM cand
+        ),
+        reach(s, d) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+        lab AS (
+            SELECT d.doc_id, d.n_chars,
+                   CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS kept
+        FROM lab
+        """,
+        doc="near-dup survivor selection: one kept representative per "
+        "cluster (longest doc, min-id tiebreak) — the dedup decision "
+        "that filters the training corpus",
     )
 )
 

@@ -321,3 +321,40 @@ def test_random_recommendations_is_cartesian_free(spark, sf_dir):
     plan = _formatted_plan(QUERIES["random_recommendations"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_survivors_one_kept_per_cluster(spark, sf_dir):
+    """Exactly one survivor per cluster; the survivor is a longest member
+    (min doc_id among longest), and singleton clusters keep themselves."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    out = QUERIES["dedup_survivors"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pdf = out.join(docs, "doc_id").toPandas()
+    assert len(pdf) == docs.count()  # every document gets a verdict
+    for cid, grp in pdf.groupby("cluster_id"):
+        assert grp["kept"].sum() == 1, cid
+        assert (grp["cluster_size"] == len(grp)).all()
+        winner = grp[grp["kept"] == 1].iloc[0]
+        best = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert winner["doc_id"] == best["doc_id"], cid
+
+
+def test_cluster_prototypes_are_home_list_members(spark, sf_dir):
+    """Prototypes carry ranks 1..m with no gaps per cluster, and each
+    prototype's list is its own IVF home assignment."""
+    protos = QUERIES["cluster_prototype_sample"](spark, sf_dir).toPandas()
+    assign = {
+        r["vec_id"]: r["list_id"]
+        for r in QUERIES["ann_ivf_assignments"](spark, sf_dir).collect()
+    }
+    assert protos["proto_rank"].between(1, 4).all()
+    for lid, grp in protos.groupby("list_id"):
+        assert sorted(grp["proto_rank"]) == list(range(1, len(grp) + 1))
+    for r in protos.itertuples():
+        assert assign[r.vec_id] == r.list_id
