@@ -844,6 +844,59 @@ register(
 )
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-per-key dedup through the LIVE streaming engine under
+    at-least-once redelivery: the events file is delivered TWICE (two
+    source links → two micro-batches under maxFilesPerTrigger=1), and
+    ``dropDuplicatesWithinWatermark`` must emit each event exactly once.
+
+    Batch 1 emits every first-seen key and stores per-key state; between
+    batches the watermark advances to max(ts) − 2 h, so batch 2's copies
+    are suppressed by key state (rows inside the horizon — state is only
+    evictable once the watermark passes ts + delay) or dropped as late
+    rows (rows behind the watermark).  Either path yields the same
+    deterministic emission: exactly the distinct event set, which is the
+    SQL twin.  Empirically pinned in tests/test_streaming.py.  At 100 TB
+    this is the log-ingest front door: state is bounded by keys inside
+    the redelivery horizon, not by history.
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        dedup_events_stream,
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet", copies=2)
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    out = run_stream_once(
+        dedup_events_stream(src, keys=["event_id"], watermark="2 hours"),
+        "stream_dedup",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_dedup_events",
+        q_stream_dedup_events,
+        """
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               value, props
+        FROM events
+        """,
+        doc="live-engine streaming dedup (dropDuplicatesWithinWatermark) "
+        "under doubled at-least-once delivery; emission == the distinct "
+        "event set",
+    )
+)
+
+
 def q_slim_bpr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIM-BPR item-item weights, DISTRIBUTED sparse-W fit — no dense
     n_items² matrix anywhere (SLIM_BPR_Cython_Epoch.pyx:59-1421;

@@ -133,16 +133,24 @@ def run_stream_once(
     return spark.table(name)
 
 
-def stream_dir_for_file(path: str) -> str:
-    """A temp directory containing a symlink to `path` — the parquet
+def stream_dir_for_file(path: str, copies: int = 1) -> str:
+    """A temp directory containing symlink(s) to `path` — the parquet
     file-stream source requires a DIRECTORY (basePath), while the test
     tables are single parquet files.  Symlinking instead of copying keeps
-    this O(1) at any table size."""
+    this O(1) at any table size.
+
+    ``copies > 1`` links the same file under distinct names: with
+    ``maxFilesPerTrigger=1`` each link becomes its own micro-batch, so
+    every row is DELIVERED `copies` times — the at-least-once redelivery
+    shape that exercises cross-batch dedup state for real."""
     import os
     import tempfile
 
     d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    base = os.path.basename(path)
+    for i in range(copies):
+        name = base if i == 0 else f"redelivery{i}_{base}"
+        os.symlink(os.path.abspath(path), os.path.join(d, name))
     return d
 
 

@@ -571,3 +571,20 @@ def test_availablenow_tumbling_watermark_boundary(spark):
         for r in out.collect()
     )
     assert got == [("2024-01-01 00:00:00", "a", 1)], got
+
+
+def test_stream_dedup_query_emission_is_distinct_event_set(spark, sf_dir):
+    """The registered stream_dedup_events query (doubled symlink delivery,
+    availableNow) must emit EXACTLY the batch event set — pins the
+    emission boundary the DuckDB twin assumes: every key once, no late
+    re-emission from the second micro-batch."""
+    from contentwise_impressions_spark.plans.registry import all_queries
+
+    out = all_queries()["stream_dedup_events"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    assert out.count() == ev.count()
+    # exact set equality, not just counts: anti-join empty both ways
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    a, b = out.select(cols), ev.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
