@@ -63,10 +63,21 @@ def _load_all_modules() -> None:
 #: and both quality gates; the ease_r size gate → both EASE_R specs),
 #: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
 #: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
-#: Round-9 front = stream_tumbling_counts (new, unchecked), the three minhash
-#: rows, item_pagerank, the remaining r4 rows (ngram_jaccard_topn …
-#: zorder_layout_stats), then the oldest r5 rows.
+#: Round-9 status: CORRECTNESS_r08 never landed (no driver correctness run
+#: recorded for round 8), so the round-8 front below is kept INTACT — its
+#: evidence debt (r8-new specs, r8-changed kernels, the six r2-vintage, all
+#: sixteen r3-vintage) is still open.  The four round-9 specs are PREPENDED;
+#: to hold the 50 budget the four youngest r4 rows roll to the r10 front
+#: (hopping_window_counts, itemknn_recommendations, hash_split_sizes,
+#: global_effects_user_bias), followed by the remaining r4 rows
+#: (minhash×3, item_pagerank, ngram_jaccard_topn … zorder_layout_stats)
+#: and the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
+    # new in round 9 — zero driver evidence yet
+    "image_ahash_dedup",
+    "dedup_survivors",
+    "cluster_prototype_sample",
+    "stream_dedup_events",
     # new in round 8 — zero driver evidence yet
     "mf_serving_topk",
     "mf_serving_topk_blocked",
@@ -119,12 +130,10 @@ DRIVER_PRIORITY: list[str] = [
     "doc_bpe_token_stats",
     "doc_packing_stats",
     "global_effects_item_bias",
-    "global_effects_user_bias",
-    "hash_split_sizes",
-    "hopping_window_counts",
-    "itemknn_recommendations",
-    # (minhash_dedup_clusters / minhash_lsh_candidates / minhash_signatures
-    # roll to the r9 front to hold the 50 budget)
+    # (global_effects_user_bias / hash_split_sizes / hopping_window_counts /
+    # itemknn_recommendations roll to the r10 front to hold the 50 budget,
+    # joining minhash_dedup_clusters / minhash_lsh_candidates /
+    # minhash_signatures which rolled from r8)
 ]
 
 
