@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "cluster_prototype_sample",
     "stream_dedup_events",
     "hll_distinct_sketch",
+    "countmin_heavy_hitters",
     # new in round 8 — zero driver evidence yet
     "mf_serving_topk",
     "mf_serving_topk_blocked",
@@ -129,11 +130,10 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_bigrams",
     "diversity_similarity",
     "doc_bpe_token_stats",
-    "doc_packing_stats",
-    # (global_effects_item_bias / global_effects_user_bias /
-    # hash_split_sizes / hopping_window_counts / itemknn_recommendations
-    # roll to the r10 front to hold the 50 budget, joining
-    # minhash_dedup_clusters / minhash_lsh_candidates /
+    # (doc_packing_stats / global_effects_item_bias /
+    # global_effects_user_bias / hash_split_sizes / hopping_window_counts /
+    # itemknn_recommendations roll to the r10 front to hold the 50 budget,
+    # joining minhash_dedup_clusters / minhash_lsh_candidates /
     # minhash_signatures which rolled from r8)
 ]
 

@@ -1286,3 +1286,113 @@ register(
         "power-of-two sums) — the oracled counterpart of sketch_summary",
     )
 )
+
+
+#: Count-Min constants: d=3 hash rows × w=1024 buckets.  Each row's bucket
+#: hash is the 2-round multiply-mod + xor-shift mix (same avalanche
+#: rationale as the portable HLL above) with a row-specific prime pair.
+_CM_W = 1024
+_CM_PAIRS = [(1_000_003, 1_000_033), (1_000_033, 7_919), (7_919, 1_000_003)]
+
+
+def _cm_bucket_col(key, a1: int, a2: int):
+    h1 = F.pmod(key.cast("bigint") * a1, F.lit(_HLL_P))
+    h1x = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h2 = F.pmod(h1x * a2, F.lit(_HLL_P))
+    h2x = h2.bitwiseXOR(F.shiftright(h2, 7))
+    return F.pmod(h2x, F.lit(_CM_W))
+
+
+def _cm_bucket_sql(key: str, a1: int, a2: int) -> str:
+    h1 = f"(CAST({key} AS BIGINT) * {a1} % {_HLL_P})"
+    h1x = f"xor({h1}, {h1} >> 13)"
+    h2 = f"({h1x} * {a2} % {_HLL_P})"
+    h2x = f"xor({h2}, {h2} >> 7)"
+    return f"({h2x} % {_CM_W})"
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a portable Count-Min sketch: users whose
+    CM-estimated event count clears 1.2× the mean, with the exact count
+    alongside.  Because CM only ever OVER-estimates (collisions add,
+    never subtract), recall is exact by construction — every true heavy
+    hitter appears; the sketch trades a few near-threshold false
+    positives for never touching per-key state.
+
+    The mergeable-counter shape at 100 TB: the d×w counter table
+    (3×256 rows) partial-aggregates map-side and merges by addition
+    across any partitioning; probing broadcast-joins the tiny sketch
+    back to the candidate keys, so the only data-scale shuffle is the
+    candidate key list itself.  Every hash is the engine's portable mix,
+    so the DuckDB twin reproduces estimates exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    buckets = F.array(
+        *[_cm_bucket_col(uid, a1, a2) for a1, a2 in _CM_PAIRS]
+    )
+    sketch = (
+        ev.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    probes = users.select(
+        "user_id", "exact_count", F.posexplode(buckets).alias("j", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+    )
+    totals = ev.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("cm_estimate")
+            >= 1.2 * F.col("n_total") / F.col("n_users")
+        )
+        .select("user_id", "cm_estimate", "exact_count")
+    )
+
+
+register(
+    QuerySpec(
+        "countmin_heavy_hitters",
+        q_countmin_heavy_hitters,
+        f"""
+        WITH b AS (
+            {" UNION ALL ".join(
+                f"SELECT user_id, {j} AS j, "
+                f"{_cm_bucket_sql('user_id', a1, a2)} AS bucket FROM events"
+                for j, (a1, a2) in enumerate(_CM_PAIRS)
+            )}
+        ),
+        sk AS (SELECT j, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        ex AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events GROUP BY 1
+        ),
+        pb AS (SELECT DISTINCT user_id, j, bucket FROM b),
+        est AS (
+            SELECT p.user_id, CAST(MIN(sk.c) AS BIGINT) AS cm_estimate
+            FROM pb p JOIN sk USING (j, bucket) GROUP BY 1
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n_total, COUNT(DISTINCT user_id) AS n_users
+            FROM events
+        )
+        SELECT e.user_id, e.cm_estimate, x.exact_count
+        FROM est e JOIN ex x USING (user_id), tot
+        WHERE e.cm_estimate >= 1.2 * n_total / n_users
+        """,
+        doc="Count-Min heavy hitters: overestimate-only portable sketch "
+        "(d=3×w=1024 mergeable counters, broadcast probe) — exact recall "
+        "of true heavy hitters by construction",
+    )
+)

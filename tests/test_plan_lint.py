@@ -32,6 +32,7 @@ ALLOWED_BNLJ: dict[str, int] = {
     "bm25_weighted_itemknn": 16,
     "bm25_weights": 4,
     "cold_entities": 2,
+    "countmin_heavy_hitters": 2,
     "decayed_toppop": 2,
     "diversity_similarity": 4,
     "dsir_importance_weights": 2,

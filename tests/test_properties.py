@@ -358,3 +358,31 @@ def test_portable_hll_quality_and_mergeability(spark, sf_dir):
             shutil.rmtree(d2, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_countmin_recall_and_overestimate_guarantees(spark, sf_dir):
+    """Count-Min guarantees, pinned: (a) estimates never under-count
+    (collisions only add), so (b) recall of true heavy hitters is exact —
+    every user whose exact count clears the 1.2x-mean threshold appears
+    in the output."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.plans import all_queries
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    out = all_queries()["countmin_heavy_hitters"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["cm_estimate"] >= out["exact_count"]).all()
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("u")
+    ).first()
+    thr = 1.2 * tot["n"] / tot["u"]
+    true_heavy = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= thr)
+        .collect()
+    }
+    assert true_heavy <= set(out["user_id"])
