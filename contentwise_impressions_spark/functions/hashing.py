@@ -69,3 +69,32 @@ def bucket_sql(key1: str, key2: str | None = None, mod: int = MOD) -> str:
     else:
         inner = f"(CAST({key1} AS BIGINT) * {P1} + CAST({key2} AS BIGINT) * {P2})"
     return f"(({inner} % {mod} + {mod}) % {mod})"
+
+
+#: second multiplier for the 2-round avalanche mix (pairs with P1); the
+#: modulus primes the mix shares with the sketch queries.
+P_MIX = 1_000_033
+P_BIG = 1_000_000_007
+
+
+def avalanche(key: Column, a1: int = P1, a2: int = P_MIX) -> Column:
+    """Two multiply-mod rounds interleaved with xor-shifts — the portable
+    structure-breaking mix (plain multiplicative hashing leaves small
+    structured ids on a lattice; see plans/relational.py's portable-HLL
+    notes).  Every op is exact in Spark AND DuckDB (products stay under
+    2^51, inside DuckDB's checked int64), so :func:`avalanche_sql`
+    reproduces the value bit-for-bit.  Output mixes over [0, 2^30) (the
+    final xor can carry slightly past P_BIG); reduce with % as needed.
+    """
+    h1 = F.pmod(key.cast("bigint") * a1, F.lit(P_BIG))
+    h1x = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h2 = F.pmod(h1x * a2, F.lit(P_BIG))
+    return h2.bitwiseXOR(F.shiftright(h2, 7))
+
+
+def avalanche_sql(key: str, a1: int = P1, a2: int = P_MIX) -> str:
+    """DuckDB-SQL rendering of :func:`avalanche` for oracle twins."""
+    h1 = f"(CAST({key} AS BIGINT) * {a1} % {P_BIG})"
+    h1x = f"xor({h1}, {h1} >> 13)"
+    h2 = f"({h1x} * {a2} % {P_BIG})"
+    return f"xor({h2}, {h2} >> 7)"

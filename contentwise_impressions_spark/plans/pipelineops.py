@@ -310,6 +310,89 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 50
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement (k=50, weight = n_chars): the
+    Efraimidis-Spirakis one-pass formulation, P(doc in sample) ∝ weight.
+
+    The A-ES key trick makes weighted sampling a TOP-K — key = ln(u)/w
+    with u ∈ (0,1] (monotone twin of u^(1/w)); the k largest keys ARE the
+    sample.  With u derived from the portable avalanche mix instead of an
+    RNG the sample is a pure function of the data: reproducible under any
+    partitioning, engine, or retry — at 100 TB the sample is the dataset
+    you ship.  Plan shape: stateless map + TakeOrderedAndProject
+    (per-partition heaps, no sort, no shuffle beyond k rows/partition);
+    the rank window runs over the k survivors only.  Keys are rounded to
+    9 digits (house convention) so a sub-ulp ln() difference cannot
+    reorder the cross-engine tiebreak.
+
+    Completes the sampling family: stratified (class-balanced),
+    temperature (mixture), hash-split (partition), A-ES (weighted
+    without replacement).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import avalanche
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (avalanche(F.col("doc_id")) + 1).cast("double") / F.lit(
+        float(1 << 30)
+    )
+    skey = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9
+    )
+    top = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+    w = Window.orderBy(F.col("skey").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "weight",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )
+
+
+def _wsample_sql() -> str:
+    from ..functions.hashing import avalanche_sql
+
+    return f"""
+        WITH k AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   ROUND(LN(CAST({avalanche_sql("doc_id")} + 1 AS DOUBLE)
+                            / {float(1 << 30)!r})
+                         / GREATEST(n_chars, 1), 9) AS skey
+            FROM documents
+        )
+        SELECT doc_id, weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id)
+                    AS INT) AS sample_rank
+        FROM k
+        QUALIFY sample_rank <= {_WSAMPLE_K}
+        """
+
+
+register(
+    QuerySpec(
+        "weighted_sample_topk",
+        q_weighted_sample_topk,
+        _wsample_sql(),
+        doc="Efraimidis-Spirakis weighted sampling without replacement as "
+        "deterministic top-k (portable avalanche mix in place of RNG)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) clustering — multi-dimensional data layout
 # ---------------------------------------------------------------------------
 _ZBITS = 8  # 8 bits per dimension → 16-bit z-value, 256 "files" of 256 cells

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_dedup_events",
     "hll_distinct_sketch",
     "countmin_heavy_hitters",
+    "weighted_sample_topk",
     # new in round 8 — zero driver evidence yet
     "mf_serving_topk",
     "mf_serving_topk_blocked",
@@ -129,8 +130,7 @@ DRIVER_PRIORITY: list[str] = [
     "confidence_matrix",
     "corpus_bigrams",
     "diversity_similarity",
-    "doc_bpe_token_stats",
-    # (doc_packing_stats / global_effects_item_bias /
+    # (doc_bpe_token_stats / doc_packing_stats / global_effects_item_bias /
     # global_effects_user_bias / hash_split_sizes / hopping_window_counts /
     # itemknn_recommendations roll to the r10 front to hold the 50 budget,
     # joining minhash_dedup_clusters / minhash_lsh_candidates /

@@ -386,3 +386,44 @@ def test_countmin_recall_and_overestimate_guarantees(spark, sf_dir):
         .collect()
     }
     assert true_heavy <= set(out["user_id"])
+
+
+def test_weighted_sample_bias_and_partition_invariance(spark, sf_dir):
+    """A-ES weighted sampling: (a) P(pick) ∝ weight, so the sampled mean
+    weight must clearly exceed the corpus mean; (b) the sample is a pure
+    function of the data — identical under any input partitioning."""
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.plans import all_queries
+    from contentwise_impressions_spark.plans.pipelineops import (
+        q_weighted_sample_topk,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    out = all_queries()["weighted_sample_topk"](spark, sf_dir).toPandas()
+    assert len(out) == min(
+        50, load_table(spark, sf_dir, "documents").count()
+    )
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert out["weight"].mean() > 1.15 * corpus_mean
+
+    # partition invariance: same table rewritten 7-way hash-partitioned
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wsample_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(7, "lang").write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        again = q_weighted_sample_topk(spark, d).toPandas()
+        a = out.sort_values("sample_rank").reset_index(drop=True)
+        b = again.sort_values("sample_rank").reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
