@@ -24,6 +24,34 @@ from contentwise_impressions_spark.plans.shared import (  # noqa: E402
 from contentwise_impressions_spark.session import get_spark  # noqa: E402
 
 
+def _cpu_ticks() -> list[int] | None:
+    """Aggregate /proc/stat CPU ticks [user nice sys idle iowait irq
+    softirq steal] — used to annotate each run with the host's CPU-steal
+    share, since recorded wall-clocks on this VM have repeatedly swung
+    2-10x on identical code (rounds 5/7/8/9 adjudications).  A run with
+    steal_pct in the single digits is trustworthy; one with 20%+ is not."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return [int(x) for x in parts[1:9]]
+    except Exception:  # non-Linux / restricted container
+        return None
+
+
+def _cpu_share(t0: list[int] | None, t1: list[int] | None) -> dict | None:
+    if not t0 or not t1:
+        return None
+    d = [b - a for a, b in zip(t0, t1)]
+    total = sum(d)
+    if total <= 0:
+        return None
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 1),
+        "sys_pct": round(100.0 * d[2] / total, 1),
+        "busy_pct": round(100.0 * (total - d[3] - d[4]) / total, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -78,6 +106,7 @@ def main() -> None:
     warmups = bench_warmups()
     warmup_timings: dict[str, float] = {}
     t_all = time.perf_counter()
+    ticks0 = _cpu_ticks()
     for fam in fam_order:
         # family build line: materialize the family's SHARED payloads once,
         # timed separately, so per-query numbers reflect plan cost rather
@@ -101,6 +130,7 @@ def main() -> None:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         release_session_payloads(spark)
     total = round(time.perf_counter() - t_all, 4)
+    cpu = _cpu_share(ticks0, _cpu_ticks())
 
     # derived throughput for the baseline comparison: the reference's
     # parallel evaluator profiles ~100 users / 1.5 s per block on 16 cores
@@ -108,6 +138,8 @@ def main() -> None:
     # test user in one aggregation.
     eval_sec = timings.get("toppop_eval_metrics")
     extras = {}
+    if cpu:
+        extras["host_cpu"] = cpu
     if warmup_timings:
         extras["family_warmup"] = warmup_timings
     if errors:

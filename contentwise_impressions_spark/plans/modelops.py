@@ -897,6 +897,70 @@ register(
 )
 
 
+def q_stream_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the LIVE streaming engine:
+    views ⋈ clicks by the same user with click_ts ∈ [view_ts, view_ts+1h]
+    (the streaming twin of the batch bounded-range join behind
+    ``view_to_click_conversions``).
+
+    Both sides carry a watermark and the join condition carries an
+    event-time bound — the two requirements Structured Streaming imposes
+    so it can evict buffered rows once no future match is possible
+    (state ≈ horizon + watermark of traffic per side, NOT the whole
+    stream — the property that makes this run forever at 100 TB/day).
+    Emission is deterministic for an inner join: a pair is emitted in the
+    micro-batch where both sides are buffered, and nothing is dropped as
+    late in a single-delivery availableNow run (the first batch's
+    watermark is 0), so the emitted set equals the exact batch interval
+    join — the SQL twin below."""
+    import shutil
+
+    from ..streaming.ingest import (
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+        stream_view_click_join,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    joined = stream_view_click_join(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "click"),
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    out = run_stream_once(joined, "stream_vc_join")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_view_click_pairs",
+        q_stream_view_click_pairs,
+        """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts,
+               CAST(c.ts AS TIMESTAMP) AS click_ts
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+        """,
+        doc="live-engine stream-stream interval join (views x clicks "
+        "within 1h, both sides watermarked); inner-join emission == "
+        "exact batch interval join",
+    )
+)
+
+
 def q_slim_bpr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIM-BPR item-item weights, DISTRIBUTED sparse-W fit — no dense
     n_items² matrix anywhere (SLIM_BPR_Cython_Epoch.pyx:59-1421;

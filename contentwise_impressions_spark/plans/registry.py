@@ -74,6 +74,9 @@ def _load_all_modules() -> None:
 #: and the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
     # new in round 9 — zero driver evidence yet
+    "stream_view_click_pairs",
+    "rolling_7d_revenue",
+    "bloom_prejoin_stats",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

@@ -1295,20 +1295,20 @@ _CM_W = 1024
 _CM_PAIRS = [(1_000_003, 1_000_033), (1_000_033, 7_919), (7_919, 1_000_003)]
 
 
-def _cm_bucket_col(key, a1: int, a2: int):
+def _cm_bucket_col(key, a1: int, a2: int, width: int = _CM_W):
     h1 = F.pmod(key.cast("bigint") * a1, F.lit(_HLL_P))
     h1x = h1.bitwiseXOR(F.shiftright(h1, 13))
     h2 = F.pmod(h1x * a2, F.lit(_HLL_P))
     h2x = h2.bitwiseXOR(F.shiftright(h2, 7))
-    return F.pmod(h2x, F.lit(_CM_W))
+    return F.pmod(h2x, F.lit(width))
 
 
-def _cm_bucket_sql(key: str, a1: int, a2: int) -> str:
+def _cm_bucket_sql(key: str, a1: int, a2: int, width: int = _CM_W) -> str:
     h1 = f"(CAST({key} AS BIGINT) * {a1} % {_HLL_P})"
     h1x = f"xor({h1}, {h1} >> 13)"
     h2 = f"({h1x} * {a2} % {_HLL_P})"
     h2x = f"xor({h2}, {h2} >> 7)"
-    return f"({h2x} % {_CM_W})"
+    return f"({h2x} % {width})"
 
 
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1394,5 +1394,238 @@ register(
         doc="Count-Min heavy hitters: overestimate-only portable sketch "
         "(d=3×w=1024 mergeable counters, broadcast probe) — exact recall "
         "of true heavy hitters by construction",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# time-range window frame (trailing-window rollup; SURVEY.md §2.4 window aggs)
+# ---------------------------------------------------------------------------
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order trailing 7-day revenue/count per customer via a RANGE
+    window frame — the time-series rolling aggregate the reference
+    expresses as a pandas ``rolling`` (dataset statistics notebooks) and
+    a training pipeline needs for per-entity trailing features.
+
+    Scale shape: ONE shuffle on the partition key, then each frame is
+    evaluated by Catalyst's streaming WindowExec with a sliding frame
+    pointer — O(n) per partition, no self-join, no pair explosion (the
+    naive `o2.date BETWEEN o1.date - 7d AND o1.date` formulation is a
+    range self-join that explodes quadratically per active customer).
+    The frame orders by epoch seconds because Spark's ``rangeBetween``
+    needs a numeric ordering column; DuckDB's INTERVAL frame over the
+    raw timestamp is the same inclusive-boundary semantics.
+    """
+    utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_seconds("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("o_orderdate"),
+        F.sum("o_totalprice").over(w).alias("rev_7d"),
+        F.count("*").over(w).cast("bigint").alias("orders_7d"),
+    )
+
+
+register(
+    QuerySpec(
+        "rolling_7d_revenue",
+        q_rolling_7d_revenue,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               SUM(o_totalprice) OVER w AS rev_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS orders_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        """,
+        doc="trailing 7-day per-customer rollup via RANGE window frame "
+        "(one shuffle, streaming frame evaluation — no range self-join)",
+    )
+)
+
+
+#: Bloom-filter prejoin constants: k=3 hash rows (reusing the CM prime
+#: pairs) × m=4096 bit positions.  3 hashes over 4096 bits holds the
+#: false-positive rate ≈ (k·n/m)³ low for selective dims while keeping the
+#: SET-BITS relation tiny (≤ 3·4096 rows) and trivially broadcastable.
+_BLOOM_M = 4096
+
+
+def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build a portable Bloom filter over a
+    selective dimension (customers with c_acctbal > 9000), probe every
+    order's o_custkey against it, and report the pruning quality —
+    candidates, true members, false positives, and missed members (0 by
+    construction: Bloom filters have no false negatives).
+
+    This is runtime-filter / sideways-information-passing pushdown made
+    explicit (the optimization engines apply to cut shuffle volume before
+    a fact⋈dim join): at 100 TB the fact side is filtered map-side by a
+    broadcast O(k·m)-row bit-set BEFORE the shuffle, so the exact join
+    only pays for candidates.  The filter is represented as its set-bit
+    relation (j, pos) rather than a packed bitmap so an external SQL
+    engine reproduces it bit-for-bit with the same multiply-mod hashes.
+    """
+    utc(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    def positions(key):
+        return F.posexplode(
+            F.array(
+                *[
+                    _cm_bucket_col(key, a1, a2, _BLOOM_M)
+                    for a1, a2 in _CM_PAIRS
+                ]
+            )
+        )
+
+    bloom = (
+        cust.select(positions(F.col("c_custkey")).alias("j", "pos"))
+        .distinct()
+    )
+    probes = orders.select(
+        "o_orderkey", positions(F.col("o_custkey")).alias("j", "pos")
+    )
+    candidates = (
+        probes.join(F.broadcast(bloom), ["j", "pos"])
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == len(_CM_PAIRS))
+        .select("o_orderkey", F.lit(1).alias("is_cand"))
+    )
+    members = cust.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_member")
+    ).distinct()
+    flagged = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(candidates, "o_orderkey", "left")
+        .join(F.broadcast(members), "o_custkey", "left")
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.coalesce("is_cand", F.lit(0))).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.sum(F.coalesce("is_member", F.lit(0))).cast("bigint").alias(
+            "n_true_members"
+        ),
+        F.sum(
+            F.coalesce("is_cand", F.lit(0))
+            * (1 - F.coalesce("is_member", F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(
+            F.coalesce("is_member", F.lit(0))
+            * (1 - F.coalesce("is_cand", F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("n_missed"),
+    )
+
+
+register(
+    QuerySpec(
+        "bloom_prejoin_stats",
+        q_bloom_prejoin_stats,
+        f"""
+        WITH dim AS (
+            SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+        ),
+        bloom AS (
+            SELECT DISTINCT j, pos FROM (
+                {" UNION ALL ".join(
+                    f"SELECT {j} AS j, "
+                    f"{_cm_bucket_sql('c_custkey', a1, a2, _BLOOM_M)} AS pos "
+                    "FROM dim"
+                    for j, (a1, a2) in enumerate(_CM_PAIRS)
+                )}
+            )
+        ),
+        probe AS (
+            {" UNION ALL ".join(
+                f"SELECT o_orderkey, {j} AS j, "
+                f"{_cm_bucket_sql('o_custkey', a1, a2, _BLOOM_M)} AS pos "
+                "FROM orders"
+                for j, (a1, a2) in enumerate(_CM_PAIRS)
+            )}
+        ),
+        cand AS (
+            SELECT o_orderkey, 1 AS is_cand
+            FROM probe JOIN bloom USING (j, pos)
+            GROUP BY o_orderkey HAVING COUNT(*) = {len(_CM_PAIRS)}
+        ),
+        flagged AS (
+            SELECT o.o_orderkey,
+                   COALESCE(c.is_cand, 0) AS is_cand,
+                   CASE WHEN d.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+            FROM orders o
+            LEFT JOIN cand c USING (o_orderkey)
+            LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+               CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+               CAST(SUM(is_cand * (1 - is_member)) AS BIGINT)
+                   AS n_false_positives,
+               CAST(SUM(is_member * (1 - is_cand)) AS BIGINT) AS n_missed
+        FROM flagged
+        """,
+        doc="Bloom-filter semi-join pruning (k=3 x m=4096 portable "
+        "set-bit relation, broadcast probe): runtime-filter pushdown with "
+        "exact no-false-negative guarantee surfaced as n_missed = 0",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical aggregation (ROLLUP grouping sets; SURVEY.md §2.4 two-level aggs
+# generalized to the multi-level form OLAP reports need)
+# ---------------------------------------------------------------------------
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue at three grouping levels in ONE pass —
+    (status, priority), (status), and grand total — via ROLLUP grouping
+    sets, with ``grouping_id`` disambiguating rolled-up NULLs from data
+    NULLs.
+
+    Scale shape: Catalyst plans this as Expand (3 rows per input row,
+    one per grouping set) → partial HashAggregate → ONE shuffle of
+    |groups| rows → final HashAggregate.  The multi-query alternative
+    (3 separate groupBys + union) scans the fact 3×; the Expand form
+    scans once and still map-side combines each set.
+    """
+    utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+register(
+    QuerySpec(
+        "order_priority_rollup",
+        q_order_priority_rollup,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o_totalprice) AS revenue,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        doc="ROLLUP grouping sets: 3 aggregation levels in one Expand + "
+        "single shuffle (vs 3x scan for separate groupBys)",
     )
 )

@@ -33,6 +33,9 @@ ALLOWED_UNCAST = {
     # output column; strict parity green at sf0.001/0.01/0.1 (r8)
     ("stream_sessionization_counts", "SUM(new_sess) OVER"),
     ("users_covering_traffic", "SUM(cnt) OVER"),
+    # o_totalprice is DOUBLE: DuckDB sums doubles as DOUBLE (the HUGEINT
+    # promotion only bites integer inputs); strict parity green at sf0.001
+    ("rolling_7d_revenue", "SUM(o_totalprice) OVER"),
 }
 
 

@@ -358,3 +358,26 @@ def test_cluster_prototypes_are_home_list_members(spark, sf_dir):
         assert sorted(grp["proto_rank"]) == list(range(1, len(grp) + 1))
     for r in protos.itertuples():
         assert assign[r.vec_id] == r.list_id
+
+
+def test_rolling_window_is_streaming_frame_not_self_join(spark, sf_dir):
+    """The trailing-7d rollup must be ONE hash shuffle on o_custkey feeding
+    a RANGE-frame WindowExec — never the quadratic range self-join
+    formulation (`o2.date BETWEEN o1.date - 7d AND o1.date`)."""
+    import re
+
+    plan = _formatted_plan(QUERIES["rolling_7d_revenue"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan  # the o_custkey hash partition only
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_bloom_prejoin_probe_is_broadcast_no_cartesian(spark, sf_dir):
+    """The Bloom set-bit relation (≤ k·m rows) and the member dim must
+    reach the fact scan as broadcasts; the probe must never plan as a
+    cartesian or data-scale sort-merge join."""
+    plan = _formatted_plan(QUERIES["bloom_prejoin_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -427,3 +427,29 @@ def test_weighted_sample_bias_and_partition_invariance(spark, sf_dir):
         assert a.equals(b)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_prejoin_guarantees(spark, sf_dir):
+    """Bloom-filter prejoin guarantees, pinned: (a) no false negatives —
+    every true member is a candidate (n_missed == 0 by construction);
+    (b) the filter actually prunes — candidates are a strict subset of
+    the fact; (c) the false-positive rate stays near the k=3, m=4096
+    analytic bound (≈ (1 - e^(-kn/m))^k) rather than degrading toward
+    pass-through."""
+    from contentwise_impressions_spark.plans import all_queries
+
+    row = (
+        all_queries()["bloom_prejoin_stats"](spark, sf_dir)
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_missed"] == 0
+    assert row["n_candidates"] >= row["n_true_members"]
+    assert row["n_candidates"] < row["n_orders"]  # it prunes
+    non_members = row["n_orders"] - row["n_true_members"]
+    if non_members:
+        fp_rate = row["n_false_positives"] / non_members
+        # analytic bound at sf0.001: n≈30 keys in m=4096 bits, k=3 →
+        # p ≈ (1-e^(-3n/4096))^3 ≈ 1e-5; allow two orders of slack for
+        # hash-family imperfection and tiny-n variance
+        assert fp_rate < 0.05, row
