@@ -77,6 +77,8 @@ DRIVER_PRIORITY: list[str] = [
     "stream_view_click_pairs",
     "rolling_7d_revenue",
     "bloom_prejoin_stats",
+    "order_priority_rollup",
+    "local_supplier_volume",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

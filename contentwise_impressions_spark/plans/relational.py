@@ -1629,3 +1629,92 @@ register(
         "single shuffle (vs 3x scan for separate groupBys)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-way star join (6 tables; SURVEY.md §2.3 joins at their widest —
+# the Catalyst join-reordering / broadcast-chain showcase)
+# ---------------------------------------------------------------------------
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from orders where the customer and the line's supplier sit
+    in the same ASIA nation, by nation — the TPC-H Q5 shape: two fact
+    tables and four dimensions in one 6-way join.
+
+    Scale shape: region→nation→supplier is a broadcast dimension CHAIN
+    (each step stays under the broadcast threshold), and the selective
+    region + order-year predicates are pushed into the scans, so the
+    only data-scale work is the lineitem⋈orders equi-shuffle; Catalyst
+    + AQE pick the join order and flip sides at runtime.  The same-nation
+    condition (c_nationkey = s_nationkey) rides the supplier join as an
+    extra equi-key instead of a post-join filter, so mismatched rows
+    never materialize.
+    """
+    utc(spark)
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            # no broadcast hint: customer grows with SF (unlike the nation/
+            # region chain), so the custkey equi-join is left to Catalyst —
+            # AQE broadcasts it at small SF and shuffles it at 100 TB
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(dims),
+            (lineitem.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "local_supplier_volume",
+        q_local_supplier_volume,
+        """
+        SELECT n_name,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
+        doc="TPC-H Q5-shaped 6-way star join: broadcast dimension chain + "
+        "one fact-fact shuffle; selective predicates pushed to scans",
+    )
+)

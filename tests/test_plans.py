@@ -381,3 +381,14 @@ def test_bloom_prejoin_probe_is_broadcast_no_cartesian(spark, sf_dir):
     plan = _formatted_plan(QUERIES["bloom_prejoin_stats"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_six_way_star_join_broadcasts_dims_pushes_filters(spark, sf_dir):
+    """TPC-H Q5 shape: the region filter and the order-date range must
+    reach their scans as pushed filters, the region→nation→supplier
+    chain must broadcast, and nothing may plan as a cartesian."""
+    plan = _formatted_plan(QUERIES["local_supplier_volume"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
