@@ -48,6 +48,10 @@ PICKS = [
     ("hll_distinct_sketch", "portable HLL: max-per-register partial-aggregates map-side, m=64 rows per group shuffle — mergeable-sketch distinct counting"),
     ("countmin_heavy_hitters", "Count-Min probe: d x w counter table built with map-side combine then BROADCAST back to candidate keys; only the key list shuffles"),
     ("weighted_sample_topk", "A-ES weighted sample = stateless map + TakeOrderedAndProject (per-partition heaps, no global sort)"),
+    ("rolling_7d_revenue", "RANGE window frame: one key shuffle + streaming frame pointer — no quadratic range self-join"),
+    ("bloom_prejoin_stats", "Bloom prejoin: set-bit relation + member dim broadcast onto the fact; runtime-filter pushdown, no cartesian"),
+    ("order_priority_rollup", "ROLLUP grouping sets: Expand x3 -> partial agg -> ONE shuffle of |groups| rows"),
+    ("local_supplier_volume", "TPC-H Q5 6-way star: broadcast dim chain, pushed region/date filters, single fact-fact shuffle"),
 ]
 
 
