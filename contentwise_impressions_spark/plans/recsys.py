@@ -817,3 +817,157 @@ register(
         "pipeline extension)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle counting with degree-ordered orientation (§2.7-adjacent
+# graph extension alongside item_pagerank; transitivity is the standard
+# graph-level cohesion statistic over the item co-occurrence graph)
+# ---------------------------------------------------------------------------
+def q_item_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global transitivity of the item
+    co-occurrence graph (edges = item pairs whose shared-user count is
+    strictly above the 75th percentile of all pair counts — a
+    scale-adaptive cutoff; a fixed absolute threshold goes degenerate as
+    user volume grows).
+
+    Scale shape — the degree-ordered node-iterator: every undirected edge
+    is oriented from its (degree, id)-smaller endpoint, wedges are
+    enumerated ONLY from each vertex's out-neighbors, and a wedge closes
+    into a triangle iff its two tips are an edge.  Orientation bounds
+    out-degree by O(√m), so wedge generation is O(m^1.5) total instead of
+    Σ deg² — the hot-vertex (head-item) explosion the naive formulation
+    hits on power-law graphs.  All joins are equi-joins on vertex ids;
+    the degree table is |V| rows and broadcastable.  Each triangle is
+    counted exactly once (from its minimum-degree corner), so the count
+    is exact, not an estimate — the MinHash/HLL sketches elsewhere in
+    this registry are the approximate alternatives when even m^1.5 is
+    too much.
+    """
+    urm = _urm(spark, sf_dir)
+    a = urm.select("user_id", F.col("item_id").alias("u"))
+    b = urm.select("user_id", F.col("item_id").alias("v"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    ).persist()
+    # scale-adaptive edge selection: keep pairs whose co-occurrence count
+    # is STRICTLY above the 75th percentile of all pair counts.  A fixed
+    # absolute threshold degenerates with SF (more users push every pair
+    # over it and the graph goes complete — observed at sf0.01); the
+    # quantile keeps edge density stable at any scale, and the cutoff is
+    # a 1-row broadcast scalar both engines compute identically (the
+    # standard crossJoin(F.broadcast(<1-row agg>)) scalar attachment —
+    # O(1) per executor, pinned in the plan lint).
+    cut = pairs.agg(
+        F.expr("percentile(w, 0.75)").alias("w_cut")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(cut))
+        .filter(F.col("w") > F.col("w_cut"))
+        .select("u", "v")
+    )
+    edges = edges.persist()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    du = F.col("du")
+    dv = F.col("dv")
+    lower_first = (du < dv) | ((du == dv) & (F.col("u") < F.col("v")))
+    oriented = (
+        edges.join(
+            F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("b"))
+    o2 = oriented.select("src", F.col("dst").alias("c"))
+    wedges = o1.join(o2, "src").filter(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        edges.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    ).agg(F.count("*").cast("bigint").alias("n_triangles"))
+    stats = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    open_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        stats.crossJoin(F.broadcast(open_wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "item_triangle_stats",
+        q_item_triangle_stats,
+        f"""
+        WITH {URM_CTE},
+        p AS (
+            SELECT a.item_id AS u, b.item_id AS v, COUNT(*) AS w
+            FROM urm a JOIN urm b
+              ON a.user_id = b.user_id AND a.item_id < b.item_id
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT quantile_cont(w, 0.75) AS w_cut FROM p),
+        e AS (SELECT u, v FROM p, cut WHERE w > w_cut),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+            ) GROUP BY 1
+        ),
+        o AS (
+            SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.u ELSE e.v END AS src,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                        THEN e.v ELSE e.u END AS dst
+            FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+        ),
+        w AS (
+            SELECT o1.dst AS b, o2.dst AS c
+            FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+        ),
+        t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM w JOIN e ON e.u = w.b AND e.v = w.c
+        ),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        nw AS (
+            SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+        )
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END
+                   AS transitivity
+        FROM ne, nw, t
+        """,
+        doc="exact triangle count + transitivity of the item co-occurrence "
+        "graph via degree-ordered orientation (O(m^1.5) wedge bound, "
+        "equi-joins only)",
+    )
+)
