@@ -80,6 +80,11 @@ DRIVER_PRIORITY: list[str] = [
     "order_priority_rollup",
     "local_supplier_volume",
     "item_triangle_stats",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "dormant_rich_customers",
+    "excess_stock_suppliers",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

@@ -1718,3 +1718,313 @@ register(
         "one fact-fact shuffle; selective predicates pushed to scans",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# outer join + zero-group distribution (TPC-H Q13 shape): how many
+# customers placed 0, 1, 2, ... urgent orders — the left-join shape whose
+# whole point is keeping the unmatched (count = 0) groups
+# ---------------------------------------------------------------------------
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer URGENT-order counts, zero bucket included.
+
+    Scale shape: orders is pre-aggregated to one row per custkey BEFORE
+    the outer join, so the join input shrinks from |orders| to
+    |active custkeys| — the classic aggregate-below-outer-join rewrite
+    TPC-H Q13 rewards.  The left join is an equi-shuffle on custkey (both
+    sides grow with SF; AQE may still broadcast the pre-agg at small SF),
+    and the final distribution aggregate is |distinct counts| rows.
+    """
+    utc(spark)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+register(
+    QuerySpec(
+        "customer_order_distribution",
+        q_customer_order_distribution,
+        """
+        WITH per_cust AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey
+        )
+        SELECT CAST(COALESCE(n, 0) AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        doc="TPC-H Q13-shaped outer join + count distribution with the "
+        "aggregate pushed below the join (zero-order customers kept)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery, decorrelated (TPC-H Q17 shape): revenue
+# from small-quantity lineitems of one brand, where "small" is relative
+# to each part's own average order quantity
+# ---------------------------------------------------------------------------
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if sub-half-average-quantity orders of
+    Brand#13 parts stopped shipping — TPC-H Q17's correlated scalar
+    subquery (`l_quantity < 0.5 * avg over same part`).
+
+    Scale shape: the correlation is decorrelated into a WINDOW average
+    partitioned by partkey over the brand-filtered fact slice — ONE
+    shuffle on partkey, no self-join and no re-scan of lineitem (the
+    naive decorrelation joins lineitem to an aggregated copy of itself,
+    scanning the fact twice).  The brand filter rides a broadcast join
+    with `part` and prunes before the shuffle.
+    """
+    utc(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        branded.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_small_lines"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "small_quantity_revenue",
+        q_small_quantity_revenue,
+        """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice,
+                   AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'
+        )
+        SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        FROM branded WHERE l_quantity < 0.5 * avg_qty
+        """,
+        doc="TPC-H Q17-shaped correlated scalar subquery decorrelated into "
+        "a per-part window average (one shuffle, fact scanned once)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# HAVING-subquery semi-join (TPC-H Q18 shape): large-volume orders —
+# orders whose total quantity clears a threshold, with customer detail
+# ---------------------------------------------------------------------------
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 largest-volume orders (Σ quantity > 250) with customer names.
+
+    Scale shape: the HAVING aggregate runs FIRST (one shuffle on
+    orderkey, map-side partial sums), shrinking the fact to the few
+    qualifying orders before any dimension joins; orders/customer then
+    attach by equi-join (AQE broadcasts the tiny qualifying set).  The
+    final top-20 is a TakeOrderedAndProject — no global sort
+    materialization.
+    """
+    utc(spark)
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        "large_volume_orders",
+        q_large_volume_orders,
+        """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 20
+        """,
+        doc="TPC-H Q18-shaped HAVING semi-join: aggregate-first shrink, "
+        "then dimension joins and TakeOrderedAndProject top-20",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# anti-join + global-average scalar threshold (TPC-H Q22 shape):
+# above-average-balance customers with no recent orders, by nation
+# ---------------------------------------------------------------------------
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count + total balance of customers whose balance beats
+    the global positive-balance average and who placed NO order since
+    2000-01-01 — TPC-H Q22's NOT EXISTS + scalar-subquery pattern.
+
+    Scale shape: the global average is a 1-row broadcast scalar
+    attachment (pinned in the plan lint); the NOT EXISTS is a left-anti
+    equi-join against orders pre-filtered (and pre-projected to custkey
+    only) by the pushed-down date predicate.  Both fact-side shuffles
+    key on custkey; the final aggregate is |nations| rows.
+    """
+    utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+register(
+    QuerySpec(
+        "dormant_rich_customers",
+        q_dormant_rich_customers,
+        """
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               SUM(c_acctbal) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """,
+        doc="TPC-H Q22-shaped anti-join + global-average scalar threshold "
+        "(left-anti equi-join, date predicate pushed to the orders scan)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# nested semi-join with aggregate threshold (TPC-H Q20 shape): suppliers
+# who shipped an above-average volume of red parts in 1998
+# ---------------------------------------------------------------------------
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1998 shipped quantity of 'red *' parts beats the
+    average across shipping suppliers, with their nation — the TPC-H Q20
+    nested-subquery shape (semi-join driven by an aggregate threshold).
+
+    Scale shape: part is name-filtered and broadcast into the
+    date-pruned lineitem scan, the per-supplier sum is one shuffle on
+    suppkey, the threshold is a 1-row broadcast scalar (lint-pinned),
+    and supplier/nation attach by broadcast-chain equi-joins — the fact
+    is scanned once and nothing bigger than |suppliers| survives it.
+    """
+    utc(spark)
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(red.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        # both the threshold and the main branch consume this ≤|suppliers|-row
+        # aggregate; persisting it keeps the fact slice to ONE scan
+        .persist()
+    )
+    thresh = shipped.agg(F.avg("shipped_qty").alias("avg_qty"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.crossJoin(F.broadcast(thresh))
+        .filter(F.col("shipped_qty") > F.col("avg_qty"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_name", "n_name", "shipped_qty")
+        .orderBy("s_name")
+    )
+
+
+register(
+    QuerySpec(
+        "excess_stock_suppliers",
+        q_excess_stock_suppliers,
+        """
+        WITH shipped AS (
+            SELECT l_suppkey, SUM(l_quantity) AS shipped_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, n_name, shipped_qty
+        FROM shipped
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE shipped_qty > (SELECT AVG(shipped_qty) FROM shipped)
+        ORDER BY s_name
+        """,
+        doc="TPC-H Q20-shaped nested semi-join: aggregate threshold over a "
+        "broadcast-pruned fact slice, supplier/nation broadcast chain",
+    )
+)

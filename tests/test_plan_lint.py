@@ -41,8 +41,10 @@ ALLOWED_BNLJ: dict[str, int] = {
     "countmin_heavy_hitters": 1,
     "decayed_toppop": 1,
     "diversity_similarity": 2,
+    "dormant_rich_customers": 1,
     "dsir_importance_weights": 1,
     "embedding_outlier_flags": 1,
+    "excess_stock_suppliers": 1,
     "global_effects_item_bias": 1,
     "global_effects_user_bias": 2,
     "impression_list_invariants": 1,
