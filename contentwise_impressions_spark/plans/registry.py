@@ -85,6 +85,8 @@ DRIVER_PRIORITY: list[str] = [
     "large_volume_orders",
     "dormant_rich_customers",
     "excess_stock_suppliers",
+    "part_bfs_hops",
+    "user_state_history",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

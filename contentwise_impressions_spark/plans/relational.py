@@ -2028,3 +2028,159 @@ register(
         "broadcast-pruned fact slice, supplier/nation broadcast chain",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# iterative frontier BFS (graph traversal as bounded join iteration):
+# hop distance from the smallest part in the co-order graph
+# ---------------------------------------------------------------------------
+def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distance (≤ 4) from the smallest co-ordered part to every
+    part reachable through the "appeared in the same order" graph.
+
+    Scale shape — level-synchronous BFS as bounded join iteration: the
+    edge list is built once (one shuffle on orderkey, per-order pair
+    expansion bounded by ~lines-per-order², then distinct) and persisted;
+    each of the 4 levels is ONE equi-join frontier⋈edges + distinct, so
+    the whole traversal is 4 bounded shuffles keyed on part id.  Levels
+    are unioned and min-hop reduced at the end instead of anti-join
+    visited-pruning per level — with a constant hop bound the re-reached
+    nodes cost one extra |V| distinct, not a scan; the unbounded-depth
+    variant with large-star/small-star pruning lives in
+    operators/dedup.py:connected_components.  The seed is a 1-row
+    aggregate attached by a real column equi-join (BroadcastHashJoin,
+    not a nested loop).
+    """
+    utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    half = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    frontier = edges.agg(F.min("src").alias("node")).persist()
+    levels = [frontier.withColumn("hop", F.lit(0))]
+    for h in range(1, 5):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .persist()
+        )
+        levels.append(frontier.withColumn("hop", F.lit(h)))
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionAll(lv)
+    return (
+        reached.groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hop"))
+        .select(F.col("node").alias("part_id"), "hop")
+        .orderBy("part_id")
+    )
+
+
+register(
+    QuerySpec(
+        "part_bfs_hops",
+        q_part_bfs_hops,
+        """
+        WITH RECURSIVE half AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS (
+            SELECT src, dst FROM half
+            UNION ALL SELECT dst AS src, src AS dst FROM half
+        ),
+        bfs(node, hop) AS (
+            SELECT MIN(src), 0 FROM e
+            UNION
+            SELECT e.dst, bfs.hop + 1
+            FROM bfs JOIN e ON bfs.node = e.src
+            WHERE bfs.hop < 4
+        )
+        SELECT node AS part_id, CAST(MIN(hop) AS INT) AS hop
+        FROM bfs GROUP BY node ORDER BY part_id
+        """,
+        doc="level-synchronous BFS (hop ≤ 4) over the co-order part graph: "
+        "bounded join iteration vs a recursive-CTE oracle",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval construction (run-length change compression): each user's
+# event-type state history as [valid_from, valid_to) validity intervals
+# ---------------------------------------------------------------------------
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of each user's event-type
+    state: consecutive same-type events compress into one validity
+    interval, closed by the next state change (the conventional
+    2100-01-01 high date while current — a sentinel rather than NULL so
+    interval-containment predicates need no null branch).
+
+    Scale shape: both window passes (lag to mark changes, lead to close
+    intervals) partition on user_id — ONE shuffle keyed on user, no
+    self-join, and every partition is a single user's modest event run.
+    The run-length compression happens BEFORE lead(), so the second pass
+    sees only change rows.  This is the standard warehouse MERGE/SCD2
+    build expressed as pure windows.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    by_ts = Window.partitionBy("user_id").orderBy("ts")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(by_ts))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    closed = changes.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("ts").over(by_ts),
+            F.lit("2100-01-01 00:00:00").cast("timestamp"),
+        ),
+    )
+    return closed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+    ).orderBy("user_id", "valid_from")
+
+
+register(
+    QuerySpec(
+        "user_state_history",
+        q_user_state_history,
+        """
+        WITH changes AS (
+            SELECT user_id, ts, event_type
+            FROM (
+                SELECT user_id, ts, event_type,
+                       LAG(event_type) OVER w AS prev_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+        FROM changes
+        ORDER BY user_id, valid_from
+        """,
+        doc="SCD2 validity-interval construction: run-length state "
+        "compression + lead() interval close, one user-keyed shuffle",
+    )
+)

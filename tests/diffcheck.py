@@ -84,6 +84,11 @@ def assert_frames_match(
         )
         if np.issubdtype(av.dtype, np.floating):
             ok = np.isclose(av, bv, rtol=1e-6, atol=1e-9, equal_nan=True)
+        elif np.issubdtype(av.dtype, np.datetime64):
+            # NaT == NaT is False in numpy; the driver hashes nulls as
+            # equal, so matching NaTs must count as matching here too
+            # (first hit: user_state_history's open SCD2 intervals)
+            ok = (av == bv) | (np.isnat(av) & np.isnat(bv))
         else:
             ok = av == bv
         bad = ~np.asarray(ok)
