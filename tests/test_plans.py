@@ -392,3 +392,59 @@ def test_six_way_star_join_broadcasts_dims_pushes_filters(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(r_name,ASIA)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q17_decorrelation_is_window_not_self_join(spark, sf_dir):
+    """small_quantity_revenue must decorrelate the per-part average as a
+    WINDOW over the brand-filtered slice — one partkey shuffle, exactly
+    one lineitem scan, and the brand filter pushed into the part scan.
+    The naive decorrelation (join lineitem to an aggregated copy of
+    itself) scans the fact twice."""
+    plan = _formatted_plan(QUERIES["small_quantity_revenue"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("lineitem.parquet") <= 2, plan  # tree + details of ONE scan
+    assert "EqualTo(p_brand,Brand#13)" in plan
+
+
+def test_q18_aggregates_first_then_takeordered(spark, sf_dir):
+    """large_volume_orders must shrink via the HAVING aggregate before any
+    dimension join and finish with TakeOrderedAndProject (top-20 without
+    a global sort materialization)."""
+    plan = _formatted_plan(QUERIES["large_volume_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the sum_qty > 250 filter runs on the aggregate output, not post-join
+    assert "sum_qty" in plan
+
+
+def test_q22_anti_join_with_pushed_date(spark, sf_dir):
+    """dormant_rich_customers: the NOT EXISTS must plan as a left-anti
+    equi-join and the date predicate must reach the orders scan."""
+    plan = _formatted_plan(QUERIES["dormant_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_bfs_is_bounded_equi_join_iteration(spark, sf_dir):
+    """part_bfs_hops: every frontier expansion must be an equi-join (no
+    nested loop anywhere) and the hop bound must keep the plan finite —
+    4 frontier joins + the seed attachment."""
+    plan = _formatted_plan(QUERIES["part_bfs_hops"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_is_single_user_shuffle(spark, sf_dir):
+    """user_state_history: both window passes must share ONE user_id hash
+    partition — no join, no second shuffle."""
+    import re
+
+    plan = _formatted_plan(QUERIES["user_state_history"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    # exactly one HASH exchange (both windows share the user_id
+    # partition); the only other exchange is the presentation orderBy's
+    # range partition
+    hashes = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hashes) >= 1
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) <= 2, plan

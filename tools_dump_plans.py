@@ -52,6 +52,11 @@ PICKS = [
     ("bloom_prejoin_stats", "Bloom prejoin: set-bit relation + member dim broadcast onto the fact; runtime-filter pushdown, no cartesian"),
     ("order_priority_rollup", "ROLLUP grouping sets: Expand x3 -> partial agg -> ONE shuffle of |groups| rows"),
     ("local_supplier_volume", "TPC-H Q5 6-way star: broadcast dim chain, pushed region/date filters, single fact-fact shuffle"),
+    ("item_triangle_stats", "degree-ordered triangle counting: O(m^1.5) wedge bound, equi-joins only, quantile edge cutoff"),
+    ("small_quantity_revenue", "TPC-H Q17 correlated scalar subquery decorrelated to a per-part WINDOW - fact scanned once"),
+    ("customer_order_distribution", "TPC-H Q13 outer join with the aggregate pushed BELOW the join (orders pre-shrunk to one row per custkey)"),
+    ("part_bfs_hops", "level-synchronous BFS: 4 bounded frontier equi-join shuffles + min-hop reduce, recursive-CTE oracle"),
+    ("user_state_history", "SCD2 interval build: two window passes sharing ONE user_id hash partition, no join"),
 ]
 
 
