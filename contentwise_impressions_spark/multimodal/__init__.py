@@ -3,11 +3,13 @@ from .binary_ops import (
     attach_fake_media,
     attach_generated_audio,
     attach_generated_media,
+    attach_generated_video,
     decode_audio,
     decode_media,
     encode_ppm,
     encode_wav,
     extract_features,
+    resize_media,
     sample_frames,
 )
 
@@ -16,10 +18,12 @@ __all__ = [
     "attach_fake_media",
     "attach_generated_audio",
     "attach_generated_media",
+    "attach_generated_video",
     "decode_audio",
     "decode_media",
     "encode_ppm",
     "encode_wav",
     "extract_features",
+    "resize_media",
     "sample_frames",
 ]

@@ -424,6 +424,50 @@ def attach_generated_audio(
     return docs.select("doc_id").mapInPandas(kernel, _RESIZE_OUT)
 
 
+def attach_generated_video(docs: DataFrame) -> DataFrame:
+    """Deterministic raw-video payloads: doc d carries n = d%7+2 gray
+    frames of w×h = (d%5+4)×(d%3+3) pixels concatenated frame-major, with
+    pixel(f, r, c) = (d·31 + f·17 + r·5 + c·3) mod 251, at 1 frame per
+    second (duration_ms = n·1000).  The video twin of
+    `attach_generated_audio`: sliceable columnar (frame f at offset
+    f·w·h) and arithmetically reproducible by a SQL oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, n = d % 5 + 4, d % 3 + 3, d % 7 + 2
+                f = np.arange(n, dtype=np.int64)[:, None, None]
+                r = np.arange(h, dtype=np.int64)[None, :, None]
+                c = np.arange(w, dtype=np.int64)[None, None, :]
+                vid = ((d * 31 + f * 17 + r * 5 + c * 3) % 251).astype(
+                    np.uint8
+                )
+                blob = vid.tobytes()
+                out.append(
+                    (
+                        doc_id,
+                        blob,
+                        {
+                            "media_type": "video",
+                            "format": "rawvideo",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": n * 1000,
+                            "n_bytes": len(blob),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_bytes", "media_meta"]
+            )
+
+    return docs.select("doc_id").mapInPandas(kernel, _RESIZE_OUT)
+
+
 def attach_generated_media(docs: DataFrame, fmt: str = "ppm") -> DataFrame:
     """Real raster payloads (deterministic per-doc gradient images encoded
     as actual PPM/PGM bytes) — lets the decode path run WITHOUT the fake
@@ -508,22 +552,59 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def sample_frames(
-    media: DataFrame, every_ms: int = 1000
+    media: DataFrame, every_ms: int = 1000, with_payload: bool = False
 ) -> DataFrame:
     """Expand each video row into (doc_id, frame_idx, frame_ts_ms) rows —
-    the pre-decode fan-out, pure column arithmetic (no UDF)."""
+    the pre-decode fan-out, pure column arithmetic (no UDF).
+
+    ``with_payload=True`` additionally emits each frame's bytes +
+    per-frame metadata, for payloads laid out as concatenated raw pixel
+    grids (frame f at byte offset f·width·height — the
+    `attach_generated_video` layout): the slice is a columnar
+    ``substring`` over the binary, so the fan-out stays NARROW — no
+    shuffle, and the full-video blob is never duplicated through an
+    exchange.  Real containerized codecs (mp4 …) cannot be sliced
+    columnar; their frame extraction belongs inside the decode kernel.
+    """
     n_frames = F.greatest(
         (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1)
     )
-    return media.select(
+    base = media.select(
         "doc_id",
+        "media_bytes",
+        "media_meta",
         F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
             "frame_idx", "_"
         ),
     ).select(
         "doc_id",
-        F.col("frame_idx").cast("int"),
+        "media_bytes",
+        "media_meta",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("frame_idx") * every_ms).cast("bigint").alias("frame_ts_ms"),
+    )
+    if not with_payload:
+        return base.select("doc_id", "frame_idx", "frame_ts_ms")
+    frame_size = (
+        F.col("media_meta.width") * F.col("media_meta.height")
+    ).cast("int")
+    return base.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.expr(
+            "substring(media_bytes, "
+            "frame_idx * int(media_meta.width * media_meta.height) + 1, "
+            "int(media_meta.width * media_meta.height))"
+        ).alias("media_bytes"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            F.lit(0).cast("bigint").alias("duration_ms"),
+            frame_size.cast("bigint").alias("n_bytes"),
+        ).alias("media_meta"),
     )
 
 

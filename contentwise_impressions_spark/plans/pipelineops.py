@@ -1171,3 +1171,94 @@ register(
         "+ one partial-agg rollup; no shuffle of the data itself)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# video frame pipeline: sample → slice → resize → per-frame stats
+# (the frame-sampling + resize plumbing as ONE registered, oracled path)
+# ---------------------------------------------------------------------------
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame mean intensity of every sampled frame of every document's
+    deterministic raw video, after nearest-neighbor resize to 8×6.
+
+    The full video path in one plan: `attach_generated_video` (doc d =
+    d%7+2 gray frames of (d%5+4)×(d%3+3) px, pixel = (d·31+f·17+r·5+c·3)
+    mod 251) → `sample_frames(with_payload=True)` (posexplode fan-out +
+    COLUMNAR substring slice — narrow, the full-video blob never crosses
+    an exchange) → `resize_media` (numpy nearest-neighbor over the byte
+    grid, Arrow-batched) → `decode_media` byte statistics.  The oracle
+    recomputes the resample arithmetically (src_row = r·h div 6, src_col
+    = c·w div 8) — integer pixel sums, so the mean is an exact ratio in
+    both engines.  Scale shape: every stage is row-independent
+    mapInPandas or narrow column ops; the only exchange is the
+    presentation sort.
+    """
+    from ..multimodal import (
+        attach_generated_video,
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = attach_generated_video(docs)
+    frames = sample_frames(vids, every_ms=1000, with_payload=True)
+    # frame identity rides the doc_id through the (doc_id, bytes, meta)
+    # operator contract: sid = doc_id·64 + frame_idx (n_frames ≤ 8 < 64)
+    keyed = frames.select(
+        (F.col("doc_id") * 64 + F.col("frame_idx")).alias("doc_id"),
+        "media_bytes",
+        "media_meta",
+    )
+    stats = decode_media(resize_media(keyed, width=8, height=6), allow_fake=True)
+    return stats.select(
+        F.expr("CAST(doc_id DIV 64 AS BIGINT)").alias("doc_id"),
+        (F.col("doc_id") % 64).cast("int").alias("frame_idx"),
+        ((F.col("doc_id") % 64) * 1000).cast("bigint").alias("frame_ts_ms"),
+        "width",
+        "height",
+        "mean_intensity",
+    ).orderBy("doc_id", "frame_idx")
+
+
+register(
+    QuerySpec(
+        "video_frame_stats",
+        q_video_frame_stats,
+        """
+        WITH v AS (
+            SELECT doc_id,
+                   doc_id % 5 + 4 AS w,
+                   doc_id % 3 + 3 AS h,
+                   doc_id % 7 + 2 AS nf
+            FROM documents
+        ),
+        fr AS (
+            SELECT v.*, f.f
+            FROM v, LATERAL (SELECT UNNEST(generate_series(
+                0, CAST(v.nf - 1 AS INT))) AS f) f
+        ),
+        px AS (
+            SELECT doc_id, f,
+                   (doc_id * 31 + f * 17
+                    + ((r.r * h) // 6) * 5
+                    + ((c.c * w) // 8) * 3) % 251 AS val
+            FROM fr,
+                 LATERAL (SELECT UNNEST(generate_series(0, 5)) AS r) r,
+                 LATERAL (SELECT UNNEST(generate_series(0, 7)) AS c) c
+        )
+        SELECT doc_id,
+               CAST(f AS INT) AS frame_idx,
+               CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+               CAST(8 AS INT) AS width,
+               CAST(6 AS INT) AS height,
+               CAST(SUM(val) AS DOUBLE) / 48 AS mean_intensity
+        FROM px
+        GROUP BY doc_id, f
+        ORDER BY doc_id, frame_idx
+        """,
+        doc="video frame pipeline: posexplode frame fan-out + columnar "
+        "frame slice + numpy nearest-neighbor resize + byte statistics, "
+        "oracle recomputes the resample arithmetically",
+    )
+)

@@ -87,6 +87,7 @@ DRIVER_PRIORITY: list[str] = [
     "excess_stock_suppliers",
     "part_bfs_hops",
     "user_state_history",
+    "video_frame_stats",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",
