@@ -88,6 +88,8 @@ DRIVER_PRIORITY: list[str] = [
     "part_bfs_hops",
     "user_state_history",
     "video_frame_stats",
+    "token_chi2_topk",
+    "daily_value_gapfill",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

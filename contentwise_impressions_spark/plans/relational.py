@@ -2184,3 +2184,83 @@ register(
         "compression + lead() interval close, one user-keyed shuffle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill + forward fill (regular-grid resample): each user's
+# daily value series completed to a dense calendar with last-observation-
+# carried-forward — the standard feature-store densification step
+# ---------------------------------------------------------------------------
+def q_daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily value series: missing days between a user's
+    first and last active day are materialized and forward-filled with
+    the last observed daily total (is_gap marks carried rows).
+
+    Scale shape: the sparse daily aggregate is one (user, day) shuffle;
+    the calendar grid is a per-user sequence() explode (narrow — |days in
+    span| rows per user, no cross join against a calendar dimension); the
+    fill is last(ignorenulls) over a user-keyed running frame — Spark's
+    ignore-nulls window is a single forward scan per partition, NOT a
+    self-join back to the latest preceding observation.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        # timestamp, not date: Spark dates surface as python objects in
+        # Arrow/pandas while DuckDB dates become datetime64 — a dtype
+        # mismatch at the comparison layer even when values agree
+        F.col("day").cast("timestamp").alias("day"),
+        F.last("v", ignorenulls=True).over(run).alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    ).orderBy("user_id", "day")
+
+
+register(
+    QuerySpec(
+        "daily_value_gapfill",
+        q_daily_value_gapfill,
+        """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, SUM(value) AS v
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, CAST(UNNEST(generate_series(
+                CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        )
+        SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+               LAST_VALUE(d.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING
+               ) AS value_filled,
+               d.v IS NULL AS is_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+        ORDER BY g.user_id, g.day
+        """,
+        doc="dense daily resample + forward fill: sequence() calendar "
+        "explode, one (user, day) join, single ignore-nulls window scan",
+    )
+)

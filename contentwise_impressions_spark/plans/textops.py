@@ -1155,3 +1155,136 @@ register(
         "tests/test_bpe.py)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# chi-square feature selection: tokens most associated with each language
+# (the classic supervised vocabulary-selection step before training a
+# classifier — exact 2×2 contingency arithmetic, no approximation)
+# ---------------------------------------------------------------------------
+def q_token_chi2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language by chi-square association with that
+    language, over document-level token presence.
+
+    Scale shape: token presence is one explode + (token, lang) groupBy —
+    shuffles keyed on token, never on document; the per-language doc
+    counts and the corpus total are tiny broadcast relations; the final
+    per-language top-5 is a bounded window over ≤|vocab| rows.  All
+    contingency cells are exact int64 counts; the chi-square is computed
+    with the SAME expression shape in both engines (cast-to-double before
+    squaring — a·d and b·c fit int64, their squared difference does not),
+    so the statistic is bit-identical and the (chi2 desc, token) ranking
+    deterministic.  Tokens present in < 5 or all documents are excluded
+    (degenerate margins).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    tok_lang = pres.groupBy("token", "lang").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    tok_tot = pres.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    lang_tot = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("nl")
+    )
+    n_tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    cells = (
+        tok_lang.join(tok_tot, "token")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+        .filter((F.col("t") >= 5) & (F.col("t") < F.col("n")))
+        .select(
+            "lang",
+            "token",
+            "a",
+            (F.col("t") - F.col("a")).alias("b"),
+            (F.col("nl") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("nl") - F.col("t") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    num = F.col("n").cast("double") * F.pow(
+        (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double"),
+        F.lit(2.0),
+    )
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    scored = cells.withColumn("chi2", num / den)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "token", "a", "chi2")
+        .orderBy("lang", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        "token_chi2_topk",
+        q_token_chi2_topk,
+        """
+        WITH pres AS (
+            SELECT DISTINCT doc_id, lang, tok.token
+            FROM documents,
+                 LATERAL (SELECT UNNEST(string_split(text, ' ')) AS token)
+                     tok
+            WHERE tok.token <> ''
+        ),
+        tok_lang AS (
+            SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS a
+            FROM pres GROUP BY token, lang
+        ),
+        tok_tot AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS t
+            FROM pres GROUP BY token
+        ),
+        lang_tot AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl
+            FROM documents GROUP BY lang
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        cells AS (
+            SELECT lang, token, a, t - a AS b, nl - a AS c,
+                   n - nl - t + a AS d, n
+            FROM tok_lang JOIN tok_tot USING (token)
+                          JOIN lang_tot USING (lang), n_tot
+            WHERE t >= 5 AND t < n
+        ),
+        scored AS (
+            SELECT lang, token, a,
+                   CAST(n AS DOUBLE)
+                       * POW(CAST(a * d - b * c AS DOUBLE), 2.0)
+                       / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                       AS chi2
+            FROM cells
+        )
+        SELECT lang, rank, token, a, chi2 FROM (
+            SELECT lang, token, a, chi2,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY chi2 DESC, token
+                   ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+        ORDER BY lang, rank
+        """,
+        doc="chi-square token-language association, top-5 per language: "
+        "exact 2x2 contingency counts, token-keyed shuffles only",
+    )
+)

@@ -57,6 +57,7 @@ ALLOWED_BNLJ: dict[str, int] = {
     "salted_user_nation_counts": 1,
     "tfidf_weights": 1,
     "token_budget_mixture": 2,
+    "token_chi2_topk": 1,
     "toppop_beyond_accuracy": 8,
     "toppop_eval_metrics": 1,
     "toppop_eval_multi_cutoff": 2,
