@@ -90,6 +90,7 @@ DRIVER_PRIORITY: list[str] = [
     "video_frame_stats",
     "token_chi2_topk",
     "daily_value_gapfill",
+    "cdc_final_state",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

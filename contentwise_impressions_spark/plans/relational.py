@@ -2264,3 +2264,62 @@ register(
         "explode, one (user, day) join, single ignore-nulls window scan",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC / MERGE apply (upsert + delete tombstones): final table state after
+# replaying the event log as change-data-capture operations
+# ---------------------------------------------------------------------------
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user state after applying the event log as a CDC stream:
+    'error' events are DELETE tombstones, everything else an UPSERT of
+    (state, value); a user survives iff their latest operation (by ts,
+    event_id tiebreak) is not a delete — the MERGE INTO outcome.
+
+    Scale shape: MERGE is usually written as a full-outer join of
+    snapshot×changes; replay-from-log needs no join at all — ONE
+    user-keyed shuffle into a keep-last window, then the tombstone
+    filter.  At 100 TB the window partitions are single users (bounded),
+    and the op classification is a codegen'd CASE, not a UDF.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("updated_at"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    QuerySpec(
+        "cdc_final_state",
+        q_cdc_final_state,
+        """
+        SELECT user_id, event_type AS state, value AS state_value,
+               ts AS updated_at
+        FROM (
+            SELECT user_id, event_type, value, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id
+        """,
+        doc="CDC/MERGE apply with delete tombstones: join-free keep-last "
+        "window + tombstone filter (the full-outer-join MERGE rewritten "
+        "for log replay)",
+    )
+)
