@@ -1262,3 +1262,81 @@ register(
         "oracle recomputes the resample arithmetically",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# media feature extraction: byte-histogram embedding per document video
+# (the encoder stand-in as a first-class, oracled query — contract:
+# Arrow batches in, (id, array<double>) out, one row per input)
+# ---------------------------------------------------------------------------
+def q_media_embedding_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-dim normalized byte-histogram 'embedding' of each document's
+    raw video payload (`extract_features` over `attach_generated_video`).
+
+    A real vision encoder is a model forward pass the container lacks;
+    the byte histogram keeps the exact production contract (mapInPandas
+    kernel, fixed-dim array<double> out) while staying arithmetically
+    reproducible: the payload is the headerless pixel grid, so the
+    oracle rebuilds the histogram from the pixel formula with dense
+    bins (val div 16, zeros included) and the normalized ratios are
+    exact double divisions of identical integers.  Scale shape:
+    row-independent kernel, no shuffle but the presentation sort.
+    """
+    from ..multimodal import attach_generated_video, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_generated_video(docs), dim=16)
+    # posexplode for the comparison surface: the differential checker
+    # sorts on every non-float column and array cells are unhashable
+    # there; the array contract itself is what extract_features returns
+    return feats.select(
+        "doc_id",
+        F.posexplode("embedding").alias("bin", "weight"),
+    ).select(
+        "doc_id", F.col("bin").cast("int").alias("bin"), "weight"
+    ).orderBy("doc_id", "bin")
+
+
+register(
+    QuerySpec(
+        "media_embedding_histogram",
+        q_media_embedding_histogram,
+        """
+        WITH v AS (
+            SELECT doc_id,
+                   doc_id % 5 + 4 AS w,
+                   doc_id % 3 + 3 AS h,
+                   doc_id % 7 + 2 AS nf
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w * h * nf AS total,
+                   (doc_id * 31 + f.f * 17 + r.r * 5 + c.c * 3) % 251 AS val
+            FROM v,
+                 LATERAL (SELECT UNNEST(generate_series(
+                     0, CAST(nf - 1 AS INT))) AS f) f,
+                 LATERAL (SELECT UNNEST(generate_series(
+                     0, CAST(h - 1 AS INT))) AS r) r,
+                 LATERAL (SELECT UNNEST(generate_series(
+                     0, CAST(w - 1 AS INT))) AS c) c
+        ),
+        cnt AS (
+            SELECT doc_id, total, val // 16 AS bin, COUNT(*) AS n
+            FROM px GROUP BY doc_id, total, val // 16
+        ),
+        dense AS (
+            SELECT d.doc_id, d.total, b.bin, COALESCE(c.n, 0) AS n
+            FROM (SELECT DISTINCT doc_id, total FROM cnt) d
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS bin) b
+            LEFT JOIN cnt c
+              ON c.doc_id = d.doc_id AND c.bin = b.bin
+        )
+        SELECT doc_id, CAST(bin AS INT) AS bin,
+               CAST(n AS DOUBLE) / total AS weight
+        FROM dense ORDER BY doc_id, bin
+        """,
+        doc="byte-histogram media embedding (extract_features over the "
+        "deterministic raw-video source): mapInPandas encoder contract "
+        "with dense-bin arithmetic oracle",
+    )
+)
