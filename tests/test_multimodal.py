@@ -629,3 +629,39 @@ def test_image_ahash_identical_pixels_identical_hash(spark):
            for r in image_ahash(media).collect()}
     assert got[0] == got[5888]
     assert got[0] != got[1]
+
+
+def test_sample_frames_with_payload_slices_exact_frames(spark, sf_dir):
+    """with_payload=True must emit exactly the frame-f byte slice of the
+    concatenated raw grid (offset f·w·h, length w·h) with per-frame
+    metadata — verified against a numpy re-derivation of the generator."""
+    import numpy as np
+
+    from contentwise_impressions_spark.multimodal import (
+        attach_generated_video,
+        sample_frames,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    vids = attach_generated_video(docs)
+    frames = sample_frames(vids, every_ms=1000, with_payload=True)
+    rows = frames.collect()
+    n_docs = docs.count()
+    assert len(rows) == sum(
+        d % 7 + 2 for d in [r["doc_id"] for r in docs.collect()]
+    )
+    for r in rows[:200]:
+        d, f = int(r["doc_id"]), int(r["frame_idx"])
+        w, h = d % 5 + 4, d % 3 + 3
+        rr = np.arange(h, dtype=np.int64)[:, None]
+        cc = np.arange(w, dtype=np.int64)[None, :]
+        expect = ((d * 31 + f * 17 + rr * 5 + cc * 3) % 251).astype(
+            np.uint8
+        )
+        assert bytes(r["media_bytes"]) == expect.tobytes(), (d, f)
+        assert r["media_meta"]["width"] == w
+        assert r["media_meta"]["height"] == h
+        assert r["media_meta"]["n_bytes"] == w * h
+        assert r["frame_ts_ms"] == f * 1000
+    assert n_docs == 40
