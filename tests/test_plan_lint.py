@@ -48,7 +48,11 @@ ALLOWED_BNLJ: dict[str, int] = {
     "global_effects_item_bias": 1,
     "global_effects_user_bias": 2,
     "impression_list_invariants": 1,
-    "item_triangle_stats": 3,
+    # 3 scalar sites; a 4th distinct id appears when the session has
+    # already materialized the persisted edges subtree (the cut attach is
+    # then printed both inside the InMemoryRelation and as a fresh
+    # re-plan) — still the same 1-row broadcasts
+    "item_triangle_stats": 4,
     "lang_temperature_sampling": 3,
     "model_quality_gates": 3,
     "popularity_bias_stats": 1,
