@@ -57,6 +57,9 @@ PICKS = [
     ("customer_order_distribution", "TPC-H Q13 outer join with the aggregate pushed BELOW the join (orders pre-shrunk to one row per custkey)"),
     ("part_bfs_hops", "level-synchronous BFS: 4 bounded frontier equi-join shuffles + min-hop reduce, recursive-CTE oracle"),
     ("user_state_history", "SCD2 interval build: two window passes sharing ONE user_id hash partition, no join"),
+    ("daily_value_gapfill", "dense calendar resample: sequence() explode + single ignore-nulls window scan (no self-join LOCF)"),
+    ("cdc_final_state", "CDC/MERGE apply: join-free keep-last window + delete-tombstone filter"),
+    ("video_frame_stats", "video path: posexplode frame fan-out + COLUMNAR substring slice -> Arrow resize kernel, no exchange before the sort"),
 ]
 
 
