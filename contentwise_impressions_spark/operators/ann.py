@@ -47,6 +47,8 @@ try:  # by-value pickling (see recommenders/slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 #: deterministic pseudo-random hyperplanes: component (plane j, dim p) =
 #: ((p·PLANE_A + j·PLANE_B) mod PLANE_P) / PLANE_P − 0.5
 PLANE_P = 104729
@@ -102,6 +104,7 @@ def _norm_payload(embeddings: DataFrame, vec_col: str) -> DataFrame:
 def _quant_matrix(pdf: pd.DataFrame) -> np.ndarray:
     """Rows → fixed-point matrix: floor(x·QUANT + 0.5), integer-valued
     doubles (exact GEMM, see QUANT)."""
+    limit_blas_threads()  # Spark tasks are the parallel unit
     mat = np.array(list(pdf["_emb"]), dtype=np.float64)
     return np.floor(mat * QUANT + 0.5)
 

@@ -89,6 +89,8 @@ try:  # by-value pickling (see recommenders/slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 _OUT = StructType(
     [
         StructField("item_i", LongType()),
@@ -305,6 +307,7 @@ def _payload(
 
 
 def _densify(pdf: pd.DataFrame, n_feats: int) -> np.ndarray:
+    limit_blas_threads()  # Spark tasks are the parallel unit
     dense = np.zeros((len(pdf), n_feats))
     if n_feats == 0:
         return dense

@@ -66,6 +66,8 @@ try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 #: per-session bounded registry of live item-factor broadcasts / persisted
 #: factor frames: repeated serving calls (e.g. the quality-gate plan serving
 #: several models in one session) would otherwise accumulate
@@ -271,6 +273,7 @@ def _broadcast_gemm(
     _track(spark, bc)  # bounded-lifetime: evicted beyond _LIVE_CAP
 
     def gen(batches):
+        limit_blas_threads()  # Spark tasks are the parallel unit
         ids_b, v = bc.value
         chunk = max(1, _GEMM_FLOATS // max(len(ids_b), 1))
         for pdf in batches:
@@ -325,6 +328,7 @@ def _blocked_gemm(
     both = u_side.unionByName(i_side.select(u_side.columns))
 
     def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         up = pdf[pdf["_side"] == 1]
         ip = pdf[pdf["_side"] == 0]
         if len(up) == 0 or len(ip) == 0:

@@ -53,6 +53,8 @@ try:  # by-value pickling (see recommenders/slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 
 def _sub_frame(embeddings: DataFrame, vec_col: str, dsub: int) -> DataFrame:
     """(vec_id, sub, pos, xq): fixed-point long frame with the subspace
@@ -229,6 +231,7 @@ def pq_adc_topk(
     kk = int(k)
 
     def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         empty = pd.DataFrame(
             {"vec_id": [], "neighbor_id": [], "cosine": []}
         ).astype(
@@ -376,6 +379,7 @@ def ivfpq_topk(
     kk = int(k)
 
     def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         empty = pd.DataFrame(
             {"vec_id": [], "neighbor_id": [], "cosine": []}
         ).astype(

@@ -49,6 +49,8 @@ try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
     _cp.register_pickle_by_value(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
+
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -271,6 +273,7 @@ def funk_svd_fit(
         def epoch_task(
             pdf: pd.DataFrame, *, _g=g_now, _gc=gc_now
         ) -> pd.DataFrame:
+            limit_blas_threads()  # Spark tasks are the parallel unit
             t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2"])
             empty = pd.DataFrame({"kind": [], "fid": [], "delta": []}).astype(
                 {"kind": "str", "fid": "int64"}
@@ -503,6 +506,7 @@ def asy_svd_fit(
         def epoch_task(
             pdf: pd.DataFrame, *, _g=g_now, _gc=gc_now
         ) -> pd.DataFrame:
+            limit_blas_threads()  # Spark tasks are the parallel unit
             t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2"])
             empty = pd.DataFrame({"kind": [], "fid": [], "delta": []}).astype(
                 {"kind": "str", "fid": "int64"}

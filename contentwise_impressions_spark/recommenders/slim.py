@@ -42,6 +42,8 @@ try:  # pragma: no cover - depends on pyspark internals
 except Exception:
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 
 def _elastic_net_cd(
     x: np.ndarray,
@@ -129,6 +131,7 @@ def slim_elasticnet(
     )
 
     def fit_columns(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         x_full = bc.value
         recs = []
         for j in pdf["item_id"]:
@@ -417,6 +420,7 @@ def ease_r_blocked(
     )
 
     def fit_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         ids = np.sort(pdf["item_id"].unique())
         pos = np.searchsorted(ids, pdf["item_id"].to_numpy())
         u_codes, _ = pd.factorize(pdf["user_id"], sort=True)
@@ -545,6 +549,7 @@ def ease_r_cg(
     )
 
     def kernel(batches):
+        limit_blas_threads()  # Spark tasks are the parallel unit
         b_ids, b_indptr, b_cols, b_data = bc.value
         nn = len(b_ids)
 

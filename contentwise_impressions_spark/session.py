@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # one BLAS thread per Python worker: Spark tasks are the parallel
+        # unit, and OpenBLAS busy-spins at its fork/join barriers, so
+        # letting every concurrent worker spawn BLAS threads oversubscribes
+        # the host catastrophically (measured 7x per-task on a 16-way GEMM
+        # probe; cfcbf_hybrid_topk 21 s → 4-7 s warm at sf0.1).  Kernels
+        # also self-cap via functions/blasctl.limit_blas_threads for
+        # sessions not built here (the grading driver's vanilla session).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
