@@ -27,3 +27,32 @@ def test_queries_and_oracles_aligned():
     os_ = mod.oracle_sql()
     assert qs, "no queries registered"
     assert set(os_) <= set(qs)
+
+
+def test_blas_limiter_caps_loaded_openblas():
+    """limit_blas_threads must cap the ALREADY-LOADED OpenBLAS runtime
+    (env vars alone only apply at library load) and be idempotent."""
+    import ctypes
+    import glob
+    import os
+
+    import numpy as np
+
+    from contentwise_impressions_spark.functions import blasctl
+
+    blasctl._DONE = False  # force a fresh run in this process
+    blasctl.limit_blas_threads()
+    blasctl.limit_blas_threads()  # idempotent second call
+    assert os.environ.get("OPENBLAS_NUM_THREADS") == "1"
+    libs = []
+    for d in np.__path__:
+        libs += glob.glob(
+            os.path.join(os.path.dirname(d), "numpy.libs", "*openblas*")
+        )
+    if libs:  # runtime check only where the bundled lib is present
+        h = ctypes.CDLL(libs[0])
+        getter = getattr(
+            h, "openblas_get_num_threads64_", None
+        ) or getattr(h, "openblas_get_num_threads", None)
+        if getter is not None:
+            assert getter() == 1
