@@ -34,6 +34,8 @@ try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
     _cp.register_pickle_by_value(sys.modules[__name__])
 except Exception:  # pragma: no cover
     pass
+
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -225,6 +227,7 @@ def bpr_mf_fit(
     _lr, _reg = float(lr), float(reg)
 
     def epoch_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2", "c"])
         empty = pd.DataFrame({"kind": [], "fid": [], "delta": []}).astype(
             {"kind": "str", "fid": "int64"}
@@ -507,6 +510,7 @@ def slim_bpr_fit_distributed(
     _lr, _rp, _rn = float(lr), float(reg_pos), float(reg_neg)
 
     def epoch_task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
         t = pdf[pdf["_tag"] == "t"].sort_values(["a", "b2", "c"])
         empty = pd.DataFrame({"item_l": [], "item_c": [], "d": []}).astype(
             {"item_l": "int64", "item_c": "int64", "d": "float64"}

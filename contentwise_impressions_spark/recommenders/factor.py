@@ -37,6 +37,8 @@ try:  # by-value pickling: executors need no PYTHONPATH (see slim.py note)
 except Exception:  # pragma: no cover
     pass
 
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
 
 def ials_factors(
     urm: DataFrame,
@@ -298,6 +300,7 @@ def _gram_small(fac: DataFrame, k: int) -> np.ndarray:
     schema = StructType([StructField("_g", ArrayType(DoubleType()))])
 
     def partial(batches):
+        limit_blas_threads()  # Spark tasks are the parallel unit
         acc = np.zeros((k, k))
         seen = False
         for pdf in batches:
