@@ -66,7 +66,7 @@ def _load_all_modules() -> None:
 #: Round-9 status: CORRECTNESS_r08 never landed (no driver correctness run
 #: recorded for round 8), so the round-8 front below is kept INTACT — its
 #: evidence debt (r8-new specs, r8-changed kernels, the six r2-vintage, all
-#: sixteen r3-vintage) is still open.  The twenty-five round-9 specs are
+#: sixteen r3-vintage) is still open.  The twenty-six round-9 specs are
 #: PREPENDED; to hold the 50 budget the youngest r4 rows roll to the r10 front
 #: (hopping_window_counts, itemknn_recommendations, hash_split_sizes,
 #: global_effects_user_bias), followed by the remaining r4 rows
@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "daily_value_gapfill",
     "cdc_final_state",
     "media_embedding_histogram",
+    "nation_weighted_median_price",
     "image_ahash_dedup",
     "dedup_survivors",
     "cluster_prototype_sample",

@@ -2323,3 +2323,93 @@ register(
         "for log replay)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median per group (cumulative-weight crossing): the
+# order-statistic aggregate SQL lacks natively, as one window pass
+# ---------------------------------------------------------------------------
+def q_nation_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price per supplier nation: the
+    smallest price whose cumulative quantity reaches half the nation's
+    total — the weighted-median definition, computed distributed.
+
+    Scale shape: ONE shuffle keys everything on (nation): the running
+    quantity is a cumulative window ordered by (price, orderkey,
+    linenumber) — a total order, so the crossing row is unique — and the
+    per-nation total rides the same partition as a window aggregate (no
+    second shuffle, no scalar-subquery join).  The crossing filter and
+    the final min() are narrow.  This is the two-pass-free formulation:
+    sort-once per group, no all-pairs rank join, no driver collect.
+    """
+    utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    priced = li.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation),
+                supplier.s_nationkey == nation.n_nationkey,
+            ).select("s_suppkey", "n_name")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    run = (
+        Window.partitionBy("n_name")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("n_name")
+    crossed = (
+        priced.withColumn("cum_qty", F.sum("l_quantity").over(run))
+        .withColumn("tot_qty", F.sum("l_quantity").over(whole))
+        .filter(F.col("cum_qty") * 2 >= F.col("tot_qty"))
+    )
+    return (
+        crossed.groupBy("n_name")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tot_qty").alias("total_qty"),
+        )
+        .orderBy("n_name")
+    )
+
+
+register(
+    QuerySpec(
+        "nation_weighted_median_price",
+        q_nation_weighted_median_price,
+        """
+        WITH priced AS (
+            SELECT n_name, l_extendedprice, l_quantity,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        ),
+        crossed AS (
+            SELECT n_name, l_extendedprice,
+                   SUM(l_quantity) OVER (
+                       PARTITION BY n_name
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_qty,
+                   SUM(l_quantity) OVER (PARTITION BY n_name) AS tot_qty
+            FROM priced
+        )
+        SELECT n_name,
+               MIN(l_extendedprice) AS weighted_median_price,
+               MIN(tot_qty) AS total_qty
+        FROM crossed
+        WHERE cum_qty * 2 >= tot_qty
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+        doc="exact weighted median per group: cumulative-weight crossing "
+        "in one nation-keyed shuffle (running + whole-partition windows "
+        "share the sort), no rank self-join",
+    )
+)
