@@ -36,6 +36,10 @@ ALLOWED_UNCAST = {
     # o_totalprice is DOUBLE: DuckDB sums doubles as DOUBLE (the HUGEINT
     # promotion only bites integer inputs); strict parity green at sf0.001
     ("rolling_7d_revenue", "SUM(o_totalprice) OVER"),
+    # l_quantity is DOUBLE (same benign case as rolling_7d_revenue); the
+    # running/total sums feed only the crossing filter and the float
+    # total_qty output; strict parity green at sf0.001 and sf0.01 (r9)
+    ("nation_weighted_median_price", "SUM(l_quantity) OVER"),
 }
 
 
