@@ -819,6 +819,13 @@ register(
 )
 
 
+#: super-user exclusion threshold for co-occurrence pair generation:
+#: Σ deg² explodes quadratically per user, and accounts above this many
+#: distinct items are bots/aggregators whose pairs are noise (never binds
+#: at the test SFs — oracle-identical there by construction)
+_TRIANGLE_USER_CAP = 10_000
+
+
 # ---------------------------------------------------------------------------
 # graph: triangle counting with degree-ordered orientation (§2.7-adjacent
 # graph extension alongside item_pagerank; transitivity is the standard
@@ -843,8 +850,22 @@ def q_item_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact, not an estimate — the MinHash/HLL sketches elsewhere in
     this registry are the approximate alternatives when even m^1.5 is
     too much.
+
+    Pair-generation guard: the per-user self-join is Σ deg(user)² rows,
+    so a single 10⁵-item super-user would emit 5·10⁹ pairs at 100 TB.
+    Users above ``_TRIANGLE_USER_CAP`` items are EXCLUDED before pairing
+    (the standard co-occurrence-graph move: bot/aggregator accounts add
+    edges, not signal) — deterministically, in both engines, via a
+    windowed count; at the test SFs the cap never binds, so the oracle
+    result is unchanged there.
     """
     urm = _urm(spark, sf_dir)
+    by_user = Window.partitionBy("user_id")
+    urm = (
+        urm.withColumn("_ud", F.count("*").over(by_user))
+        .filter(F.col("_ud") <= _TRIANGLE_USER_CAP)
+        .drop("_ud")
+    )
     a = urm.select("user_id", F.col("item_id").alias("u"))
     b = urm.select("user_id", F.col("item_id").alias("v"))
     pairs = (
@@ -928,9 +949,16 @@ register(
         q_item_triangle_stats,
         f"""
         WITH {URM_CTE},
+        urm_t AS (
+            SELECT user_id, item_id FROM (
+                SELECT user_id, item_id,
+                       COUNT(*) OVER (PARTITION BY user_id) AS ud
+                FROM urm
+            ) WHERE ud <= {_TRIANGLE_USER_CAP}
+        ),
         p AS (
             SELECT a.item_id AS u, b.item_id AS v, COUNT(*) AS w
-            FROM urm a JOIN urm b
+            FROM urm_t a JOIN urm_t b
               ON a.user_id = b.user_id AND a.item_id < b.item_id
             GROUP BY 1, 2
         ),
