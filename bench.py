@@ -166,6 +166,16 @@ def main() -> None:
             )
             extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
             extras["eval_sec_best_of_3"] = round(eval_sec, 4)
+            # methodology note (round-9 → round-10 change): the headline
+            # eval_users_per_sec became best-of-3 in round 9 while rounds
+            # 1-8 recorded the single in-suite sample — keep the raw
+            # in-suite number too so cross-round comparisons stay
+            # like-for-like with the early artifacts
+            in_suite = timings.get("toppop_eval_metrics")
+            if in_suite:
+                extras["eval_users_per_sec_in_suite"] = round(
+                    n_users / in_suite, 1
+                )
         except Exception as exc:
             errors["eval_users_per_sec"] = f"{type(exc).__name__}: {exc}"[:500]
             extras["errors"] = errors

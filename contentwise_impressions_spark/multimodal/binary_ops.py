@@ -593,8 +593,11 @@ def sample_frames(
         "frame_idx",
         "frame_ts_ms",
         F.expr(
+            # offset in BIGINT: at real scale (large frames x long videos)
+            # frame_idx * frame_bytes overflows 32-bit int before substring
             "substring(media_bytes, "
-            "frame_idx * int(media_meta.width * media_meta.height) + 1, "
+            "cast(frame_idx as bigint)"
+            " * bigint(media_meta.width * media_meta.height) + 1, "
             "int(media_meta.width * media_meta.height))"
         ).alias("media_bytes"),
         F.struct(

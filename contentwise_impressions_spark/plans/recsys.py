@@ -868,12 +868,18 @@ def q_item_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = urm.select("user_id", F.col("item_id").alias("u"))
     b = urm.select("user_id", F.col("item_id").alias("v"))
-    pairs = (
-        a.join(b, "user_id")
+    # both co-occurrence pairs and the thresholded edge set feed several
+    # branches; persist via the session payload registry so the blocks
+    # are reclaimed by release_session_payloads, not left to LRU
+    pairs = shared.materialized(
+        spark,
+        sf_dir,
+        "triangle_pairs",
+        lambda: a.join(b, "user_id")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-    ).persist()
+        .agg(F.count("*").alias("w")),
+    )
     # scale-adaptive edge selection: keep pairs whose co-occurrence count
     # is STRICTLY above the 75th percentile of all pair counts.  A fixed
     # absolute threshold degenerates with SF (more users push every pair
@@ -885,12 +891,14 @@ def q_item_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = pairs.agg(
         F.expr("percentile(w, 0.75)").alias("w_cut")
     )
-    edges = (
-        pairs.crossJoin(F.broadcast(cut))
+    edges = shared.materialized(
+        spark,
+        sf_dir,
+        "triangle_edges",
+        lambda: pairs.crossJoin(F.broadcast(cut))
         .filter(F.col("w") > F.col("w_cut"))
-        .select("u", "v")
+        .select("u", "v"),
     )
-    edges = edges.persist()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))

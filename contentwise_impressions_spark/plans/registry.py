@@ -73,62 +73,18 @@ def _load_all_modules() -> None:
 #: (minhash×3, item_pagerank, ngram_jaccard_topn … zorder_layout_stats)
 #: and the oldest r5 rows.
 DRIVER_PRIORITY: list[str] = [
-    # new in round 9 — zero driver evidence yet
-    "stream_view_click_pairs",
-    "rolling_7d_revenue",
-    "bloom_prejoin_stats",
-    "order_priority_rollup",
-    "local_supplier_volume",
-    "item_triangle_stats",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "dormant_rich_customers",
-    "excess_stock_suppliers",
+    # --- round-10 front (driver verifies in order, budget 50/round) ---
+    # NEW in round 10 — zero driver evidence yet
+    "stream_popularity_store",
+    # kernels changed in round 10 (BFS edge build + size-gated broadcast
+    # traversal; excess-stock / triangle persists routed through the
+    # session payload registry) -> must re-enter the gate
     "part_bfs_hops",
-    "user_state_history",
-    "video_frame_stats",
-    "token_chi2_topk",
-    "daily_value_gapfill",
-    "cdc_final_state",
-    "media_embedding_histogram",
-    "nation_weighted_median_price",
-    "image_ahash_dedup",
-    "dedup_survivors",
-    "cluster_prototype_sample",
-    "stream_dedup_events",
-    "hll_distinct_sketch",
-    "countmin_heavy_hitters",
-    "weighted_sample_topk",
-    # new in round 8 — zero driver evidence yet
-    "mf_serving_topk",
-    "mf_serving_topk_blocked",
-    "funk_svd_epoch0_stream",
-    "stream_sessionization_counts",
-    "ann_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # kernels/gates changed in round 8 (mf_topk, ALS float64, ease_r gate,
-    # portable MF-SGD bucketing)
-    "ials_recommendations",
-    "bpr_mf_recommendations",
-    "funk_svd_recommendations",
-    "asy_svd_recommendations",
-    "model_quality_gates",
-    "rating_model_quality_gates",
-    "ease_r_weights",
-    "ease_r_cg_weights",
-    # r2-vintage driver evidence (5 rounds stale) — refresh
-    "item_cosine_topk",
-    "exact_dedup_docs",
-    "doc_token_stats",
-    "doc_quality",
-    "langid",
-    "tag_tokens",
-    # r3-vintage — refresh (all 16)
-    "ann_ivf_assignments",
-    "ann_lsh_buckets",
-    "bm25_weights",
+    "excess_stock_suppliers",
+    "item_triangle_stats",
+    # the ONLY oracled query with zero driver evidence in rounds 1-9
+    "stream_tumbling_counts",
+    # r3-vintage evidence (6 rounds stale) -- all thirteen
     "click_attribution",
     "click_position_heatmap",
     "cold_entities",
@@ -142,18 +98,46 @@ DRIVER_PRIORITY: list[str] = [
     "impression_urm",
     "simhash_neardup_pairs",
     "view_to_click_conversions",
-    # oldest r4-vintage — refresh up to the 50 budget
+    # r4-vintage -- the twelve rows the round-9 verdict called out by name
+    # (rolled from the r8/r9 fronts), then the rest up to the 50 budget
+    "doc_bpe_token_stats",
+    "doc_packing_stats",
+    "global_effects_item_bias",
+    "global_effects_user_bias",
+    "hash_split_sizes",
+    "hopping_window_counts",
+    "itemknn_recommendations",
+    "minhash_dedup_clusters",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "item_pagerank",
+    "ngram_jaccard_topn",
     "bm25_weighted_itemknn",
     "bpr_triplets_inside",
     "centered_similarities",
     "confidence_matrix",
     "corpus_bigrams",
     "diversity_similarity",
-    # (doc_bpe_token_stats / doc_packing_stats / global_effects_item_bias /
-    # global_effects_user_bias / hash_split_sizes / hopping_window_counts /
-    # itemknn_recommendations roll to the r10 front to hold the 50 budget,
-    # joining minhash_dedup_clusters / minhash_lsh_candidates /
-    # minhash_signatures which rolled from r8)
+    "p3alpha_topk",
+    "pii_scrub_stats",
+    "props_json_stats",
+    "remove_top_popular",
+    "rmse_global_effects",
+    "rp3beta_topk",
+    "simhash_fingerprints",
+    "stratified_sample_sizes",
+    "tfidf_weights",
+    "toppop_beyond_accuracy",
+    "toppop_eval_metrics",
+    "toppop_eval_multi_cutoff",
+    "toppop_recommendations",
+    "tumbling_window_counts",
+    # (user_holdout_sizes / user_sessions / weighted_ndcg /
+    # zorder_layout_stats -- the youngest remaining r4 rows -- roll to the
+    # r11 front together with the forty r5-vintage rows; ledger derived
+    # from the CORRECTNESS_r0{1..9}.json key sets: after this round every
+    # query's driver evidence is r7+ except those, and new r10 specs are
+    # prepended above as they land)
 ]
 
 

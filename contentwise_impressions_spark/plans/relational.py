@@ -16,6 +16,7 @@ from ..operators.topk import top_k_global, top_k_per_group
 from ..sources.interactions import events_as_interactions
 from ..sources.tables import load_table
 from .registry import QuerySpec, register, utc
+from .shared import materialized
 
 
 # ---------------------------------------------------------------------------
@@ -1163,8 +1164,10 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's portable hash, so the estimate itself is a deterministic
     function of the data and a DuckDB twin reproduces it bit-for-bit:
 
-    * register = h % m, payload w = h // m, rho = 25 − bitlength(w)
-      (LENGTH(BIN(w)) — exact integer ops, no log floats);
+    * payload w = the hash's LOW ``_HLL_WBITS`` (20) bits, register =
+      the NEXT 6 bits mod m, rho = ``_HLL_RHO_MAX`` (21) − bitlength(w)
+      (LENGTH(BIN(w)) — exact integer ops, no log floats; see the
+      constants block above for why the dyadic slice beats h // m);
     * register term 1/2^Mj via integer shift + division — every term an
       exact power of two, so the 64-term sum is EXACT in any addition
       order (partial sums need ≤ 31 mantissa bits);
@@ -1320,7 +1323,8 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives for never touching per-key state.
 
     The mergeable-counter shape at 100 TB: the d×w counter table
-    (3×256 rows) partial-aggregates map-side and merges by addition
+    (``len(_CM_PAIRS)`` × ``_CM_W`` = 3×1024 rows) partial-aggregates
+    map-side and merges by addition
     across any partitioning; probing broadcast-joins the tiny sketch
     back to the candidate keys, so the only data-scale shuffle is the
     candidate key list itself.  Every hash is the engine's portable mix,
@@ -1980,13 +1984,20 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
-    shipped = (
-        li.join(F.broadcast(red.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    # both the threshold and the main branch consume this ≤|suppliers|-row
+    # aggregate; persisting it keeps the fact slice to ONE scan — routed
+    # through the session payload registry so release_session_payloads
+    # reclaims the blocks instead of leaving them to LRU eviction
+    shipped = materialized(
+        spark,
+        sf_dir,
+        "excess_stock_shipped",
+        lambda: li.join(
+            F.broadcast(red.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("shipped_qty"))
-        # both the threshold and the main branch consume this ≤|suppliers|-row
-        # aggregate; persisting it keeps the fact slice to ONE scan
-        .persist()
+        .agg(F.sum("l_quantity").alias("shipped_qty")),
     )
     thresh = shipped.agg(F.avg("shipped_qty").alias("avg_qty"))
     supplier = load_table(spark, sf_dir, "supplier")
@@ -2038,42 +2049,89 @@ def q_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-hop distance (≤ 4) from the smallest co-ordered part to every
     part reachable through the "appeared in the same order" graph.
 
-    Scale shape — level-synchronous BFS as bounded join iteration: the
-    edge list is built once (one shuffle on orderkey, per-order pair
-    expansion bounded by ~lines-per-order², then distinct) and persisted;
-    each of the 4 levels is ONE equi-join frontier⋈edges + distinct, so
-    the whole traversal is 4 bounded shuffles keyed on part id.  Levels
-    are unioned and min-hop reduced at the end instead of anti-join
-    visited-pruning per level — with a constant hop bound the re-reached
-    nodes cost one extra |V| distinct, not a scan; the unbounded-depth
-    variant with large-star/small-star pruning lives in
-    operators/dedup.py:connected_components.  The seed is a 1-row
-    aggregate attached by a real column equi-join (BroadcastHashJoin,
-    not a nested loop).
+    Scale shape — level-synchronous BFS as bounded join iteration:
+
+    * the edge list is built once — ONE shuffle (groupBy orderkey →
+      collect_set, vs the self-join's two shuffle writes of the same
+      scan), pair expansion map-side via nested explode bounded by
+      lines-per-order², then distinct — and persisted through the
+      session payload registry, so the multi-million-row edge side is
+      never re-shuffled (the round-9 plan re-exchanged it every level:
+      4 full-edge shuffles, 8.5 s at sf0.1);
+    * each level = one size-gated BROADCAST join frontier⋈edges (the
+      frontier is the active node set — part ids, counted exactly after
+      its cache materializes — so while it stays under the gate the edge
+      side is probed in place, map-side, with zero movement), then a
+      frontier-sized distinct and an anti-join against the visited set
+      so re-reached nodes never re-expand; a frontier that outgrows the
+      gate falls back to an equi-join against a once-repartitioned edge
+      copy, where only the frontier moves — the hop-unbounded regime
+      belongs to operators/dedup.py:connected_components
+      (large-star/small-star);
+    * per-level frontiers persist via the same registry (each is read by
+      the next level's expansion, the anti-join chain, and the final
+      union), so release_session_payloads reclaims every block;
+    * with exact visited pruning every node lands in exactly one level,
+      so the final min-hop groupBy is a cheap invariant that keeps the
+      output contract identical to the recursive-CTE oracle.
     """
     utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    half = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    edges = half.unionAll(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    frontier = edges.agg(F.min("src").alias("node")).persist()
-    levels = [frontier.withColumn("hop", F.lit(0))]
-    for h in range(1, 5):
-        frontier = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .persist()
+
+    def build_edges() -> DataFrame:
+        grp = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("ps")
         )
+        half = (
+            grp.select(F.explode("ps").alias("src"), "ps")
+            .select("src", F.explode("ps").alias("dst"))
+            .filter(F.col("src") < F.col("dst"))
+            .distinct()
+        )
+        return half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    bcast_max = 5_000_000  # ~40 MB of bigint node ids per executor
+    edges = materialized(spark, sf_dir, "bfs_edges", build_edges)
+    frontier = materialized(
+        spark,
+        sf_dir,
+        "bfs_frontier_0",
+        lambda: edges.agg(F.min("src").alias("node")),
+    )
+    n_frontier = n_visited = frontier.count()  # materializes the cache
+    levels = [frontier.withColumn("hop", F.lit(0))]
+    visited = frontier
+    for h in range(1, 5):
+        if n_frontier <= bcast_max:
+            probe, edge_side = F.broadcast(frontier), edges
+        else:
+            probe = frontier
+            edge_side = materialized(
+                spark,
+                sf_dir,
+                "bfs_edges_by_src",
+                lambda: edges.repartition("src"),
+            )
+        expanded = probe.join(
+            edge_side, frontier.node == edge_side.src
+        ).select(F.col("dst").alias("node"))
+        seen = F.broadcast(visited) if n_visited <= bcast_max else visited
+        frontier = materialized(
+            spark,
+            sf_dir,
+            f"bfs_frontier_{h}",
+            lambda e=expanded, s=seen: e.distinct().join(
+                s, "node", "left_anti"
+            ),
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:  # traversal exhausted before the hop bound
+            break
+        n_visited += n_frontier
         levels.append(frontier.withColumn("hop", F.lit(h)))
+        visited = visited.unionAll(frontier)
     reached = levels[0]
     for lv in levels[1:]:
         reached = reached.unionAll(lv)

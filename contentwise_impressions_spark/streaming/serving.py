@@ -57,6 +57,7 @@ def maintain_popularity_store(
     store_path: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
+    available_now: bool = False,
 ):
     """Start a stream that keeps an item-popularity serving table fresh.
 
@@ -65,6 +66,10 @@ def maintain_popularity_store(
     state-store aggregation emits updated (item_id, popularity) rows; the
     sink merges them over the previous snapshot (new version directory),
     then atomically repoints ``CURRENT``.
+
+    ``available_now=True`` drains every available input then stops — the
+    bounded-run shape used for driver evidence and backfills; the default
+    keeps the maintenance stream live.
     """
     os.makedirs(store_path, exist_ok=True)
     from .ingest import as_event_time
@@ -97,9 +102,11 @@ def maintain_popularity_store(
             fh.write(new_dir)
         os.replace(tmp, os.path.join(store_path, _PTR))
 
-    return (
+    writer = (
         agg.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(upsert)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
