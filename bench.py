@@ -52,6 +52,30 @@ def _cpu_share(t0: list[int] | None, t1: list[int] | None) -> dict | None:
     }
 
 
+#: queries whose in-suite cost exceeds this get two extra warm re-runs
+#: (best recorded under ``slow_query_best_of_3``) plus a GEMM probe —
+#: round-9 adjudication: identical code swung 1-15x between runs on this
+#: VM, so a single sample can neither prove nor clear a regression
+SLOW_RERUN_SEC = 3.0
+
+
+def _gemm_probe() -> float:
+    """Driver-side 512x512 float64 GEMM wall-clock with the process's
+    current BLAS threading — a host-contention canary recorded next to
+    each slow query's best-of-3, so a regression can't hide in (or be
+    invented by) host noise.  ~0.27 GFLOP: ~0.01 s on a quiet host,
+    10x+ that under the CPU-steal/oversubscription episodes rounds 5-9
+    kept adjudicating."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+    t0 = time.perf_counter()
+    (a @ b).sum()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -105,20 +129,24 @@ def main() -> None:
     errors: dict[str, str] = {}
     warmups = bench_warmups()
     warmup_timings: dict[str, float] = {}
+    slow_best_of_3: dict[str, float] = {}
+    gemm_probes: dict[str, float] = {}
+    t_reruns = 0.0
     t_all = time.perf_counter()
     ticks0 = _cpu_ticks()
     for fam in fam_order:
         # family build line: materialize the family's SHARED payloads once,
         # timed separately, so per-query numbers reflect plan cost rather
         # than first-touch build attribution (total still includes it)
-        if fam in warmups:
+        for wkey in [k for k in warmups if k == fam or k.startswith(f"{fam}/")]:
             t0 = time.perf_counter()
             try:
-                warmups[fam](spark, sf_dir)
-                warmup_timings[fam] = round(time.perf_counter() - t0, 4)
+                warmups[wkey](spark, sf_dir)
+                warmup_timings[wkey] = round(time.perf_counter() - t0, 4)
             except Exception as exc:
-                errors[f"warmup:{fam}"] = f"{type(exc).__name__}: {exc}"[:500]
-        for name in sorted(n for n in queries if families.get(n, "misc") == fam):
+                errors[f"warmup:{wkey}"] = f"{type(exc).__name__}: {exc}"[:500]
+        fam_names = sorted(n for n in queries if families.get(n, "misc") == fam)
+        for name in fam_names:
             t0 = time.perf_counter()
             try:
                 df = queries[name](spark, sf_dir)
@@ -128,8 +156,32 @@ def main() -> None:
                 timings[name] = round(time.perf_counter() - t0, 4)
             except Exception as exc:  # one broken query must not erase the round
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # slow-query pinning: re-run >SLOW_RERUN_SEC queries twice more
+        # while the family's shared payloads are still warm.  The in-suite
+        # number above stays the headline (wall-clock honesty); the WARM
+        # best-of-3 is the kernel cost to compare across rounds, and the
+        # probe timestamps host contention at that moment.  Re-run time is
+        # excluded from the suite total so `value` stays comparable with
+        # rounds 1-9.
+        for name in fam_names:
+            if timings.get(name, 0.0) <= SLOW_RERUN_SEC:
+                continue
+            t_r = time.perf_counter()
+            best = timings[name]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception:
+                    break
+            slow_best_of_3[name] = round(best, 4)
+            gemm_probes[name] = _gemm_probe()
+            t_reruns += time.perf_counter() - t_r
         release_session_payloads(spark)
-    total = round(time.perf_counter() - t_all, 4)
+    total = round(time.perf_counter() - t_all - t_reruns, 4)
     cpu = _cpu_share(ticks0, _cpu_ticks())
 
     # derived throughput for the baseline comparison: the reference's
@@ -142,6 +194,10 @@ def main() -> None:
         extras["host_cpu"] = cpu
     if warmup_timings:
         extras["family_warmup"] = warmup_timings
+    if slow_best_of_3:
+        extras["slow_query_best_of_3"] = slow_best_of_3
+        extras["slow_query_gemm_probe"] = gemm_probes
+        extras["slow_query_rerun_sec"] = round(t_reruns, 4)
     if errors:
         extras["errors"] = errors
     if eval_sec:

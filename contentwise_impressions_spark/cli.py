@@ -75,16 +75,20 @@ def run_tuning(sf_dir: str, history_dir: str | None = None) -> None:
     tagged = deterministic_split(urm, "user_id", "item_id", [0.7, 0.1, 0.2])
     train = tagged.filter(F.col("split") == 0).select("user_id", "item_id").cache()
     val = tagged.filter(F.col("split") == 1).select("user_id", "item_id").cache()
+    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
 
-    def objective(p):
-        train_v = train.withColumn("value", F.lit(1.0))
+    def fit_eval(fit_pairs, holdout, p):
+        train_v = fit_pairs.withColumn("value", F.lit(1.0))
         w = similarity_top_k(
             similarity_scores(train_v, p["kind"], shrink=p["shrink"]), p["top_k"]
         ).select("item_i", "item_j", "sim")
         recs = recommend_top_k(
-            item_based_scores(train_v, w), 10, train=train, round_digits=9
+            item_based_scores(train_v, w), 10, train=fit_pairs, round_digits=9
         ).select("user_id", "item_id", "rank")
-        return ranking_metrics(recs, val, cutoff=10).collect()[0]["map"]
+        return ranking_metrics(recs, holdout, cutoff=10).collect()[0]["map"]
+
+    def objective(p):
+        return fit_eval(train, val, p)
 
     space = {
         "top_k": Integer(5, 50),
@@ -108,6 +112,10 @@ def run_tuning(sf_dir: str, history_dir: str | None = None) -> None:
         best, hist = random_search(space, objective, n_cases=8, seed=42)
     print(results_table({"ItemKNNCF": hist}).to_string(index=False))
     print("best:", json.dumps(best))
+    # last-test refit (SearchBayesianSkopt's evaluate_on_test="last"):
+    # retrain on train+validation with the winning params, report test MAP
+    test_map = fit_eval(train.unionAll(val), test, best)
+    print("refit test MAP@10:", test_map)
 
 
 def run_results_gathering(history_dir: str) -> None:

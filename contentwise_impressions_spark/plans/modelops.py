@@ -1286,3 +1286,113 @@ register(
         bench=False,
     )
 )
+
+
+def q_tuning_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_hyperparameter_tuning END-TO-END through the driver gate:
+    deterministic 70/10/20 split -> seeded random search (4 cases) over
+    ItemKNN (similarity kind, top_k, shrink) scored by validation MAP@10
+    -> last-test REFIT on train+validation with the winning params ->
+    test MAP, returned as ONE pinned result table (search history rows
+    + a refit row).
+
+    Reference flow: run_hyperparameter_tuning.py ->
+    SearchBayesianSkopt (ParameterTuning/SearchBayesianSkopt.py:21-271)
+    with the last-test refit + results gathering; CLI parity:
+    ``cwi-spark tuning`` drives the same search/refit path
+    (cli.py:run_tuning).
+
+    Rows-only BY DESIGN: the search loop is driver-orchestrated — each
+    case is a full distributed fit+evaluate and the sampler consumes a
+    seeded RNG, so no SQL twin can replay it.  Gated instead by
+    tests/test_tuning.py: table shape, seed-determinism of the chosen
+    params, and a refit-quality floor.
+
+    Scale shape: each case runs the same distributed ItemKNN fit and
+    one-pass evaluator as the standalone queries; only ONE scalar metric
+    per case ever reaches the driver, and search state is O(n_cases).
+    """
+    from ..evaluation.metrics import ranking_metrics
+    from ..operators.scoring import item_based_scores, recommend_top_k
+    from ..operators.similarity import similarity_scores, similarity_top_k
+    from ..operators.splits import deterministic_split
+    from ..tuning import Categorical, Integer, Real, random_search
+
+    utc(spark)
+    tagged = shared.materialized(
+        spark,
+        sf_dir,
+        "tuning_split",
+        lambda: deterministic_split(
+            _urm(spark, sf_dir), "user_id", "item_id", [0.7, 0.1, 0.2]
+        ),
+    )
+    train = tagged.filter(F.col("split") == 0).select("user_id", "item_id")
+    val = tagged.filter(F.col("split") == 1).select("user_id", "item_id")
+    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
+
+    def fit_eval(fit_pairs: DataFrame, holdout: DataFrame, p: dict) -> float:
+        train_v = fit_pairs.withColumn("value", F.lit(1.0))
+        w = similarity_top_k(
+            similarity_scores(train_v, p["kind"], shrink=p["shrink"]),
+            p["top_k"],
+        ).select("item_i", "item_j", "sim")
+        recs = recommend_top_k(
+            item_based_scores(train_v, w), 10, train=fit_pairs, round_digits=9
+        ).select("user_id", "item_id", "rank")
+        return float(
+            ranking_metrics(recs, holdout, cutoff=10).collect()[0]["map"]
+        )
+
+    space = {
+        "top_k": Integer(5, 25),
+        "shrink": Real(0.0, 10.0),
+        "kind": Categorical(("cosine", "jaccard", "dice")),
+    }
+    best, hist = random_search(
+        space, lambda p: fit_eval(train, val, p), n_cases=4, seed=42
+    )
+    refit_map = fit_eval(train.unionAll(val), test, best)
+    rows = [
+        (
+            "search",
+            int(r["case"]),
+            str(r["param_kind"]),
+            int(r["param_top_k"]),
+            float(r["param_shrink"]),
+            float(r["metric"]),
+            bool(r["is_best"]),
+            None,
+        )
+        for _, r in hist.iterrows()
+    ]
+    rows.append(
+        (
+            "refit",
+            None,
+            str(best["kind"]),
+            int(best["top_k"]),
+            float(best["shrink"]),
+            None,
+            True,
+            float(refit_map),
+        )
+    )
+    schema = (
+        "phase string, case_id int, kind string, top_k int, shrink double,"
+        " val_map double, is_best boolean, test_map double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+register(
+    QuerySpec(
+        "tuning_end_to_end",
+        q_tuning_end_to_end,
+        None,
+        doc="hyperparameter search -> last-test refit -> test metrics as "
+        "one composite run (run_hyperparameter_tuning.py / "
+        "SearchBayesianSkopt.py:21-271 flow); rows-only, pytest-gated",
+        bench=False,
+    )
+)

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-10 front (driver verifies in order, budget 50/round) ---
     # NEW in round 10 — zero driver evidence yet
     "stream_popularity_store",
+    "tuning_end_to_end",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -131,10 +132,10 @@ DRIVER_PRIORITY: list[str] = [
     "toppop_eval_metrics",
     "toppop_eval_multi_cutoff",
     "toppop_recommendations",
-    "tumbling_window_counts",
-    # (user_holdout_sizes / user_sessions / weighted_ndcg /
-    # zorder_layout_stats -- the youngest remaining r4 rows -- roll to the
-    # r11 front together with the forty r5-vintage rows; ledger derived
+    # (tumbling_window_counts / user_holdout_sizes / user_sessions /
+    # weighted_ndcg / zorder_layout_stats -- the youngest remaining r4
+    # rows -- roll to the r11 front together with the forty r5-vintage
+    # rows; ledger derived
     # from the CORRECTNESS_r0{1..9}.json key sets: after this round every
     # query's driver evidence is r7+ except those, and new r10 specs are
     # prepended above as they land)
@@ -203,6 +204,16 @@ def bench_warmups() -> dict[str, Callable[[SparkSession, str], None]]:
         "selectionops",
     ):
         mod = importlib.import_module(f".{modname}", __package__)
+        # a module exposes either one `bench_warmup` callable or a
+        # `BENCH_WARMUPS` dict of labeled parts (keyed "<family>/<label>"
+        # here) so big build blocks get their own timing line and a
+        # regression localizes to the part that moved (round-9 verdict:
+        # the single 13.6 s dedupops line hid which payload grew)
+        parts = getattr(mod, "BENCH_WARMUPS", None)
+        if parts:
+            for label, fn in parts.items():
+                out[f"{modname}/{label}"] = fn
+            continue
         fn = getattr(mod, "bench_warmup", None)
         if fn is not None:
             out[modname] = fn

@@ -41,9 +41,13 @@ def test_family_warmups_cover_shared_payload_modules(spark):
     from contentwise_impressions_spark.plans.registry import bench_warmups
 
     warmups = bench_warmups()
-    for fam in ("recsys", "mlops", "modelops", "cbfops", "dedupops",
+    for fam in ("recsys", "mlops", "modelops", "cbfops",
                 "textops", "selectionops"):
         assert fam in warmups, fam
+    # dedupops splits its warmup into labeled parts (LSH pair
+    # materialization vs ANN/PQ index builds) so regressions localize
+    for part in ("dedupops/lsh", "dedupops/ann_index"):
+        assert part in warmups, part
     release_session_payloads(spark)
     warmups["cbfops"](spark, SF)
     assert blocked_topk._CACHE  # the kernel payloads are pre-built

@@ -220,3 +220,42 @@ def test_bayesian_search_resumable(tmp_path):
     assert len(calls) == n_first + 6
     assert hist2["resumed"].sum() == 18
     assert hist2["metric"].max() >= full_hist["metric"].max()
+
+
+def test_tuning_end_to_end_composite(spark, sf01_dir):
+    """Driver-gate composite (tuning_end_to_end): table shape, seeded
+    determinism of the chosen configuration, and a refit-quality floor.
+    Runs at sf0.01 — the sf0.001 interaction log is too sparse for ANY
+    top-10 recommendation to hit the 20% holdout (test MAP 0 for every
+    model), which would make the quality floor vacuous."""
+    from contentwise_impressions_spark.plans.modelops import q_tuning_end_to_end
+    from contentwise_impressions_spark.plans.shared import (
+        release_session_payloads,
+    )
+
+    out = q_tuning_end_to_end(spark, sf01_dir).toPandas()
+    assert list(out.columns) == [
+        "phase", "case_id", "kind", "top_k", "shrink",
+        "val_map", "is_best", "test_map",
+    ]
+    search = out[out["phase"] == "search"]
+    refit = out[out["phase"] == "refit"]
+    assert len(search) == 4 and len(refit) == 1
+    # the refit row carries the winning search configuration
+    best = search[search["is_best"]].iloc[-1]
+    r = refit.iloc[0]
+    assert (r["kind"], r["top_k"]) == (best["kind"], best["top_k"])
+    assert abs(r["shrink"] - best["shrink"]) < 1e-12
+    # quality floor: training on 80% against the 20% holdout must rank
+    # SOMETHING (MAP > 0 — a broken fit or empty refit would be 0/NaN)
+    assert r["test_map"] > 0.0
+    # seeded determinism: a fresh run (payload caches dropped) picks the
+    # identical parameter sequence and metrics (rtol for float agg order)
+    release_session_payloads(spark)
+    out2 = q_tuning_end_to_end(spark, sf01_dir).toPandas()
+    assert out2["kind"].tolist() == out["kind"].tolist()
+    assert out2["top_k"].tolist() == out["top_k"].tolist()
+    for col in ("shrink", "val_map", "test_map"):
+        a = out[col].astype(float).fillna(-1.0)
+        b = out2[col].astype(float).fillna(-1.0)
+        assert ((a - b).abs() < 1e-9).all(), col
