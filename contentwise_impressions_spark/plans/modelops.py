@@ -961,6 +961,95 @@ register(
 )
 
 
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment through the LIVE engine: the
+    event stream joined to the static customer dimension, then a
+    watermarked tumbling-window aggregation per (hour, market segment,
+    event type) — the canonical streaming-ETL front door (enrich first,
+    aggregate second).
+
+    The stream-side join is STATELESS: the dimension is a batch relation
+    broadcast into every micro-batch (no stream-stream buffering, no
+    watermark requirement on the join itself — only the downstream
+    window aggregation needs one), which is why stream-static is the
+    recommended enrichment shape at any scale: dimension updates ship as
+    new broadcast snapshots, state stays bounded by open windows only.
+    Emission is deterministic (append mode, window_end <= final
+    watermark, same eviction predicate pinned for stream_tumbling) so a
+    batch join + windowed-agg SQL twin reproduces it exactly.
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        as_event_time,
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    enriched = (
+        as_event_time(src)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), "user_id")
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_mktsegment",
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    out = run_stream_once(agg, "stream_enrich")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_enriched_counts",
+        q_stream_enriched_counts,
+        """
+        WITH j AS (
+            SELECT e.ts, e.event_type, e.value, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ),
+        agg AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   c_mktsegment, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(value) AS sum_value
+            FROM j GROUP BY 1, 2, 3
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR
+                       AS w
+            FROM events
+        )
+        SELECT window_start, c_mktsegment, event_type, cnt, sum_value
+        FROM agg, wm WHERE window_start + INTERVAL 1 HOUR <= w
+        """,
+        doc="live-engine stream-static broadcast enrichment join + "
+        "watermarked tumbling agg; append emission == batch join twin",
+    )
+)
+
+
 def q_stream_popularity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-popularity SERVING STORE maintained by the live streaming
     engine (streaming/serving.py: update-mode aggregation → foreachBatch

@@ -77,6 +77,12 @@ DRIVER_PRIORITY: list[str] = [
     # NEW in round 10 — zero driver evidence yet
     "stream_popularity_store",
     "tuning_end_to_end",
+    "stream_enriched_counts",
+    "lone_returner_suppliers",
+    "part_supplier_counts",
+    "disjunctive_brand_revenue",
+    "part_adamic_adar",
+    "order_association_rules",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -126,16 +132,13 @@ DRIVER_PRIORITY: list[str] = [
     "rmse_global_effects",
     "rp3beta_topk",
     "simhash_fingerprints",
-    "stratified_sample_sizes",
-    "tfidf_weights",
-    "toppop_beyond_accuracy",
-    "toppop_eval_metrics",
-    "toppop_eval_multi_cutoff",
-    "toppop_recommendations",
-    # (tumbling_window_counts / user_holdout_sizes / user_sessions /
-    # weighted_ndcg / zorder_layout_stats -- the youngest remaining r4
-    # rows -- roll to the r11 front together with the forty r5-vintage
-    # rows; ledger derived
+    # (stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
+    # toppop_eval_metrics / toppop_eval_multi_cutoff /
+    # toppop_recommendations / tumbling_window_counts /
+    # user_holdout_sizes / user_sessions / weighted_ndcg /
+    # zorder_layout_stats -- the youngest remaining r4 rows -- roll to
+    # the r11 front together with the forty r5-vintage rows; ledger
+    # derived
     # from the CORRECTNESS_r0{1..9}.json key sets: after this round every
     # query's driver evidence is r7+ except those, and new r10 specs are
     # prepended above as they land)

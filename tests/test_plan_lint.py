@@ -55,6 +55,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "item_triangle_stats": 4,
     "lang_temperature_sampling": 3,
     "model_quality_gates": 3,
+    # one scalar site: the global order count attached to the rule table
+    "order_association_rules": 1,
     "popularity_bias_stats": 1,
     "rating_model_quality_gates": 9,
     "rmse_global_effects": 4,

@@ -55,11 +55,17 @@ PICKS = [
     ("item_triangle_stats", "degree-ordered triangle counting: O(m^1.5) wedge bound, equi-joins only, quantile edge cutoff"),
     ("small_quantity_revenue", "TPC-H Q17 correlated scalar subquery decorrelated to a per-part WINDOW - fact scanned once"),
     ("customer_order_distribution", "TPC-H Q13 outer join with the aggregate pushed BELOW the join (orders pre-shrunk to one row per custkey)"),
-    ("part_bfs_hops", "level-synchronous BFS: 4 bounded frontier equi-join shuffles + min-hop reduce, recursive-CTE oracle"),
+    ("part_bfs_hops", "level-synchronous BFS (round-10 rebuild): ONE collect_set edge shuffle, size-gated broadcast frontiers probe the persisted edges in place, visited anti-join prunes re-expansion; recursive-CTE oracle"),
     ("user_state_history", "SCD2 interval build: two window passes sharing ONE user_id hash partition, no join"),
     ("daily_value_gapfill", "dense calendar resample: sequence() explode + single ignore-nulls window scan (no self-join LOCF)"),
     ("cdc_final_state", "CDC/MERGE apply: join-free keep-last window + delete-tombstone filter"),
     ("video_frame_stats", "video path: posexplode frame fan-out + COLUMNAR substring slice -> Arrow resize kernel, no exchange before the sort"),
+    ("lone_returner_suppliers", "TPC-H Q21 EXISTS+NOT EXISTS chain decorrelated to ONE per-order aggregate; fact scanned once"),
+    ("part_supplier_counts", "TPC-H Q16 NOT-IN blacklist as broadcast LEFT ANTI before the scan fans out; two-phase COUNT DISTINCT"),
+    ("disjunctive_brand_revenue", "TPC-H Q19 disjunctive mixed-side predicate: derivable conjuncts pushed to BOTH scans, residual on the broadcast join"),
+    ("part_adamic_adar", "link prediction: support-2 prune bounds the wedge join; middle degrees broadcast; existing-edge anti-join"),
+    ("order_association_rules", "market-basket rules: one collect_set shuffle -> pair counts; item counts + global N broadcast; exact-int ratios"),
+    ("stream_enriched_counts", "stream-static enrichment: per-micro-batch BroadcastHashJoin (stateless) below the watermarked window agg"),
 ]
 
 
