@@ -83,6 +83,9 @@ DRIVER_PRIORITY: list[str] = [
     "disjunctive_brand_revenue",
     "part_adamic_adar",
     "order_association_rules",
+    "purchase_state_pit_join",
+    "user_journey_patterns",
+    "part_label_propagation",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -129,10 +132,8 @@ DRIVER_PRIORITY: list[str] = [
     "pii_scrub_stats",
     "props_json_stats",
     "remove_top_popular",
-    "rmse_global_effects",
-    "rp3beta_topk",
-    "simhash_fingerprints",
-    # (stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
+    # (rmse_global_effects / rp3beta_topk / simhash_fingerprints /
+    # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
     # toppop_eval_metrics / toppop_eval_multi_cutoff /
     # toppop_recommendations / tumbling_window_counts /
     # user_holdout_sizes / user_sessions / weighted_ndcg /

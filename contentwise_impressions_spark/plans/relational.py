@@ -2938,3 +2938,270 @@ register(
         "Agrawal-Srikant) over per-order baskets; min pair support 2",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (effective-dated dimension) join, lowered to a window
+# ---------------------------------------------------------------------------
+def q_purchase_state_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the user's state AS OF the purchase
+    instant, where "state" is the SCD2 history built from the user's
+    non-purchase events — the warehouse point-in-time join (fact ⋈
+    effective-dated dimension on key + containment interval).
+
+    Scale shape: the interval-containment join is LOWERED TO A WINDOW —
+    state rows and probe rows union into one relation tagged by role,
+    and last(state, ignorenulls) over (user, ts, tag) assigns every
+    probe its in-effect state in ONE user-keyed shuffle with no join at
+    all (the same as-of lowering click_attribution uses).  The naive
+    formulation — the SQL twin — is a range join whose worst case is
+    |facts|×|dim versions| per user; the window form is linear in the
+    union and never re-buffers.  Probes before any state row drop
+    (inner-join semantics), matching the twin's containment predicate.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    states = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(0).alias("tag"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = states.unionByName(probes).withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter((F.col("tag") == 1) & F.col("state_at").isNotNull())
+        .select(
+            "event_id", "user_id", F.col("state_at").alias("state")
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    QuerySpec(
+        "purchase_state_pit_join",
+        q_purchase_state_pit_join,
+        """
+        WITH np AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type <> 'purchase'
+        ),
+        changes AS (
+            SELECT user_id, ts, event_type FROM (
+                SELECT user_id, ts, event_type,
+                       LAG(event_type) OVER w AS prev_type
+                FROM np WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        scd AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                            TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+            FROM changes
+        )
+        SELECT e.event_id, e.user_id, s.state
+        FROM events e JOIN scd s
+          ON e.user_id = s.user_id
+         AND e.ts >= s.valid_from AND e.ts < s.valid_to
+        WHERE e.event_type = 'purchase'
+        ORDER BY event_id
+        """,
+        doc="point-in-time SCD2 dimension join lowered to one tagged-union "
+        "window pass (no join); twin is the naive interval-containment "
+        "range join",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern detection over per-user event journeys
+# ---------------------------------------------------------------------------
+def q_user_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event JOURNEY string (one initial per event, time order)
+    and whether it contains the view→click→purchase funnel subsequence —
+    MATCH_RECOGNIZE-lite sequential pattern detection as pure relational
+    ops.
+
+    Scale shape: one user-keyed aggregation; the journey is built
+    executor-side with array_sort over (ts, event_id) structs →
+    transform → concat (all codegen, no UDF), so pattern matching is a
+    regex over a per-user string whose length is the user's event count
+    — never a self-join of the event log against itself (the classic
+    funnel-query trap).  Per-user skew is bounded by the same per-user
+    event cap every sessionization query in this registry relies on; a
+    true MATCH_RECOGNIZE engine would stream the same partition order.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    journey = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.col("evs"),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+            ).alias("journey"),
+        )
+    )
+    return journey.select(
+        "user_id",
+        "journey",
+        F.length("journey").cast("bigint").alias("n_events"),
+        F.col("journey").rlike("v.*c.*p").alias("converted"),
+    ).orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "user_journey_patterns",
+        q_user_journey_patterns,
+        """
+        SELECT user_id,
+               journey,
+               CAST(LENGTH(journey) AS BIGINT) AS n_events,
+               regexp_matches(journey, 'v.*c.*p') AS converted
+        FROM (
+            SELECT user_id,
+                   STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id
+        )
+        ORDER BY user_id
+        """,
+        doc="sequential funnel-pattern detection over per-user journey "
+        "strings (MATCH_RECOGNIZE-lite; codegen array ops, no UDF, no "
+        "event-log self-join)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# synchronous label propagation (community detection), 3 unrolled rounds
+# ---------------------------------------------------------------------------
+def q_part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels after 3 rounds of SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the repeat-co-order part graph: init
+    label = own id; each round every node adopts its neighbors' modal
+    label, ties broken by smallest label — fully deterministic, so the
+    DuckDB twin unrolls the same 3 rounds and matches bit-for-bit.
+
+    Scale shape: one round = one equi-join of the symmetric edge list
+    with the |V|-row label table + a (node, label) count + a per-node
+    argmax window — all shuffles keyed on node id, Σ deg rows per round
+    (the support-2 prune keeps the graph sparse); rounds chain through
+    session-materialized label tables so each is computed once.  The
+    asynchronous/convergence variant is the iterative driver loop
+    (operators/dedup.py:connected_components shows the same pattern
+    with a convergence test); a FIXED round count is what makes this
+    instance oracle-checkable.
+    """
+    pairs2 = _co_order_pair_counts(spark, sf_dir).filter(F.col("w") >= 2)
+    sym = pairs2.select("u", "v").unionAll(
+        pairs2.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = materialized(
+        spark,
+        sf_dir,
+        "lpa_labels_0",
+        lambda: sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+    )
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for r in (1, 2, 3):
+        labels = materialized(
+            spark,
+            sf_dir,
+            f"lpa_labels_{r}",
+            lambda prev=labels: sym.join(
+                prev.select(
+                    F.col("node").alias("v"), "label"
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rk", F.row_number().over(rank_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label"),
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("part_id")
+    )
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+        {cur} AS (
+            SELECT node, label FROM (
+                SELECT e.u AS node, l.label,
+                       COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY e.u
+                           ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+                FROM e JOIN {prev} l ON l.node = e.v
+                GROUP BY e.u, l.label
+            ) WHERE rk = 1
+        )"""
+
+
+register(
+    QuerySpec(
+        "part_label_propagation",
+        q_part_label_propagation,
+        f"""
+        WITH {_PAIR_CTE},
+        p2 AS (SELECT u, v FROM p WHERE w >= 2),
+        e AS (SELECT u, v FROM p2 UNION ALL SELECT v AS u, u AS v FROM p2),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        {_lpa_round_sql('l0', 'l1')},
+        {_lpa_round_sql('l1', 'l2')},
+        {_lpa_round_sql('l2', 'l3')},
+        sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+                  FROM l3 GROUP BY 1)
+        SELECT node AS part_id, l3.label AS community, community_size
+        FROM l3 JOIN sizes ON l3.label = sizes.label
+        ORDER BY part_id
+        """,
+        doc="synchronous label propagation, 3 unrolled rounds with "
+        "min-label tie-break (Raghavan et al. 2007); per-round equi-join "
+        "+ modal-label window, exact twin",
+    )
+)

@@ -66,6 +66,9 @@ PICKS = [
     ("part_adamic_adar", "link prediction: support-2 prune bounds the wedge join; middle degrees broadcast; existing-edge anti-join"),
     ("order_association_rules", "market-basket rules: one collect_set shuffle -> pair counts; item counts + global N broadcast; exact-int ratios"),
     ("stream_enriched_counts", "stream-static enrichment: per-micro-batch BroadcastHashJoin (stateless) below the watermarked window agg"),
+    ("purchase_state_pit_join", "point-in-time SCD2 join lowered to ONE tagged-union window pass — zero joins; twin is the naive interval range join"),
+    ("user_journey_patterns", "sequential pattern match: per-user journey built by codegen array ops, regex instead of an event-log self-join"),
+    ("part_label_propagation", "sync label propagation x3: per-round equi-join + modal-label window, rounds chained through cached label tables"),
 ]
 
 
