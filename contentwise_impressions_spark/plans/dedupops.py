@@ -2309,3 +2309,269 @@ register(
         "agreement / 8) vs exact shingle Jaccard + abs error",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking over retrieval candidates
+# ---------------------------------------------------------------------------
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    of the retrieval candidates: for every held-out query vector the
+    top-8 cosine candidates are greedily re-ranked into 3 selections by
+    mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7 — the
+    standard serving-side diversity pass after ANN retrieval.
+
+    Scale shape: relevance comes from the blocked cross-table GEMM
+    kernel (operators/ann.cosine_topk_cross — |Q|·|C| support, bounded
+    tasks); after that NOTHING data-scale remains — candidate-candidate
+    sims are an equi-join keyed on query_id (≤C² rows per query) with
+    the dot product evaluated JVM-side via zip_with/aggregate over the
+    fixed-point arrays, and each greedy step is one window argmax +
+    anti-join over ≤C rows per query.  The greedy loop is UNROLLED
+    (3 fixed steps), which is what makes it oracle-checkable: every
+    relevance/sim is an exact integer-dot ratio (operators/ann.QUANT)
+    and λ-arithmetic on exact doubles is engine-identical, so the DuckDB
+    twin reproduces the selections bit-for-bit; ties break on id.
+    """
+    from ..operators.ann import QUANT, cosine_topk_cross
+
+    lam = 0.7
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    cands = shared.materialized(
+        spark,
+        sf_dir,
+        "mmr_cands",
+        lambda: cosine_topk_cross(
+            queries, corpus, k=8, corpus_key=f"{sf_dir}:retrieval_corpus"
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("neighbor_id").alias("cid"),
+            F.col("cosine").alias("rel"),
+        ),
+    )
+    qe = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(QUANT) + F.lit(0.5)),
+        ).alias("xq"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("xq", "xq", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    a = cands.select("query_id", F.col("cid").alias("cid_a"))
+    b = cands.select("query_id", F.col("cid").alias("cid_b"))
+    pairs = a.join(b, "query_id").filter(F.col("cid_a") != F.col("cid_b"))
+    ea = qe.select(
+        F.col("vec_id").alias("cid_a"),
+        F.col("xq").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    eb = qe.select(
+        F.col("vec_id").alias("cid_b"),
+        F.col("xq").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    csims = shared.materialized(
+        spark,
+        sf_dir,
+        "mmr_csims",
+        lambda: pairs.join(ea, "cid_a")
+        .join(eb, "cid_b")
+        .select(
+            "query_id",
+            "cid_a",
+            "cid_b",
+            (
+                F.aggregate(
+                    F.zip_with("xa", "xb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        ),
+    )
+    sim_by_sel = csims.select(
+        "query_id",
+        F.col("cid_a").alias("cid"),
+        F.col("cid_b").alias("sel"),
+        "sim",
+    )
+
+    def pick(df: DataFrame, score: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score).desc(), F.col("cid").asc()
+        )
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    s1 = pick(cands, "rel")
+    rest1 = cands.join(
+        s1.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+    )
+    m2 = (
+        rest1.join(sim_by_sel, ["query_id", "cid"])
+        .join(
+            s1.select("query_id", F.col("cid").alias("sel")),
+            ["query_id", "sel"],
+        )
+        .withColumn("mmr", lam * F.col("rel") - (1 - lam) * F.col("sim"))
+    )
+    s2 = pick(m2, "mmr")
+    rest2 = rest1.join(
+        s2.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+    )
+    sel12 = s1.select("query_id", F.col("cid").alias("sel")).unionAll(
+        s2.select("query_id", F.col("cid").alias("sel"))
+    )
+    m3 = (
+        rest2.join(sim_by_sel, ["query_id", "cid"])
+        .join(sel12, ["query_id", "sel"])
+        .groupBy("query_id", "cid", "rel")
+        .agg(F.max("sim").alias("pen"))
+        .withColumn("mmr", lam * F.col("rel") - (1 - lam) * F.col("pen"))
+    )
+    s3 = pick(m3, "mmr")
+    out = (
+        s1.select(
+            "query_id",
+            F.lit(1).alias("selection_rank"),
+            F.col("cid").alias("vec_id"),
+            F.col("rel").alias("relevance"),
+            F.col("rel").alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(
+                "query_id",
+                F.lit(2).alias("selection_rank"),
+                F.col("cid").alias("vec_id"),
+                F.col("rel").alias("relevance"),
+                F.col("mmr").alias("mmr_score"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                "query_id",
+                F.lit(3).alias("selection_rank"),
+                F.col("cid").alias("vec_id"),
+                F.col("rel").alias("relevance"),
+                F.col("mmr").alias("mmr_score"),
+            )
+        )
+    )
+    return out.orderBy("query_id", "selection_rank")
+
+
+register(
+    QuerySpec(
+        "mmr_diversified_topk",
+        q_mmr_diversified_topk,
+        """
+        WITH e AS (
+            SELECT vec_id, i.i AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5)
+                        AS BIGINT) AS xq
+            FROM embeddings, range(1, 1025) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
+        rel AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS cid,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) / (na.nrm * nb.nrm)
+                       AS rel
+            FROM e a JOIN e b ON a.pos = b.pos
+            JOIN norms na ON na.vec_id = a.vec_id
+            JOIN norms nb ON nb.vec_id = b.vec_id
+            WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+            GROUP BY 1, 2, na.nrm, nb.nrm
+        ),
+        cand AS (
+            SELECT query_id, cid, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY rel DESC, cid ASC) AS rk
+                FROM rel
+            ) WHERE rk <= 8
+        ),
+        cpair AS (
+            SELECT c1.query_id, c1.cid AS cid_a, c2.cid AS cid_b
+            FROM cand c1 JOIN cand c2
+              ON c1.query_id = c2.query_id AND c1.cid <> c2.cid
+        ),
+        csim AS (
+            SELECT p.query_id, p.cid_a, p.cid_b,
+                   CAST(SUM(ea.xq * eb.xq) AS DOUBLE) / (na.nrm * nb.nrm)
+                       AS sim
+            FROM cpair p
+            JOIN e ea ON ea.vec_id = p.cid_a
+            JOIN e eb ON eb.vec_id = p.cid_b AND eb.pos = ea.pos
+            JOIN norms na ON na.vec_id = p.cid_a
+            JOIN norms nb ON nb.vec_id = p.cid_b
+            GROUP BY p.query_id, p.cid_a, p.cid_b, na.nrm, nb.nrm
+        ),
+        s1 AS (
+            SELECT query_id, cid, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY rel DESC, cid ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1
+        ),
+        m2 AS (
+            SELECT r.query_id, r.cid, r.rel,
+                   0.7 * r.rel - 0.3 * cs.sim AS mmr
+            FROM cand r
+            JOIN s1 ON s1.query_id = r.query_id AND r.cid <> s1.cid
+            JOIN csim cs ON cs.query_id = r.query_id
+                        AND cs.cid_a = r.cid AND cs.cid_b = s1.cid
+        ),
+        s2 AS (
+            SELECT query_id, cid, rel, mmr FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY mmr DESC, cid ASC) AS rk
+                FROM m2
+            ) WHERE rk = 1
+        ),
+        m3 AS (
+            SELECT r.query_id, r.cid, r.rel,
+                   0.7 * r.rel - 0.3 * MAX(cs.sim) AS mmr
+            FROM cand r
+            JOIN s1 ON s1.query_id = r.query_id AND r.cid <> s1.cid
+            JOIN s2 ON s2.query_id = r.query_id AND r.cid <> s2.cid
+            JOIN csim cs ON cs.query_id = r.query_id AND cs.cid_a = r.cid
+                        AND cs.cid_b IN (s1.cid, s2.cid)
+            GROUP BY r.query_id, r.cid, r.rel
+        ),
+        s3 AS (
+            SELECT query_id, cid, rel, mmr FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY mmr DESC, cid ASC) AS rk
+                FROM m3
+            ) WHERE rk = 1
+        )
+        SELECT query_id, 1 AS selection_rank, cid AS vec_id,
+               rel AS relevance, rel AS mmr_score FROM s1
+        UNION ALL
+        SELECT query_id, 2, cid, rel, mmr FROM s2
+        UNION ALL
+        SELECT query_id, 3, cid, rel, mmr FROM s3
+        ORDER BY query_id, selection_rank
+        """,
+        doc="MMR diversified re-ranking (Carbonell & Goldstein 1998) of "
+        "retrieval candidates: 3 unrolled greedy steps, λ=0.7; exact "
+        "fixed-point sims so the twin matches bit-for-bit",
+    )
+)

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: list[str] = [
     "purchase_state_pit_join",
     "user_journey_patterns",
     "part_label_propagation",
+    "mmr_diversified_topk",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -131,8 +132,8 @@ DRIVER_PRIORITY: list[str] = [
     "p3alpha_topk",
     "pii_scrub_stats",
     "props_json_stats",
-    "remove_top_popular",
-    # (rmse_global_effects / rp3beta_topk / simhash_fingerprints /
+    # (remove_top_popular / rmse_global_effects / rp3beta_topk /
+    # simhash_fingerprints /
     # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
     # toppop_eval_metrics / toppop_eval_multi_cutoff /
     # toppop_recommendations / tumbling_window_counts /

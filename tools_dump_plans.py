@@ -69,6 +69,7 @@ PICKS = [
     ("purchase_state_pit_join", "point-in-time SCD2 join lowered to ONE tagged-union window pass — zero joins; twin is the naive interval range join"),
     ("user_journey_patterns", "sequential pattern match: per-user journey built by codegen array ops, regex instead of an event-log self-join"),
     ("part_label_propagation", "sync label propagation x3: per-round equi-join + modal-label window, rounds chained through cached label tables"),
+    ("mmr_diversified_topk", "MMR re-rank: blocked GEMM retrieval, then per-query equi-join sims + 3 unrolled window-argmax greedy steps — nothing data-scale after retrieval"),
 ]
 
 
