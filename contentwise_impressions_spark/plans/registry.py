@@ -87,6 +87,9 @@ DRIVER_PRIORITY: list[str] = [
     "user_journey_patterns",
     "part_label_propagation",
     "mmr_diversified_topk",
+    "part_name_linkage",
+    "multi_touch_attribution",
+    "event_cube_stats",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -129,10 +132,8 @@ DRIVER_PRIORITY: list[str] = [
     "confidence_matrix",
     "corpus_bigrams",
     "diversity_similarity",
-    "p3alpha_topk",
-    "pii_scrub_stats",
-    "props_json_stats",
-    # (remove_top_popular / rmse_global_effects / rp3beta_topk /
+    # (p3alpha_topk / pii_scrub_stats / props_json_stats /
+    # remove_top_popular / rmse_global_effects / rp3beta_topk /
     # simhash_fingerprints /
     # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
     # toppop_eval_metrics / toppop_eval_multi_cutoff /

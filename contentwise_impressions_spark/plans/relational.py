@@ -3205,3 +3205,231 @@ register(
         "+ modal-label window, exact twin",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution candidate generation: blocking key + edit-distance verify
+# ---------------------------------------------------------------------------
+def q_part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part NAMES: block on the head noun (last token),
+    pair distinct names within a block, keep pairs with Levenshtein
+    distance ≤ 2 — the classic record-linkage shape (blocking-key
+    candidate generation, then an exact verify on the survivors; Fellegi
+    & Sunter framing, MinHash/SimHash are this registry's set-similarity
+    analogs).
+
+    Scale shape: linkage runs at the NAME level, not the row level —
+    names dedup to a (name, n_parts) table first, so the quadratic
+    candidate step is |distinct names per block|², never |rows|²
+    (name-level pairs then re-expand to row pairs only if a consumer
+    asks).  The block self-join is an equi-join on the blocking key;
+    Levenshtein is evaluated engine-side (identical plain-edit-distance
+    semantics in Spark and DuckDB).  A skewed block would bound by the
+    same stop-key cap the shingle joins use.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn(
+            "block", F.element_at(F.split(F.col("p_name"), " "), -1)
+        )
+    )
+    a = names.select(
+        "block",
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        "block",
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("name_a", "name_b", "n_parts_a", "n_parts_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+register(
+    QuerySpec(
+        "part_name_linkage",
+        q_part_name_linkage,
+        """
+        WITH names AS (
+            SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   regexp_extract(p_name, '([^ ]+)$', 1) AS block
+            FROM part GROUP BY 1
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+        FROM names a JOIN names b
+          ON a.block = b.block AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b
+        """,
+        doc="record-linkage candidate generation: head-noun blocking key "
+        "+ Levenshtein<=2 verify at the distinct-name level",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution (range join -> bucketed equi-join)
+# ---------------------------------------------------------------------------
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase's value split EQUALLY across the same user's view
+    events in the preceding hour (linear multi-touch attribution — the
+    marketing-analytics counterpart of last-touch `click_attribution`),
+    aggregated back to per-view credited revenue.
+
+    Scale shape: the event-time range join lowers to the same
+    epoch-bucketed EQUI-join `view_to_click_conversions` pinned (each
+    purchase probes ≤2 hour-buckets of the same user, so matching is
+    one shuffle on (user, bucket) with no inequality-join fallback);
+    per-purchase touch counts come from ONE window over the matched
+    pairs (no second join against the pair table), and the final
+    per-view rollup is a key-bounded aggregation.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    hour = 3600
+    vb = views.withColumn(
+        "bucket", F.floor(epoch_seconds(F.col("view_ts")) / hour)
+    )
+    # each purchase probes its own bucket and the previous one
+    pb = buys.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(epoch_seconds(F.col("buy_ts")) / hour) - 1,
+                F.floor(epoch_seconds(F.col("buy_ts")) / hour),
+            )
+        ),
+    )
+    pairs = vb.join(pb, ["user_id", "bucket"]).filter(
+        (F.col("view_ts") < F.col("buy_ts"))
+        & (
+            epoch_seconds(F.col("buy_ts")) - epoch_seconds(F.col("view_ts"))
+            <= hour
+        )
+    )
+    w_buy = Window.partitionBy("buy_id")
+    credited = pairs.withColumn(
+        "n_touches", F.count("*").over(w_buy)
+    ).withColumn("credit", F.col("buy_value") / F.col("n_touches"))
+    return (
+        credited.groupBy("view_id")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("credited_value"),
+            F.count("*").cast("bigint").alias("n_purchases_touched"),
+        )
+        .orderBy("view_id")
+    )
+
+
+register(
+    QuerySpec(
+        "multi_touch_attribution",
+        q_multi_touch_attribution,
+        """
+        WITH pairs AS (
+            SELECT v.event_id AS view_id, b.event_id AS buy_id,
+                   b.value AS buy_value
+            FROM events v JOIN events b
+              ON v.user_id = b.user_id
+             AND v.ts < b.ts
+             AND epoch(b.ts) - epoch(v.ts) <= 3600
+            WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+        ),
+        counted AS (
+            SELECT view_id, buy_value,
+                   COUNT(*) OVER (PARTITION BY buy_id) AS n_touches
+            FROM pairs
+        )
+        SELECT view_id,
+               ROUND(SUM(buy_value / n_touches), 6) AS credited_value,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases_touched
+        FROM counted
+        GROUP BY view_id
+        ORDER BY view_id
+        """,
+        doc="linear multi-touch attribution: 1h range join lowered to the "
+        "epoch-bucketed equi-join, ONE window for touch counts",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets + grouping_id over the event log
+# ---------------------------------------------------------------------------
+def q_event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts and value sums over CUBE(event_type, weekday): all
+    four grouping sets — (type, weekday), (type), (weekday), () — from
+    ONE scan, with grouping_id() distinguishing the levels (the
+    complement of `order_priority_rollup`'s ROLLUP hierarchy: CUBE is
+    the cross-dimensional lattice).
+
+    Scale shape: Catalyst lowers CUBE to a single Expand (×4) over the
+    scan followed by one partial-aggregated shuffle of |groups| rows —
+    the input is read once no matter how many sets the lattice has.
+    NULL-vs-subtotal ambiguity is resolved by grouping_id, not by the
+    NULL placeholder (the standard warehouse-correctness trap; weekday
+    is never NULL in the data so the twin maps gid bit-exactly).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("weekday"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("gid", "event_type", "weekday", "cnt", "sum_value")
+        .orderBy("gid", "event_type", "weekday")
+    )
+
+
+register(
+    QuerySpec(
+        "event_cube_stats",
+        q_event_cube_stats,
+        """
+        SELECT CAST(GROUPING(event_type) * 2 + GROUPING(weekday) AS BIGINT)
+                   AS gid,
+               event_type, weekday,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM (
+            SELECT event_type,
+                   CAST(dayofweek(ts) + 1 AS INT) AS weekday, value
+            FROM events
+        )
+        GROUP BY CUBE (event_type, weekday)
+        ORDER BY gid, event_type, weekday
+        """,
+        doc="CUBE grouping-set lattice + grouping_id over one Expand scan "
+        "(complement of the ROLLUP hierarchy query)",
+    )
+)

@@ -70,6 +70,8 @@ PICKS = [
     ("user_journey_patterns", "sequential pattern match: per-user journey built by codegen array ops, regex instead of an event-log self-join"),
     ("part_label_propagation", "sync label propagation x3: per-round equi-join + modal-label window, rounds chained through cached label tables"),
     ("mmr_diversified_topk", "MMR re-rank: blocked GEMM retrieval, then per-query equi-join sims + 3 unrolled window-argmax greedy steps — nothing data-scale after retrieval"),
+    ("multi_touch_attribution", "linear attribution: 1h range join lowered to the epoch-bucketed equi-join; touch counts from ONE window, no second join"),
+    ("event_cube_stats", "CUBE lattice: single Expand x4 over one scan -> partial-agg shuffle of |groups| rows; grouping_id disambiguates"),
 ]
 
 
