@@ -961,6 +961,64 @@ register(
 )
 
 
+def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator through the driver gate:
+    per-user running profiles (event count, value sum, last-seen ts)
+    maintained by ``applyInPandasWithState`` — the escape hatch for
+    stateful logic the built-in windows can't express (state = one row
+    per user in the state store, Arrow batches folded in per
+    micro-batch).
+
+    Single-file availableNow delivery ⇒ one data micro-batch, so the
+    update-mode emission is exactly one final profile per user — the
+    batch-SQL twin.  The multi-batch running-update and both
+    idle-timeout eviction modes (wall-clock and event-time tombstones)
+    are pinned separately in tests/test_streaming.py; at scale state
+    stays one row per ACTIVE user and the timeout path is what bounds
+    it.  Timestamps fold to microseconds (ns // 1000), matching the
+    oracle engine's timestamp precision exactly.
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        run_stream_once,
+        running_user_profiles,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    out = run_stream_once(
+        running_user_profiles(src), "stream_profiles", output_mode="update"
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "stream_user_profiles",
+        q_stream_user_profiles,
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(value) AS sum_value,
+               CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+               FALSE AS is_final
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+        """,
+        doc="applyInPandasWithState running per-user profiles through the "
+        "live engine (single-batch availableNow); update emission == "
+        "batch per-user aggregate",
+    )
+)
+
+
 def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC dimension enrichment through the LIVE engine: the
     event stream joined to the static customer dimension, then a

@@ -89,6 +89,7 @@ def run_stream_once(
     stream_df: DataFrame,
     name_prefix: str = "stream_once",
     shuffle_partitions: int | None = 8,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Execute a streaming transformation to completion with an
     ``availableNow`` trigger into a memory sink and return the sink as a
@@ -122,7 +123,7 @@ def run_stream_once(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
