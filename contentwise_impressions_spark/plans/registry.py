@@ -91,6 +91,8 @@ DRIVER_PRIORITY: list[str] = [
     "multi_touch_attribution",
     "event_cube_stats",
     "stream_user_profiles",
+    "hll_register_rollup",
+    "snapshot_diff_parts",
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -130,9 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "bm25_weighted_itemknn",
     "bpr_triplets_inside",
     "centered_similarities",
-    "confidence_matrix",
-    "corpus_bigrams",
-    # (diversity_similarity / p3alpha_topk / pii_scrub_stats / props_json_stats /
+    # (confidence_matrix / corpus_bigrams / diversity_similarity / p3alpha_topk / pii_scrub_stats / props_json_stats /
     # remove_top_popular / rmse_global_effects / rp3beta_topk /
     # simhash_fingerprints /
     # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /

@@ -1154,6 +1154,47 @@ _HLL_RHO_MAX = _HLL_WBITS + 1
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 
 
+def _hll_reg_rho(key):
+    """(register, rho) columns of the portable-HLL hash of ``key`` —
+    shared by the sketch query and the register-rollup query (layout
+    documented at the constants block above)."""
+    h1 = F.pmod(key.cast("bigint") * _HLL_A1, F.lit(_HLL_P))
+    h1x = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h2 = F.pmod(h1x * _HLL_A2, F.lit(_HLL_P))
+    h2x = h2.bitwiseXOR(F.shiftright(h2, 7))
+    h3 = F.pmod(h2x * _HLL_A1, F.lit(_HLL_P))
+    w = F.pmod(h3, F.lit(1 << _HLL_WBITS))
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    reg = F.pmod(F.shiftright(h3, _HLL_WBITS), F.lit(_HLL_M))
+    return reg, rho
+
+
+def _hll_estimate(mj: DataFrame, keys: list[str]) -> DataFrame:
+    """Small-range-corrected HLL estimate from a (``*keys``, reg, mj)
+    register table — every register term an exact power of two, so the
+    sum is order-independent (see q_hll_distinct_sketch)."""
+    agg = mj.groupBy(*keys).agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("cast(shiftleft(cast(1 as bigint), mj) as double)")
+        ).alias("sum_present"),
+        F.count("*").alias("n_present"),
+    )
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (
+        F.col("sum_present") + (F.lit(_HLL_M) - F.col("n_present"))
+    )
+    zero = (F.lit(_HLL_M) - F.col("n_present")).cast("int")
+    corrected = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (zero > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zero),
+    ).otherwise(e_raw)
+    return agg.select(
+        *keys, F.round(corrected, 6).alias("hll_distinct_users")
+    )
+
+
 def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog: per-event-type distinct-user estimates whose
     VALUE is engine-reproducible, next to the exact counts.
@@ -1180,20 +1221,8 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle — max() absorbs them.
     """
     ev = load_table(spark, sf_dir, "events")
-    h1 = F.pmod(F.col("user_id").cast("bigint") * _HLL_A1, F.lit(_HLL_P))
-    h1x = h1.bitwiseXOR(F.shiftright(h1, 13))
-    h2 = F.pmod(h1x * _HLL_A2, F.lit(_HLL_P))
-    h2x = h2.bitwiseXOR(F.shiftright(h2, 7))
-    h3 = F.pmod(h2x * _HLL_A1, F.lit(_HLL_P))
-    w = F.pmod(h3, F.lit(1 << _HLL_WBITS))
-    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
-        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
-    )
-    regs = ev.select(
-        "event_type",
-        F.pmod(F.shiftright(h3, _HLL_WBITS), F.lit(_HLL_M)).alias("reg"),
-        rho.alias("rho"),
-    )
+    reg, rho = _hll_reg_rho(F.col("user_id"))
+    regs = ev.select("event_type", reg.alias("reg"), rho.alias("rho"))
     mj = regs.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
     agg = mj.groupBy("event_type").agg(
         F.sum(
@@ -3443,3 +3472,244 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     touches the payload first."""
     _co_order_edges(spark, sf_dir).count()
     _co_order_pair_counts(spark, sf_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# sketch ROLLUP: daily HLL registers merged upward without rescanning
+# ---------------------------------------------------------------------------
+def q_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user estimates from ONE register table: daily
+    per-event-type HLL registers, then the per-type TOTAL obtained by
+    max-merging the DAILY registers — the continuous-aggregate /
+    hypertable-rollup pattern for a non-additive metric (COUNT DISTINCT
+    cannot roll up from daily counts; its sketch can, exactly).
+
+    Scale shape: events are scanned ONCE into the (type, day, reg, mj)
+    register table (max partial-aggregates map-side, m=64 rows per
+    bucket), which persists via the session payload registry; the total
+    level reads only that table — at 100 TB this is the difference
+    between re-scanning the log per rollup level and merging a few KB of
+    registers.  max() associativity makes the merged estimate EXACTLY
+    the direct estimate, and the twin reproduces both levels
+    bit-for-bit (power-of-two register sums, see q_hll_distinct_sketch).
+    The exact distinct columns are the verification baseline.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    reg, rho = _hll_reg_rho(F.col("user_id"))
+    regs = ev.select(
+        "event_type", "day", reg.alias("reg"), rho.alias("rho")
+    )
+    daily_mj = materialized(
+        spark,
+        sf_dir,
+        "hll_daily_regs",
+        lambda: regs.groupBy("event_type", "day", "reg").agg(
+            F.max("rho").alias("mj")
+        ),
+    )
+    daily = _hll_estimate(daily_mj, ["event_type", "day"])
+    total_mj = daily_mj.groupBy("event_type", "reg").agg(
+        F.max("mj").alias("mj")
+    )
+    total = _hll_estimate(total_mj, ["event_type"])
+    ex_daily = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct_users")
+    )
+    ex_total = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct_users")
+    )
+    daily_lvl = daily.join(ex_daily, ["event_type", "day"])
+    total_lvl = total.join(ex_total, ["event_type"]).withColumn(
+        "day", F.lit(None).cast("date")
+    )
+    return (
+        daily_lvl.unionByName(total_lvl)
+        .select(
+            "event_type",
+            # ISO string, not DATE: engines render bare dates differently
+            # through the comparison layer; the string is unambiguous
+            F.col("day").cast("string").alias("day"),
+            "hll_distinct_users",
+            "exact_distinct_users",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+register(
+    QuerySpec(
+        "hll_register_rollup",
+        q_hll_register_rollup,
+        f"""
+        WITH src AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   user_id
+            FROM events
+        ),
+        h1 AS (
+            SELECT event_type, day,
+                   CAST(user_id AS BIGINT) * {_HLL_A1} % {_HLL_P} AS h1
+            FROM src
+        ),
+        h2 AS (
+            SELECT event_type, day,
+                   xor(h1, h1 >> 13) * {_HLL_A2} % {_HLL_P} AS h2
+            FROM h1
+        ),
+        h AS (
+            SELECT event_type, day,
+                   xor(h2, h2 >> 7) * {_HLL_A1} % {_HLL_P} AS h3
+            FROM h2
+        ),
+        regs AS (
+            SELECT event_type, day,
+                   (h3 >> {_HLL_WBITS}) % {_HLL_M} AS reg,
+                   CASE WHEN h3 % {1 << _HLL_WBITS} = 0 THEN {_HLL_RHO_MAX}
+                        ELSE {_HLL_RHO_MAX}
+                             - LENGTH(BIN(h3 % {1 << _HLL_WBITS}))
+                   END AS rho
+            FROM h
+        ),
+        mjd AS (
+            SELECT event_type, day, reg, MAX(rho) AS mj
+            FROM regs GROUP BY 1, 2, 3
+        ),
+        mjt AS (
+            SELECT event_type, reg, MAX(mj) AS mj FROM mjd GROUP BY 1, 2
+        ),
+        estd AS (
+            SELECT event_type, day,
+                   SUM(1.0 / (CAST(1 AS BIGINT) << mj)) AS sp,
+                   COUNT(*) AS np
+            FROM mjd GROUP BY 1, 2
+        ),
+        estt AS (
+            SELECT event_type,
+                   SUM(1.0 / (CAST(1 AS BIGINT) << mj)) AS sp,
+                   COUNT(*) AS np
+            FROM mjt GROUP BY 1
+        ),
+        exd AS (
+            SELECT event_type, day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+            FROM src GROUP BY 1, 2
+        ),
+        ext AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+            FROM src GROUP BY 1
+        ),
+        lvl AS (
+            SELECT e.event_type, e.day, e.sp, e.np, x.ex
+            FROM estd e JOIN exd x USING (event_type, day)
+            UNION ALL
+            SELECT e.event_type, NULL AS day, e.sp, e.np, x.ex
+            FROM estt e JOIN ext x USING (event_type)
+        )
+        SELECT event_type, day,
+               ROUND(CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                               / (sp + ({_HLL_M} - np)) <= {2.5 * _HLL_M!r}
+                               AND {_HLL_M} - np > 0
+                          THEN {float(_HLL_M)!r}
+                               * LN({float(_HLL_M)!r} / ({_HLL_M} - np))
+                          ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                               / (sp + ({_HLL_M} - np)) END, 6)
+                   AS hll_distinct_users,
+               ex AS exact_distinct_users
+        FROM lvl
+        ORDER BY event_type, day
+        """,
+        doc="continuous-aggregate sketch rollup: daily HLL registers "
+        "max-merged to per-type totals without rescanning the log; "
+        "non-additive COUNT DISTINCT rolls up exactly via its sketch",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / change-data generation from two snapshot versions
+# ---------------------------------------------------------------------------
+def q_snapshot_diff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change rows between two per-part shipment snapshots (aggregates as
+    of 1998-06-01 vs 1998-12-01): 'insert' for parts that first shipped
+    between the cutoffs, 'update' for parts whose line count grew — the
+    inverse of CDC APPLY (`cdc_final_state`): snapshot reconciliation
+    GENERATES the change feed.
+
+    Scale shape: because both snapshots derive from one log, the
+    textbook FULL OUTER JOIN of v1×v2 (the SQL twin) collapses to ONE
+    scan with conditional aggregation — each part's v1/v2 measures are
+    filtered sums in the same groupBy, so there is no join at all and
+    the fact is read once (the same lower-the-join move as the PIT
+    query).  Against two genuinely independent snapshot TABLES this
+    becomes one co-partitioned full outer join; v2 ⊇ v1 here, so
+    'delete' rows cannot occur by construction (the CDC-apply query
+    owns tombstones).
+    """
+    utc(spark)
+    cut1, cut2 = "1998-06-01", "1998-12-01"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in1 = F.col("l_shipdate") < F.lit(cut1).cast("timestamp")
+    in2 = F.col("l_shipdate") < F.lit(cut2).cast("timestamp")
+    snap = li.groupBy("l_partkey").agg(
+        F.sum(F.when(in1, F.col("l_quantity"))).alias("qty_v1"),
+        F.sum(F.when(in1, F.lit(1)).cast("bigint")).alias("n_v1"),
+        F.sum(F.when(in2, F.col("l_quantity"))).alias("qty_v2"),
+        F.sum(F.when(in2, F.lit(1)).cast("bigint")).alias("n_v2"),
+    )
+    return (
+        snap.filter(F.col("n_v2").isNotNull())
+        .withColumn(
+            "change_type",
+            F.when(F.col("n_v1").isNull(), F.lit("insert")).when(
+                F.col("n_v1") != F.col("n_v2"), F.lit("update")
+            ),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            "change_type",
+            "qty_v1",
+            "n_v1",
+            "qty_v2",
+            "n_v2",
+        )
+        .orderBy("part_id")
+    )
+
+
+register(
+    QuerySpec(
+        "snapshot_diff_parts",
+        q_snapshot_diff_parts,
+        """
+        WITH v1 AS (
+            SELECT l_partkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
+            GROUP BY 1
+        ),
+        v2 AS (
+            SELECT l_partkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-12-01'
+            GROUP BY 1
+        )
+        SELECT COALESCE(v2.l_partkey, v1.l_partkey) AS part_id,
+               CASE WHEN v1.l_partkey IS NULL THEN 'insert'
+                    WHEN v1.n <> v2.n THEN 'update' END AS change_type,
+               v1.qty AS qty_v1, v1.n AS n_v1,
+               v2.qty AS qty_v2, v2.n AS n_v2
+        FROM v1 FULL OUTER JOIN v2 ON v1.l_partkey = v2.l_partkey
+        WHERE v2.l_partkey IS NOT NULL
+          AND (v1.l_partkey IS NULL OR v1.n <> v2.n)
+        ORDER BY part_id
+        """,
+        doc="snapshot diff / change-feed generation: full-outer-join "
+        "reconciliation collapsed to one conditional-aggregation scan "
+        "(the inverse of cdc_final_state)",
+    )
+)
