@@ -2575,3 +2575,61 @@ register(
         "fixed-point sims so the twin matches bit-for-bit",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (top TF-IDF terms)
+# ---------------------------------------------------------------------------
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction pass a
+    training-data pipeline runs for topic tagging / indexing metadata.
+
+    Scale shape: re-ranks the already-computed TF-IDF weight table (one
+    token shuffle, shared with `tfidf_weights`) with a per-doc window —
+    partial WindowGroupLimit trims to k map-side before the doc-keyed
+    exchange.  Weights are single-op floats (sqrt·ln, engine-identical),
+    rounded to 9 for an engine-stable rank cut; ties break on token.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import term_frequencies, tf_idf
+
+    w = tf_idf(term_frequencies(_docs(spark, sf_dir))).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "weight")
+        .orderBy("doc_id", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        "doc_top_terms",
+        q_doc_top_terms,
+        f"""
+        WITH {_TF_CTE},
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        w AS (
+            SELECT doc_id, token,
+                   ROUND(sqrt(tf) * ln(n_docs / (1.0 + df.df)), 9) AS weight
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, rank, token, weight FROM (
+            SELECT doc_id, token, weight,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY weight DESC, token ASC) AS INT) AS rank
+            FROM w
+        ) WHERE rank <= 3
+        ORDER BY doc_id, rank
+        """,
+        doc="per-doc keyword extraction: top-3 TF-IDF terms via per-doc "
+        "window over the shared weight table",
+    )
+)

@@ -93,6 +93,11 @@ DRIVER_PRIORITY: list[str] = [
     "stream_user_profiles",
     "hll_register_rollup",
     "snapshot_diff_parts",
+    "user_retention_cohorts",
+    "user_rfm_segments",
+    "event_transition_matrix",
+    # (doc_top_terms, also new in r10, waits for the r11 front: the 50
+    # budget is full and the verdict-named r4 rows below must stay in)
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate
@@ -129,10 +134,8 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_signatures",
     "item_pagerank",
     "ngram_jaccard_topn",
-    "bm25_weighted_itemknn",
-    "bpr_triplets_inside",
-    "centered_similarities",
-    # (confidence_matrix / corpus_bigrams / diversity_similarity / p3alpha_topk / pii_scrub_stats / props_json_stats /
+    # (bm25_weighted_itemknn / bpr_triplets_inside /
+    # centered_similarities / confidence_matrix / corpus_bigrams / diversity_similarity / p3alpha_topk / pii_scrub_stats / props_json_stats /
     # remove_top_popular / rmse_global_effects / rp3beta_topk /
     # simhash_fingerprints /
     # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /

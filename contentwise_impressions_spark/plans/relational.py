@@ -3713,3 +3713,244 @@ register(
         "(the inverse of cdc_final_state)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix (product-analytics standard)
+# ---------------------------------------------------------------------------
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by the Monday of their
+    FIRST event, counted distinct in each subsequent week-offset — the
+    standard cohort-retention analysis.
+
+    Scale shape: two aggregations sharing one user_id shuffle — first-
+    touch per user (min), then the (cohort, week_offset) distinct-count
+    after a user-keyed equi-join of the log back to its own first-touch
+    table (the join is user-keyed, so at 100 TB it co-partitions with
+    the first aggregate; at extreme user counts the distinct count
+    would flip to the HLL registers of `hll_register_rollup`).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    cohort = F.date_trunc("week", F.col("first_d")).cast("date")
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        cohort.cast("string").alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), cohort) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return (
+        j.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    QuerySpec(
+        "user_retention_cohorts",
+        q_user_retention_cohorts,
+        """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(d)) AS DATE) AS cw
+            FROM ev GROUP BY 1
+        )
+        SELECT CAST(cw AS VARCHAR) AS cohort_week,
+               CAST(FLOOR(date_diff('day', cw, d) / 7.0) AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        FROM ev JOIN first USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """,
+        doc="weekly cohort retention matrix: first-touch cohorting + "
+        "week-offset distinct users, one user-keyed shuffle",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency (days since last
+    event, against the log's global horizon), frequency (event count)
+    and monetary (purchase value sum) quintiled into 1-5 scores
+    (5 = best) and concatenated into the classic 3-digit segment.
+
+    Scale shape: ONE user-keyed aggregation builds all three metrics;
+    the horizon is a 1-row broadcast scalar; the quintile windows rank
+    the |users|-row aggregate (deterministic (metric, user_id) order) —
+    a global ntile sort of the AGGREGATE, never of the event log.  At
+    extreme user counts the exact ntile flips to approx_percentile
+    cutoffs broadcast back (the `value_quantiles` scale note).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    horizon = ev.agg(F.max("d").alias("horizon"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(F.col("horizon"), F.col("last_d"))
+            .cast("int")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    ).orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "user_rfm_segments",
+        q_user_rfm_segments,
+        """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+            FROM events
+        ),
+        h AS (SELECT MAX(d) AS horizon FROM ev),
+        pu AS (
+            SELECT user_id,
+                   CAST(date_diff('day', MAX(d),
+                        (SELECT horizon FROM h)) AS INT) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                           THEN value END), 0.0), 6)
+                       AS monetary
+            FROM ev GROUP BY user_id
+        ),
+        scored AS (
+            SELECT *,
+                   NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+                       AS r_score,
+                   NTILE(5) OVER (ORDER BY frequency ASC, user_id)
+                       AS f_score,
+                   NTILE(5) OVER (ORDER BY monetary ASC, user_id)
+                       AS m_score
+            FROM pu
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
+        ORDER BY user_id
+        """,
+        doc="RFM quintile segmentation over one user-keyed aggregate; "
+        "deterministic (metric, user_id) ntile order",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and row-normalized
+    probabilities between consecutive event types per user — the
+    behavioral sequence model behind next-action prediction baselines.
+
+    Scale shape: one lag window over the user-keyed log (the same
+    single-shuffle pass the sessionization family uses), then a
+    |types|²-row aggregate; the per-source normalizer is a window over
+    that tiny matrix.  Probabilities are exact-count ratios rounded to
+    9 places, engine-identical.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        trans.withColumn(
+            "prob", F.round(F.col("cnt") / F.sum("cnt").over(w_from), 9)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+register(
+    QuerySpec(
+        "event_transition_matrix",
+        q_event_transition_matrix,
+        """
+        WITH t AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        m AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM t WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, cnt,
+               ROUND(CAST(cnt AS DOUBLE)
+                     / SUM(cnt) OVER (PARTITION BY from_type), 9) AS prob
+        FROM m
+        ORDER BY from_type, to_type
+        """,
+        doc="first-order Markov transition matrix over per-user event "
+        "sequences: one lag window + |types|^2 aggregate",
+    )
+)

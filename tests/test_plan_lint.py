@@ -40,6 +40,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "cold_entities": 1,
     "countmin_heavy_hitters": 1,
     "decayed_toppop": 1,
+    # the tf_idf n_docs scalar (same site tfidf_weights pins)
+    "doc_top_terms": 1,
     "diversity_similarity": 2,
     "dormant_rich_customers": 1,
     "dsir_importance_weights": 1,
@@ -70,6 +72,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "toppop_recommendations": 1,
     "unigram_ppl_buckets": 3,
     "user_activity_deciles": 1,
+    # the global-horizon scalar attached to the per-user aggregate
+    "user_rfm_segments": 1,
     "users_covering_traffic": 1,
     "weighted_ndcg": 1,
 }
