@@ -448,3 +448,99 @@ def test_scd2_is_single_user_shuffle(spark, sf_dir):
     assert len(hashes) >= 1
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) <= 2, plan
+
+
+def _scan_count(plan: str) -> int:
+    import re
+
+    return len(set(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))) or len(
+        re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    )
+
+
+def test_q21_decorrelates_to_single_fact_scan(spark, sf_dir):
+    """lone_returner_suppliers: the EXISTS + NOT-EXISTS pair must collapse
+    into ONE per-order aggregate — one lineitem scan plus the supplier
+    broadcast, and a distributed TakeOrderedAndProject for the LIMIT."""
+    import re
+
+    plan = _formatted_plan(QUERIES["lone_returner_suppliers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2, plan  # lineitem once + supplier broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_disjunctive_conjuncts_to_both_scans(spark, sf_dir):
+    """disjunctive_brand_revenue: the OR of mixed-side conjunctions must
+    still produce derivable pushed filters on BOTH parquet scans."""
+    plan = _formatted_plan(QUERIES["disjunctive_brand_revenue"](spark, sf_dir))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "Or(" in ln
+    ]
+    assert len(pushed) >= 2, plan  # quantity OR on lineitem, brand/size OR on part
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_dir):
+    """part_supplier_counts: NOT IN over a non-nullable key must plan as a
+    broadcast LEFT ANTI hash join, never a nested-loop NAAJ."""
+    plan = _formatted_plan(QUERIES["part_supplier_counts"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_join_lowers_to_window_no_join(spark, sf_dir):
+    """purchase_state_pit_join: the interval-containment join must be
+    absent from the physical plan — one tagged union + one user-keyed
+    window only."""
+    plan = _formatted_plan(QUERIES["purchase_state_pit_join"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_journey_patterns_no_event_self_join(spark, sf_dir):
+    """user_journey_patterns: funnel matching must be a per-user string
+    regex, never an event-log self-join."""
+    import re
+
+    plan = _formatted_plan(QUERIES["user_journey_patterns"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+
+
+def test_snapshot_diff_is_one_scan_no_join(spark, sf_dir):
+    """snapshot_diff_parts: the v1×v2 full-outer reconciliation must
+    collapse to ONE conditional-aggregation scan of the log."""
+    import re
+
+    plan = _formatted_plan(QUERIES["snapshot_diff_parts"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+
+
+def test_adamic_adar_wedges_are_equi_joins(spark, sf_dir):
+    """part_adamic_adar: wedge enumeration and the existing-edge exclusion
+    must be hash equi-joins (middle-vertex key / pair key), with the
+    degree table broadcast."""
+    plan = _formatted_plan(QUERIES["part_adamic_adar"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # degrees ride a broadcast
+    assert "LeftAnti" in plan  # existing edges excluded
+
+
+def test_hll_rollup_total_reads_registers_not_events(spark, sf_dir):
+    """hll_register_rollup: the total level must merge the cached daily
+    REGISTER table — the events scan count stays bounded by the daily
+    build + the two exact-distinct verification branches, and the
+    register merge is a plain aggregate."""
+    from contentwise_impressions_spark.plans.shared import (
+        release_session_payloads,
+    )
+
+    release_session_payloads(spark)
+    df = QUERIES["hll_register_rollup"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
