@@ -385,6 +385,63 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, _AUDIO_OUT)
 
 
+_AUDIO_FRAME_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame: int = 64) -> DataFrame:
+    """Frame-level audio features from PCM WAV payloads: fixed
+    ``frame``-sample windows (last partial frame kept) → per-frame RMS
+    energy and zero-crossing count — the front half of every classical
+    audio featurizer (energy/VAD gates, ZCR voicing heuristics).
+
+    Exactness contract: sums run in int64 over the integer samples and
+    zero crossings count strict sign flips between CONSECUTIVE samples
+    WITHIN a frame (int64 products), so everything except the final rms
+    sqrt is integer arithmetic and an arithmetic oracle reproduces it
+    bit-for-bit.  Row-independent mapInPandas, no shuffle; payload bytes
+    never leave their row.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media_bytes"]):
+                samples, _rate = _decode_wav(blob)
+                s = samples[:, 0].astype(np.int64)
+                n = len(s)
+                for f in range((n + frame - 1) // frame):
+                    seg = s[f * frame : (f + 1) * frame]
+                    m = len(seg)
+                    sum_sq = int((seg * seg).sum())
+                    zc = int(((seg[:-1] * seg[1:]) < 0).sum())
+                    out.append(
+                        (
+                            int(doc_id),
+                            f,
+                            m,
+                            sum_sq,
+                            zc,
+                            round(math.sqrt(sum_sq / m), 6) if m else 0.0,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in _AUDIO_FRAME_OUT])
+
+    return media.mapInPandas(kernel, _AUDIO_FRAME_OUT)
+
+
 def attach_generated_audio(
     docs: DataFrame, sample_rate: int = 8000
 ) -> DataFrame:

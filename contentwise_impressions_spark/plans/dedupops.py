@@ -2633,3 +2633,71 @@ register(
         "window over the shared weight table",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# impact-ordered inverted-index truncation (top docs per token)
+# ---------------------------------------------------------------------------
+def q_token_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered posting lists, truncated: the top-5 documents per
+    token by BM25 weight — the index-side counterpart of
+    `bm25_search_topk` (static index pruning / impact ordering: serving
+    reads only the head of each posting list, the standard IR move that
+    bounds per-term work at any corpus size).
+
+    Scale shape: re-ranks the shared BM25 weight table with a per-token
+    window (partial WindowGroupLimit trims to k map-side before the
+    token-keyed exchange); weights round to 9 for an engine-stable cut,
+    ties break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import bm25, term_frequencies
+
+    w = bm25(
+        term_frequencies(_docs(spark, sf_dir)), k1=1.2, b=0.75
+    ).withColumn("weight", F.round("weight", 9))
+    rk = Window.partitionBy("token").orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("token", "rank", "doc_id", "weight")
+        .orderBy("token", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        "token_top_docs",
+        q_token_top_docs,
+        f"""
+        WITH {_TF_CTE},
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, SUM(tf) AS row_sum FROM tf GROUP BY 1),
+        al AS (SELECT AVG(row_sum) AS avg_len FROM dl),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        w AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * (1.2 + 1.0)
+                     / (1.2 * ((1.0 - 0.75) + 0.75 * dl.row_sum / al.avg_len)
+                        + tf.tf)
+                     * ln(n.n_docs / (1.0 + df.df)), 9) AS weight
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN al CROSS JOIN n
+        )
+        SELECT token, rank, doc_id, weight FROM (
+            SELECT token, doc_id, weight,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY token
+                        ORDER BY weight DESC, doc_id ASC) AS INT) AS rank
+            FROM w
+        ) WHERE rank <= 5
+        ORDER BY token, rank
+        """,
+        doc="impact-ordered inverted-index truncation: top-5 docs per "
+        "token by BM25 weight (static index pruning)",
+    )
+)

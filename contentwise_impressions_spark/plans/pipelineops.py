@@ -1340,3 +1340,68 @@ register(
         "with dense-bin arithmetic oracle",
     )
 )
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level RMS energy + zero-crossing counts over really-decoded
+    PCM WAV clips (64-sample frames) — the audio counterpart of the
+    video frame pipeline: the framing/featurization front half of every
+    classical audio pipeline (energy/VAD gating, ZCR voicing).
+
+    The oracle never sees the bytes: it regenerates the deterministic
+    sawtooth arithmetically and recomputes per-frame int64 sums and
+    strict sign-flip counts, certifying encode → Arrow → chunk-walk →
+    PCM decode → framing end-to-end (one drifted sample flips a sum).
+    Scale shape: row-independent mapInPandas fan-out to ≤8 frame rows
+    per clip; no shuffle before the presentation sort.
+    """
+    from ..multimodal.binary_ops import (
+        attach_generated_audio,
+        audio_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_generated_audio(docs, sample_rate=8000)
+    return audio_frame_features(media, frame=64).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+register(
+    QuerySpec(
+        "audio_frame_energy",
+        q_audio_frame_energy,
+        """
+        WITH dims AS (
+            SELECT doc_id, CAST(doc_id % 480 + 16 AS BIGINT) AS n
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, i.i AS i,
+                   (i.i * 7 + doc_id * 13) % 2001 - 1000 AS v,
+                   CAST(i.i // 64 AS INT) AS frame_idx
+            FROM dims, range(0, 496) i(i)
+            WHERE i.i < n
+        ),
+        lagged AS (
+            SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+            FROM s
+        ),
+        z AS (
+            SELECT doc_id, frame_idx,
+                   CAST(COUNT(*) AS INT) AS n_samples,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+                   CAST(SUM(CASE WHEN i % 64 <> 0 AND v * pv < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+            FROM lagged GROUP BY 1, 2
+        )
+        SELECT doc_id, frame_idx, n_samples, sum_sq, zero_crossings,
+               ROUND(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms
+        FROM z
+        ORDER BY doc_id, frame_idx
+        """,
+        doc="frame-level audio features (RMS + zero crossings) over real "
+        "WAV decode; arithmetic oracle certifies the codec round trip",
+    )
+)

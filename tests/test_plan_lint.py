@@ -65,6 +65,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "salted_user_nation_counts": 1,
     "tfidf_weights": 1,
     "token_budget_mixture": 2,
+    # same two scalar sites (avg_len + n_docs) bm25_weights pins
+    "token_top_docs": 2,
     "token_chi2_topk": 1,
     "toppop_beyond_accuracy": 8,
     "toppop_eval_metrics": 1,
