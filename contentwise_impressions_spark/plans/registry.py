@@ -96,9 +96,10 @@ DRIVER_PRIORITY: list[str] = [
     "user_retention_cohorts",
     "user_rfm_segments",
     "event_transition_matrix",
-    # (doc_top_terms / audio_frame_energy / token_top_docs, also new in
-    # r10, wait for the r11 front: the 50 budget is full and the
-    # verdict-named r4 rows below must stay in)
+    # (doc_top_terms / audio_frame_energy / token_top_docs /
+    # nation_trade_volume / promo_revenue_share, also new in r10, wait
+    # for the r11 front: the 50 budget is full and the verdict-named r4
+    # rows below must stay in)
     # kernels changed in round 10 (BFS edge build + size-gated broadcast
     # traversal; excess-stock / triangle persists routed through the
     # session payload registry) -> must re-enter the gate

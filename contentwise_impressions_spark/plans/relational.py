@@ -3954,3 +3954,154 @@ register(
         "sequences: one lag window + |types|^2 aggregate",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# bilateral trade volume (TPC-H Q7 shape): one dimension in two roles
+# ---------------------------------------------------------------------------
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue between (supplier nation, customer nation) pairs —
+    the TPC-H Q7 shape: the SAME nation dimension participates twice
+    under different roles (shipper vs customer), classically a
+    self-join-ambiguity trap.
+
+    Scale shape: ONE fact-fact shuffle (lineitem ⋈ orders on orderkey);
+    supplier, customer and BOTH nation roles ride broadcasts (the
+    nation dim broadcasts twice under distinct aliases — no ambiguity,
+    no re-shuffle), and the final aggregate is |nation-pairs|×|years|
+    rows.  The supp<cust filter halves the pair space without losing
+    information (revenue is direction-tagged by the role columns).
+    """
+    utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("l_year")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    QuerySpec(
+        "nation_trade_volume",
+        q_nation_trade_volume,
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o_orderdate) AS BIGINT) AS l_year,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+        """,
+        doc="TPC-H Q7-shaped bilateral volume: one fact-fact shuffle, the "
+        "nation dim broadcast TWICE under distinct role aliases",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# conditional-share aggregate (TPC-H Q14 shape): promo revenue fraction
+# ---------------------------------------------------------------------------
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts — the TPC-H Q14
+    shape: a conditional aggregate ratio (CASE inside SUM over a
+    broadcast join), the pattern behind every 'percent of business'
+    metric.
+
+    Scale shape: part broadcasts into the fact scan; BOTH the promo and
+    total sums come from the SAME grouped aggregate (one scan, one
+    shuffle of |months| rows) — never two scans diffed.  The share is a
+    single division of two exact-input sums, rounded to 9.
+    """
+    utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))).alias(
+                "promo_revenue"
+            ),
+            F.sum("rev").alias("total_revenue"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))),
+                    F.lit(0.0),
+                )
+                / F.sum("rev"),
+                9,
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+register(
+    QuerySpec(
+        "promo_revenue_share",
+        q_promo_revenue_share,
+        """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) END)
+                   AS promo_revenue,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue,
+               ROUND(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) END),
+                              0.0)
+                     / SUM(l_extendedprice * (1 - l_discount)), 9)
+                   AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY 1
+        """,
+        doc="TPC-H Q14-shaped conditional revenue share: one scan, one "
+        "|months|-row shuffle, promo+total from the same aggregate",
+    )
+)
