@@ -55,23 +55,16 @@ def _load_all_modules() -> None:
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
 #: registration order up to a fixed budget (50 per round).  Evidence ledger
-#: entering round 8 (from CORRECTNESS_r0{1..7} key sets): r7 evidence for
-#: 50 queries, r5 for 44, r4 for 36, r3 for 16, r2 for 6.  Round-8
-#: rotation: (1) the three NEW round-8 specs (MF-serving oracles + the
-#: epoch-0 stream), (2) every query whose kernel changed this round
-#: (mf_topk hardening + float64 ALS boundary → the four MF serving paths
-#: and both quality gates; the ease_r size gate → both EASE_R specs),
-#: (3) the six r2-vintage stragglers (5 rounds stale), (4) ALL sixteen
-#: r3-vintage, (5) the oldest seventeen r4 rows up to the 50 budget.
-#: Round-9 status: CORRECTNESS_r08 never landed (no driver correctness run
-#: recorded for round 8), so the round-8 front below is kept INTACT — its
-#: evidence debt (r8-new specs, r8-changed kernels, the six r2-vintage, all
-#: sixteen r3-vintage) is still open.  The twenty-six round-9 specs are
-#: PREPENDED; to hold the 50 budget the youngest r4 rows roll to the r10 front
-#: (hopping_window_counts, itemknn_recommendations, hash_split_sizes,
-#: global_effects_user_bias), followed by the remaining r4 rows
-#: (minhash×3, item_pagerank, ngram_jaccard_topn … zorder_layout_stats)
-#: and the oldest r5 rows.
+#: entering round 10 (computed from the CORRECTNESS_r0{1..9}.json key sets —
+#: the authoritative source; rounds 8's file never landed): r9 evidence for
+#: 50 queries, r7 for 46, r5 for 40, r4 for 36, r3 for 13, and exactly one
+#: oracled query (stream_tumbling_counts) never rotated in.  Round-10
+#: rotation: (1) the round-10 specs as they landed, (2) the three queries
+#: whose kernels changed this round (BFS rebuild; triangle/excess-stock
+#: persists moved to the payload registry), (3) stream_tumbling_counts,
+#: (4) ALL thirteen r3-vintage rows, (5) the twelve r4 rows the round-9
+#: verdict named, then the remaining r4 rows up to the 50 budget (rolled
+#: names are recorded inline below so the r11 front writes itself).
 DRIVER_PRIORITY: list[str] = [
     # --- round-10 front (driver verifies in order, budget 50/round) ---
     # NEW in round 10 — zero driver evidence yet

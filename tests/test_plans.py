@@ -544,3 +544,23 @@ def test_hll_rollup_total_reads_registers_not_events(spark, sf_dir):
     df = QUERIES["hll_register_rollup"](spark, sf_dir)
     plan = _formatted_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_q7_nation_dim_broadcasts_twice_one_fact_shuffle(spark, sf_dir):
+    """nation_trade_volume: both nation roles (and supplier/customer)
+    must ride broadcasts — the only shuffle join is lineitem ⋈ orders."""
+    import re
+
+    plan = _formatted_plan(QUERIES["nation_trade_volume"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_share_is_single_scan_single_aggregate(spark, sf_dir):
+    """promo_revenue_share: promo and total sums must come from ONE
+    grouped aggregate over one lineitem scan — never two scans diffed."""
+    import re
+
+    plan = _formatted_plan(QUERIES["promo_revenue_share"](spark, sf_dir))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2, plan  # lineitem once + part broadcast
