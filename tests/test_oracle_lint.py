@@ -40,6 +40,11 @@ ALLOWED_UNCAST = {
     # running/total sums feed only the crossing filter and the float
     # total_qty output; strict parity green at sf0.001 and sf0.01 (r9)
     ("nation_weighted_median_price", "SUM(l_quantity) OVER"),
+    # the windowed sum is ONLY a divisor under CAST(cnt AS DOUBLE)/... —
+    # HUGEINT/DOUBLE division yields DOUBLE, and the projected columns are
+    # cnt (cast BIGINT) + the rounded prob; strict parity green at sf0.01
+    # (round 10, vanilla-session driver replica)
+    ("event_transition_matrix", "SUM(cnt) OVER"),
 }
 
 
