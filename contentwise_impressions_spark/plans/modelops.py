@@ -961,6 +961,76 @@ register(
 )
 
 
+def q_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows through the LIVE streaming engine:
+    2-hour windows every hour, watermarked, append emission — the
+    streaming twin of the batch `hopping_window_counts`, completing the
+    window-family driver evidence (tumbling + session + hopping all run
+    the real state store now).
+
+    Append mode emits a window once the final watermark passes its end
+    (the eviction predicate pinned for stream_tumbling_counts); each
+    event updates duration/slide = 2 window states, so state is bounded
+    by open windows × types regardless of input size.
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        as_event_time,
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    agg = (
+        as_event_time(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+    out = run_stream_once(agg, "stream_hopping")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_hopping_counts",
+        q_stream_hopping_counts,
+        """
+        WITH agg AS (
+            SELECT CAST(date_trunc('hour', ts) - o.h * INTERVAL 1 HOUR
+                        AS TIMESTAMP) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(value) AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+            GROUP BY 1, 2
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR
+                       AS w
+            FROM events
+        )
+        SELECT window_start, event_type, cnt, sum_value
+        FROM agg, wm WHERE window_start + INTERVAL 2 HOUR <= w
+        """,
+        doc="live-engine hopping windows + watermark (availableNow); "
+        "append emission at window_end <= final watermark",
+    )
+)
+
+
 def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-user running profiles (event count, value sum, last-seen ts)
