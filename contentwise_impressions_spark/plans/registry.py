@@ -90,7 +90,7 @@ DRIVER_PRIORITY: list[str] = [
     "user_rfm_segments",
     "event_transition_matrix",
     # (doc_top_terms / audio_frame_energy / token_top_docs /
-    # stream_hopping_counts /
+    # stream_hopping_counts / user_survival_curve / data_quality_checks /
     # nation_trade_volume / promo_revenue_share, also new in r10, wait
     # for the r11 front: the 50 budget is full and the verdict-named r4
     # rows below must stay in)

@@ -4105,3 +4105,248 @@ register(
         "|months|-row shuffle, promo+total from the same aggregate",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user activity spans
+# ---------------------------------------------------------------------------
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user activity lifetime: a user's
+    duration is last-event-day − first-event-day; the churn EVENT fires
+    if the user was inactive for the log's final 7 days, otherwise the
+    observation is right-CENSORED (still active at the horizon) — the
+    standard retention-modeling estimator (Kaplan & Meier 1958):
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i).
+
+    Scale shape: one user-keyed aggregate (first/last day per user), a
+    |durations|-row life table, and two ordered windows over that tiny
+    table (at-risk counts via cumulative complement, the product via
+    exp·Σln).  All counts are exact ints; the d=n full-depletion time
+    is handled by an explicit zero flag so ln(0) never evaluates; the
+    log-sum terms are identical single-op floats in both engines.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    horizon = ev.agg(F.max("d").alias("horizon"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("last_d"), F.col("first_d"))
+            .cast("int")
+            .alias("duration_days"),
+            (
+                F.datediff(F.col("horizon"), F.col("last_d")) > 7
+            ).alias("churned"),
+        )
+    )
+    life = per_user.groupBy("duration_days").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    w_prev = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # count users from the log directly (== |per_user| rows) so the
+    # per_user subtree — which carries the horizon scalar attach — is
+    # planned exactly once
+    total = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_total"))
+    at_risk = (
+        life.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0)),
+        )
+    )
+    term = F.when(
+        (F.col("n_churned") > 0) & (F.col("n_churned") < F.col("n_risk")),
+        F.log(1.0 - F.col("n_churned") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    depleted = F.max(
+        (F.col("n_churned") == F.col("n_risk")).cast("int")
+    ).over(w_cum)
+    return (
+        at_risk.withColumn("_term", term)
+        .withColumn("_dep", depleted)
+        .select(
+            "duration_days",
+            "n_risk",
+            "n_churned",
+            F.when(F.col("_dep") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum("_term").over(w_cum)), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+register(
+    QuerySpec(
+        "user_survival_curve",
+        q_user_survival_curve,
+        """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        h AS (SELECT MAX(d) AS horizon FROM ev),
+        pu AS (
+            SELECT CAST(date_diff('day', MIN(d), MAX(d)) AS INT)
+                       AS duration_days,
+                   date_diff('day', MAX(d), (SELECT horizon FROM h)) > 7
+                       AS churned
+            FROM ev GROUP BY user_id
+        ),
+        life AS (
+            SELECT duration_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_ending,
+                   CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_churned
+            FROM pu GROUP BY 1
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pu),
+        risk AS (
+            SELECT duration_days, n_ending, n_churned,
+                   n_total - COALESCE(SUM(n_ending) OVER (
+                       ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_risk
+            FROM life CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT *,
+                   CASE WHEN n_churned > 0 AND n_churned < n_risk
+                        THEN LN(1.0 - CAST(n_churned AS DOUBLE) / n_risk)
+                        ELSE 0.0 END AS t_term,
+                   MAX(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY duration_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS dep
+            FROM risk
+        )
+        SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, n_churned,
+               CASE WHEN dep = 1 THEN 0.0
+                    ELSE ROUND(EXP(SUM(t_term) OVER (
+                         ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                         6) END AS survival
+        FROM terms
+        ORDER BY duration_days
+        """,
+        doc="Kaplan-Meier survival over user activity spans (churn = 7-day "
+        "inactivity at the horizon, censored otherwise); exact-int life "
+        "table + exp-sum-log product",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality check suite (one pass + one FK probe)
+# ---------------------------------------------------------------------------
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt/Deequ-style assertion counters for the event log, as data:
+    primary-key duplicates, null keys, value-domain violations,
+    enum-domain violations, and foreign-key orphans (events.user_id ∉
+    customer) — each check one row with its violation count.
+
+    Scale shape: the four row-local checks fuse into ONE aggregate scan
+    (no per-check jobs — the split_invariants move); the FK check is a
+    broadcast left-anti against the key side of the dimension.  A
+    declarative runner would assert all counters are zero; emitting them
+    as data keeps the driver/oracle contract.
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    one_pass = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).alias("pk_duplicates"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias(
+            "null_pk"
+        ),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+            "negative_value"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("bad_event_type"),
+    )
+    orphans = (
+        ev.select("user_id")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("fk_orphan_user"))
+    )
+    wide = one_pass.crossJoin(F.broadcast(orphans))
+    checks = [
+        "pk_duplicates",
+        "null_pk",
+        "negative_value",
+        "bad_event_type",
+        "fk_orphan_user",
+    ]
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {pairs}) as (check_name, violations)".format(
+                n=len(checks),
+                pairs=", ".join(f"'{c}', {c}" for c in checks),
+            )
+        )
+    )
+    return stacked.select(
+        "check_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+register(
+    QuerySpec(
+        "data_quality_checks",
+        q_data_quality_checks,
+        """
+        WITH one_pass AS (
+            SELECT COUNT(*) - COUNT(DISTINCT event_id) AS pk_duplicates,
+                   SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                       AS null_pk,
+                   SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                       AS negative_value,
+                   SUM(CASE WHEN event_type NOT IN
+                            ('view','click','purchase','signup','error')
+                            THEN 1 ELSE 0 END) AS bad_event_type
+            FROM events
+        ),
+        fk AS (
+            SELECT COUNT(*) AS fk_orphan_user
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        ),
+        u AS (
+            SELECT 'pk_duplicates' AS check_name, pk_duplicates AS v
+            FROM one_pass
+            UNION ALL SELECT 'null_pk', null_pk FROM one_pass
+            UNION ALL SELECT 'negative_value', negative_value FROM one_pass
+            UNION ALL SELECT 'bad_event_type', bad_event_type FROM one_pass
+            UNION ALL SELECT 'fk_orphan_user', fk_orphan_user FROM fk
+        )
+        SELECT check_name, CAST(v AS BIGINT) AS violations,
+               v = 0 AS passed
+        FROM u ORDER BY check_name
+        """,
+        doc="declarative data-quality counters (PK dup / null / domain / "
+        "enum / FK orphan): four checks fused into one scan + one "
+        "broadcast anti-join FK probe",
+    )
+)

@@ -44,6 +44,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "doc_top_terms": 1,
     "diversity_similarity": 2,
     "dormant_rich_customers": 1,
+    # the orphan-counter scalar attached to the fused one-pass counters
+    "data_quality_checks": 1,
     "dsir_importance_weights": 1,
     "embedding_outlier_flags": 1,
     "excess_stock_suppliers": 1,
@@ -76,6 +78,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "user_activity_deciles": 1,
     # the global-horizon scalar attached to the per-user aggregate
     "user_rfm_segments": 1,
+    # horizon + total scalars on the life table
+    "user_survival_curve": 2,
     "users_covering_traffic": 1,
     "weighted_ndcg": 1,
 }
