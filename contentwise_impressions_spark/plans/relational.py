@@ -4216,10 +4216,10 @@ register(
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM pu),
         risk AS (
             SELECT duration_days, n_ending, n_churned,
-                   n_total - COALESCE(SUM(n_ending) OVER (
+                   n_total - COALESCE(CAST(SUM(n_ending) OVER (
                        ORDER BY duration_days
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS n_risk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS n_risk
             FROM life CROSS JOIN tot
         ),
         terms AS (
@@ -4235,10 +4235,10 @@ register(
         )
         SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, n_churned,
                CASE WHEN dep = 1 THEN 0.0
-                    ELSE ROUND(EXP(SUM(t_term) OVER (
+                    ELSE ROUND(EXP(CAST(SUM(t_term) OVER (
                          ORDER BY duration_days
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                         6) END AS survival
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE)), 6) END AS survival
         FROM terms
         ORDER BY duration_days
         """,
