@@ -1613,3 +1613,192 @@ register(
         bench=False,
     )
 )
+
+
+#: winning config of the seeded random search in q_tuning_end_to_end
+#: (seed=42, 4 cases, verified at the driver's sf0.01) — PINNED so the
+#: deterministic last-test refit stage gets its own SQL-oracled query;
+#: tests/test_tuning.py asserts this stays equal to random_search's output.
+REFIT_BEST = {"kind": "dice", "top_k": 14, "shrink": 6.973680290593639}
+
+
+def q_tuning_refit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of run_hyperparameter_tuning: refit on
+    train+validation with the winning config, evaluate on test.
+
+    Reference flow: SearchAbstractClass._evaluate_on_test (last-test refit,
+    SearchBayesianSkopt.py:214-271) followed by the full Evaluator pass
+    (Evaluator.py:284-364).  The search loop itself is the rows-only
+    composite (``tuning_end_to_end``); this query replays ONLY the
+    refit-on-best + test-metric stage with the winning params pinned as
+    constants, which makes the whole stage SQL-expressible and hash-checked.
+
+    Scale shape: identical to itemknn_recommendations + toppop_eval_metrics
+    — item co-occurrence shuffles once on user_id, W is top-K-pruned per
+    column, scores are semi-joined to test users before ranking (per-user
+    top-K is user-independent, and ranking_metrics aggregates test users
+    only, so the semi-join is an exact optimization the composite's
+    fit_eval skips).
+    """
+    from ..evaluation.metrics import ranking_metrics
+    from ..operators.scoring import item_based_scores, recommend_top_k
+    from ..operators.similarity import similarity_scores, similarity_top_k
+    from ..operators.splits import deterministic_split
+
+    utc(spark)
+    tagged = shared.materialized(
+        spark,
+        sf_dir,
+        "tuning_split",
+        lambda: deterministic_split(
+            _urm(spark, sf_dir), "user_id", "item_id", [0.7, 0.1, 0.2]
+        ),
+    )
+    fit = tagged.filter(F.col("split") != 2).select("user_id", "item_id")
+    test = tagged.filter(F.col("split") == 2).select("user_id", "item_id")
+    fit_v = fit.withColumn("value", F.lit(1.0))
+    w = similarity_top_k(
+        similarity_scores(
+            fit_v, REFIT_BEST["kind"], shrink=REFIT_BEST["shrink"]
+        ),
+        REFIT_BEST["top_k"],
+    ).select("item_i", "item_j", "sim")
+    scores = item_based_scores(fit_v, w).join(
+        test.select("user_id").distinct(), "user_id", "left_semi"
+    )
+    recs = recommend_top_k(
+        scores, 10, train=fit, round_digits=9
+    ).select("user_id", "item_id", "rank")
+    return ranking_metrics(recs, test, cutoff=10)
+
+
+register(
+    QuerySpec(
+        "tuning_refit_metrics",
+        q_tuning_refit_metrics,
+        f"""
+        WITH {URM_CTE},
+        tagged AS (
+            SELECT *, ((user_id * 1000003 + item_id * 7919) % 997 + 997) % 997
+                          AS h
+            FROM urm
+        ),
+        fit  AS (SELECT user_id, item_id FROM tagged WHERE h < 798),
+        test AS (SELECT user_id, item_id FROM tagged WHERE h >= 798),
+        n AS (SELECT item_id, CAST(COUNT(*) AS DOUBLE) AS n FROM fit GROUP BY 1),
+        d AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS DOUBLE) AS dot
+            FROM fit a JOIN fit b
+              ON a.user_id = b.user_id AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        s AS (
+            -- dice: dot / (ni + nj + (shrink + eps)); the shrink+eps sum is
+            -- parenthesized to match the engine's F.lit(shrink)+F.lit(EPS)
+            -- association bit-for-bit
+            SELECT item_i, item_j,
+                   dot / (ni.n + nj.n + (6.973680290593639 + 1e-6)) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY item_j
+                        ORDER BY dot / (ni.n + nj.n + (6.973680290593639 + 1e-6))
+                                     DESC,
+                                 item_i ASC) AS rnk
+            FROM d JOIN n ni ON d.item_i = ni.item_id
+                   JOIN n nj ON d.item_j = nj.item_id
+            QUALIFY rnk <= 14
+        ),
+        eu AS (SELECT DISTINCT user_id FROM test),
+        scores AS (
+            SELECT t.user_id, s.item_j AS item_id, SUM(s.sim) AS score
+            FROM fit t JOIN s ON t.item_id = s.item_i
+            WHERE t.user_id IN (SELECT user_id FROM eu)
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT sc.* FROM scores sc
+            LEFT JOIN fit t ON sc.user_id = t.user_id AND sc.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        ),
+        recs AS (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY round(score, 9) DESC, item_id ASC) AS rank
+            FROM unseen QUALIFY rank <= 10
+        ),
+        ntest AS (SELECT user_id, COUNT(*) AS n_test FROM test GROUP BY 1),
+        lab AS (
+            SELECT r.user_id, r.rank, n.n_test,
+                   CASE WHEN t.item_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+            FROM recs r
+            JOIN ntest n USING (user_id)
+            LEFT JOIN test t ON r.user_id = t.user_id AND r.item_id = t.item_id
+        ),
+        cum AS (
+            SELECT *,
+                   CAST(SUM(is_hit) OVER (PARTITION BY user_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_rows_u,
+                   CAST(SUM(is_hit) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_hits_u
+            FROM lab
+        ),
+        pu AS (
+            SELECT user_id, ANY_VALUE(n_test) AS n_test,
+                   SUM(is_hit) AS n_hits,
+                   SUM(is_hit * cum_hits * 1.0 / rank) AS ap_num,
+                   MIN(CASE WHEN is_hit = 1 THEN rank END) AS fhr,
+                   SUM(is_hit * 1.0 / rank) AS arhr,
+                   SUM(is_hit / log2(rank + 1.0)) AS dcg,
+                   COUNT(*) AS n_recs,
+                   SUM(is_hit * (n_rows_u - rank - (n_hits_u - cum_hits)))
+                       AS auc_num
+            FROM cum GROUP BY user_id
+        ),
+        idcg AS (
+            SELECT i AS n, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS idcg
+            FROM range(1, 11) t(i)
+        ),
+        per_user AS (
+            SELECT nt.user_id,
+                   COALESCE(p.n_hits / 10.0, 0.0)                    AS precision,
+                   COALESCE(p.n_hits * 1.0 / LEAST(nt.n_test, 10), 0.0) AS precision_min_den,
+                   COALESCE(p.n_hits * 1.0 / nt.n_test, 0.0)         AS recall,
+                   COALESCE(p.ap_num / LEAST(nt.n_test, 10), 0.0)    AS ap,
+                   COALESCE(1.0 / p.fhr, 0.0)                        AS rr,
+                   COALESCE(p.dcg / i.idcg, 0.0)                     AS ndcg,
+                   COALESCE(p.arhr, 0.0)                             AS arhr,
+                   COALESCE(CAST(p.n_hits AS DOUBLE), 0.0)           AS hits,
+                   COALESCE(CASE WHEN p.n_recs = p.n_hits THEN 1.0
+                                 WHEN p.n_hits = 0 THEN 0.0
+                                 ELSE p.auc_num * 1.0
+                                      / (p.n_hits * (p.n_recs - p.n_hits)) END,
+                            0.0)                                     AS roc_auc
+            FROM ntest nt
+            LEFT JOIN pu p ON nt.user_id = p.user_id
+            LEFT JOIN idcg i ON LEAST(nt.n_test, 10) = i.n
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users_evaluated,
+                   AVG(precision)         AS precision,
+                   AVG(precision_min_den) AS precision_min_den,
+                   AVG(recall)            AS recall,
+                   AVG(ap)                AS map,
+                   AVG(rr)                AS mrr,
+                   AVG(ndcg)              AS ndcg,
+                   AVG(arhr)              AS arhr,
+                   AVG(hits)              AS hit_rate,
+                   AVG(roc_auc)           AS roc_auc
+            FROM per_user
+        )
+        SELECT *, CASE WHEN precision + recall > 0
+                       THEN 2.0 * precision * recall / (precision + recall)
+                       ELSE 0.0 END AS f1
+        FROM agg
+        """,
+        doc="deterministic refit-on-best + test metrics stage of the tuning "
+        "composite (SearchBayesianSkopt.py:214-271 last-test refit + "
+        "Evaluator.py:284-364), winning config pinned from the seeded search",
+        bench=False,
+    )
+)

@@ -259,3 +259,17 @@ def test_tuning_end_to_end_composite(spark, sf01_dir):
         a = out[col].astype(float).fillna(-1.0)
         b = out2[col].astype(float).fillna(-1.0)
         assert ((a - b).abs() < 1e-9).all(), col
+
+    # the pinned REFIT_BEST constants (tuning_refit_metrics, the oracled
+    # refit stage) must stay equal to the search's actual winner, and the
+    # standalone refit query must reproduce the composite's test metric
+    from contentwise_impressions_spark.plans.modelops import (
+        REFIT_BEST,
+        q_tuning_refit_metrics,
+    )
+
+    assert REFIT_BEST["kind"] == r["kind"]
+    assert REFIT_BEST["top_k"] == r["top_k"]
+    assert abs(REFIT_BEST["shrink"] - r["shrink"]) < 1e-12
+    standalone = q_tuning_refit_metrics(spark, sf01_dir).toPandas()
+    assert abs(standalone["map"].iloc[0] - r["test_map"]) < 1e-9
