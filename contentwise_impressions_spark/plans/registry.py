@@ -55,95 +55,85 @@ def _load_all_modules() -> None:
 
 #: Names surfaced FIRST to the correctness driver, which verifies queries in
 #: registration order up to a fixed budget (50 per round).  Evidence ledger
-#: entering round 10 (computed from the CORRECTNESS_r0{1..9}.json key sets —
-#: the authoritative source; rounds 8's file never landed): r9 evidence for
-#: 50 queries, r7 for 46, r5 for 40, r4 for 36, r3 for 13, and exactly one
-#: oracled query (stream_tumbling_counts) never rotated in.  Round-10
-#: rotation: (1) the round-10 specs as they landed, (2) the three queries
-#: whose kernels changed this round (BFS rebuild; triangle/excess-stock
-#: persists moved to the payload registry), (3) stream_tumbling_counts,
-#: (4) ALL thirteen r3-vintage rows, (5) the twelve r4 rows the round-9
-#: verdict named, then the remaining r4 rows up to the 50 budget (rolled
-#: names are recorded inline below so the r11 front writes itself).
+#: entering round 11 (computed from the CORRECTNESS_r0{1..10}.json key sets —
+#: the authoritative source): r10 evidence for 50 queries, r9 for 47, r7 for
+#: 46, r5 for 40, r4 for 24, and 8 round-10-late specs with no evidence at
+#: all.  Round-11 rotation: (1) the spec NEW this round
+#: (tuning_refit_metrics, the oracled refit stage of the tuning composite),
+#: (2) the 8 zero-evidence round-10 specs (user_survival_curve's oracle also
+#: changed this round — lint-ratchet casts), (3) ALL twenty-four r4-vintage
+#: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
+#: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-10 front (driver verifies in order, budget 50/round) ---
-    # NEW in round 10 — zero driver evidence yet
-    "stream_popularity_store",
-    "tuning_end_to_end",
-    "stream_enriched_counts",
-    "lone_returner_suppliers",
-    "part_supplier_counts",
-    "disjunctive_brand_revenue",
-    "part_adamic_adar",
-    "order_association_rules",
-    "purchase_state_pit_join",
-    "user_journey_patterns",
-    "part_label_propagation",
-    "mmr_diversified_topk",
-    "part_name_linkage",
-    "multi_touch_attribution",
-    "event_cube_stats",
-    "stream_user_profiles",
-    "hll_register_rollup",
-    "snapshot_diff_parts",
-    "user_retention_cohorts",
-    "user_rfm_segments",
-    "event_transition_matrix",
-    # (doc_top_terms / audio_frame_energy / token_top_docs /
-    # stream_hopping_counts / user_survival_curve / data_quality_checks /
-    # nation_trade_volume / promo_revenue_share, also new in r10, wait
-    # for the r11 front: the 50 budget is full and the verdict-named r4
-    # rows below must stay in)
-    # kernels changed in round 10 (BFS edge build + size-gated broadcast
-    # traversal; excess-stock / triangle persists routed through the
-    # session payload registry) -> must re-enter the gate
-    "part_bfs_hops",
-    "excess_stock_suppliers",
-    "item_triangle_stats",
-    # the ONLY oracled query with zero driver evidence in rounds 1-9
-    "stream_tumbling_counts",
-    # r3-vintage evidence (6 rounds stale) -- all thirteen
-    "click_attribution",
-    "click_position_heatmap",
-    "cold_entities",
-    "corpus_cleaning_funnel",
-    "decayed_toppop",
-    "doc_fingerprints",
-    "doc_repetition_stats",
-    "eval_contamination",
-    "feature_pruning",
-    "impression_list_invariants",
-    "impression_urm",
-    "simhash_neardup_pairs",
-    "view_to_click_conversions",
-    # r4-vintage -- the twelve rows the round-9 verdict called out by name
-    # (rolled from the r8/r9 fronts), then the rest up to the 50 budget
-    "doc_bpe_token_stats",
-    "doc_packing_stats",
-    "global_effects_item_bias",
-    "global_effects_user_bias",
-    "hash_split_sizes",
-    "hopping_window_counts",
-    "itemknn_recommendations",
-    "minhash_dedup_clusters",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "item_pagerank",
-    "ngram_jaccard_topn",
-    # (bm25_weighted_itemknn / bpr_triplets_inside /
-    # centered_similarities / confidence_matrix / corpus_bigrams / diversity_similarity / p3alpha_topk / pii_scrub_stats / props_json_stats /
-    # remove_top_popular / rmse_global_effects / rp3beta_topk /
-    # simhash_fingerprints /
-    # stratified_sample_sizes / tfidf_weights / toppop_beyond_accuracy /
-    # toppop_eval_metrics / toppop_eval_multi_cutoff /
-    # toppop_recommendations / tumbling_window_counts /
-    # user_holdout_sizes / user_sessions / weighted_ndcg /
-    # zorder_layout_stats -- the youngest remaining r4 rows -- roll to
-    # the r11 front together with the forty r5-vintage rows; ledger
-    # derived
-    # from the CORRECTNESS_r0{1..9}.json key sets: after this round every
-    # query's driver evidence is r7+ except those, and new r10 specs are
-    # prepended above as they land)
+    # --- round-11 front (driver verifies in order, budget 50/round) ---
+    # NEW in round 11 — deterministic refit-on-best + test metrics,
+    # the oracled stage carved out of the rows-only tuning composite
+    "tuning_refit_metrics",
+    # round-10-late specs with ZERO driver evidence (queued by the r10
+    # front comment; user_survival_curve's oracle twin changed this round)
+    "nation_trade_volume",
+    "promo_revenue_share",
+    "user_survival_curve",
+    "data_quality_checks",
+    "audio_frame_energy",
+    "doc_top_terms",
+    "token_top_docs",
+    "stream_hopping_counts",
+    # r4-vintage evidence (7 rounds stale) -- all twenty-four
+    "bm25_weighted_itemknn",
+    "bpr_triplets_inside",
+    "centered_similarities",
+    "confidence_matrix",
+    "corpus_bigrams",
+    "diversity_similarity",
+    "p3alpha_topk",
+    "pii_scrub_stats",
+    "props_json_stats",
+    "remove_top_popular",
+    "rmse_global_effects",
+    "rp3beta_topk",
+    "simhash_fingerprints",
+    "stratified_sample_sizes",
+    "tfidf_weights",
+    "toppop_beyond_accuracy",
+    "toppop_eval_metrics",
+    "toppop_eval_multi_cutoff",
+    "toppop_recommendations",
+    "tumbling_window_counts",
+    "user_holdout_sizes",
+    "user_sessions",
+    "weighted_ndcg",
+    "zorder_layout_stats",
+    # r5-vintage (6 rounds stale) -- alphabetically-first seventeen
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "ann_retrieval_topk",
+    "audio_decode_stats",
+    "batch_drift_stats",
+    "blocklist_filter_stats",
+    "bm25_search_topk",
+    "bpe_compression_stats",
+    "bpe_learned_merges",
+    "conversion_funnel",
+    "custom_w_recommendations",
+    "doc_novelty_stats",
+    "dsir_importance_weights",
+    "duplicated_span_stats",
+    "ease_r_blocked_weights",
+    "embedding_neardup_pairs",
+    # (the remaining twenty-three r5-vintage rows roll to the r12 front:
+    # embedding_outlier_flags / hard_negative_pairs /
+    # incremental_dedup_flags / jpeg_decode_stats /
+    # lang_temperature_sampling / lsh_recall_stats /
+    # minhash_jaccard_estimates / multimodal_decode_stats /
+    # passage_chunks / png_decode_stats / quality_classifier_scores /
+    # random_recommendations / semantic_dedup_flags / sketch_summary /
+    # slim_bpr_weights / source_quality_rollup / span_scrubbed_docs /
+    # tag_tokens_porter / token_budget_mixture / training_shard_manifest /
+    # unigram_ppl_buckets / user_cosine_topk / userknn_recommendations —
+    # after those, everything is r7+ and the r7 block (46 rows) rotates;
+    # new r11+ specs are prepended above as they land)
 ]
 
 

@@ -48,6 +48,24 @@ ALLOWED_UNCAST = {
 }
 
 
+def test_driver_priority_names_are_registered():
+    """driver_priority silently drops names missing from the registry, so a
+    typo in the hand-maintained 50-name rotation would quietly shrink the
+    verification front.  Pin: every DRIVER_PRIORITY entry is a registered
+    query, no duplicates, and the front respects the 50-per-round budget."""
+    from contentwise_impressions_spark.plans import all_queries
+    from contentwise_impressions_spark.plans.registry import DRIVER_PRIORITY
+
+    registered = set(all_queries())
+    unknown = [n for n in DRIVER_PRIORITY if n not in registered]
+    assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
+    dupes = [n for n in set(DRIVER_PRIORITY) if DRIVER_PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate DRIVER_PRIORITY names: {dupes}"
+    assert len(DRIVER_PRIORITY) <= 50, (
+        f"front exceeds the driver's 50-query budget: {len(DRIVER_PRIORITY)}"
+    )
+
+
 def test_windowed_sums_cast_or_allowlisted():
     offenders = []
     for name, sql in all_oracle_sql().items():
