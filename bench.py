@@ -134,6 +134,42 @@ def main() -> None:
     t_reruns = 0.0
     t_all = time.perf_counter()
     ticks0 = _cpu_ticks()
+
+    # streaming family-warmup: the FIRST streaming query of a session pays
+    # ~30 s of engine + state-store-provider initialization (r10 verdict:
+    # stream_popularity_store 36.7 s in-suite vs 5.1 s warm best-of-3) —
+    # start and drain one trivial stateful availableNow query up front so
+    # the stream_* per-query lines reflect steady-state engine cost
+    t0 = time.perf_counter()
+    try:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from contentwise_impressions_spark.streaming.ingest import (
+            run_stream_once,
+        )
+
+        wdir = tempfile.mkdtemp(prefix="bench_stream_warmup_")
+        spark.range(8).select(
+            F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+            (F.col("id") % 2).alias("k"),
+        ).write.mode("overwrite").parquet(wdir)
+        warm_stream = (
+            spark.readStream.schema("ts timestamp, k bigint")
+            .parquet(wdir)
+            .withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "2 minutes"), "k")
+            .count()
+        )
+        run_stream_once(warm_stream, name_prefix="bench_stream_warmup").count()
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name.startswith("bench_stream_warmup"):
+                spark.catalog.dropTempView(t.name)
+        warmup_timings["streaming"] = round(time.perf_counter() - t0, 4)
+    except Exception as exc:
+        errors["warmup:streaming"] = f"{type(exc).__name__}: {exc}"[:500]
+
     for fam in fam_order:
         # family build line: materialize the family's SHARED payloads once,
         # timed separately, so per-query numbers reflect plan cost rather
@@ -168,6 +204,17 @@ def main() -> None:
                 continue
             t_r = time.perf_counter()
             best = timings[name]
+            # streaming reruns register a fresh memory-sink temp view per
+            # run (run_stream_once uuid-names them) — snapshot and drop the
+            # delta so reruns don't accumulate driver-memory sinks
+            try:
+                views0 = {
+                    t.name
+                    for t in spark.catalog.listTables()
+                    if t.isTemporary
+                }
+            except Exception:
+                views0 = set()
             for _ in range(2):
                 t0 = time.perf_counter()
                 try:
@@ -175,8 +222,22 @@ def main() -> None:
                         "overwrite"
                     ).save()
                     best = min(best, time.perf_counter() - t0)
-                except Exception:
+                except Exception as exc:
+                    # a failed rerun must not silently pass the in-suite
+                    # sample off as a verified warm best — record it
+                    errors[f"rerun:{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
                     break
+            try:
+                for v in {
+                    t.name
+                    for t in spark.catalog.listTables()
+                    if t.isTemporary
+                } - views0:
+                    spark.catalog.dropTempView(v)
+            except Exception:
+                pass
             slow_best_of_3[name] = round(best, 4)
             gemm_probes[name] = _gemm_probe()
             t_reruns += time.perf_counter() - t_r
@@ -237,8 +298,11 @@ def main() -> None:
             extras["errors"] = errors
 
     # a failed query makes 'value' an unequal workload vs other rounds:
-    # flag it and report only the successfully-timed subtotal
-    valid = not errors
+    # flag it and report only the successfully-timed subtotal.  Rerun
+    # failures (rerun:*) don't invalidate the suite — the in-suite
+    # workload completed; only the warm best-of-3 for that query is
+    # unverified (and its error line says so).
+    valid = not any(not k.startswith("rerun:") for k in errors)
     result = {
         "metric": "headline_query_suite_wall_clock",
         "value": total if valid else round(sum(timings.values()), 4),
