@@ -643,19 +643,21 @@ def sample_frames(
     if not with_payload:
         return base.select("doc_id", "frame_idx", "frame_ts_ms")
     frame_size = (
-        F.col("media_meta.width") * F.col("media_meta.height")
-    ).cast("int")
+        F.col("media_meta.width").cast("bigint") * F.col("media_meta.height")
+    )
     return base.select(
         "doc_id",
         "frame_idx",
         "frame_ts_ms",
         F.expr(
             # offset in BIGINT: at real scale (large frames x long videos)
-            # frame_idx * frame_bytes overflows 32-bit int before substring
+            # frame_idx * frame_bytes overflows 32-bit int before substring;
+            # width is widened BEFORE the multiply so width*height itself
+            # can't overflow on gigapixel frames either
             "substring(media_bytes, "
             "cast(frame_idx as bigint)"
-            " * bigint(media_meta.width * media_meta.height) + 1, "
-            "int(media_meta.width * media_meta.height))"
+            " * (bigint(media_meta.width) * media_meta.height) + 1, "
+            "int(bigint(media_meta.width) * media_meta.height))"
         ).alias("media_bytes"),
         F.struct(
             F.lit("image").alias("media_type"),

@@ -450,14 +450,6 @@ def test_scd2_is_single_user_shuffle(spark, sf_dir):
     assert len(exchanges) <= 2, plan
 
 
-def _scan_count(plan: str) -> int:
-    import re
-
-    return len(set(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))) or len(
-        re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
-    )
-
-
 def test_q21_decorrelates_to_single_fact_scan(spark, sf_dir):
     """lone_returner_suppliers: the EXISTS + NOT-EXISTS pair must collapse
     into ONE per-order aggregate — one lineitem scan plus the supplier
