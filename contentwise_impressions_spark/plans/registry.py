@@ -132,8 +132,11 @@ DRIVER_PRIORITY: list[str] = [
     # slim_bpr_weights / source_quality_rollup / span_scrubbed_docs /
     # tag_tokens_porter / token_budget_mixture / training_shard_manifest /
     # unigram_ppl_buckets / user_cosine_topk / userknn_recommendations —
-    # after those, everything is r7+ and the r7 block (46 rows) rotates;
-    # new r11+ specs are prepended above as they land)
+    # after those, everything is r7+ and the r7 block (46 rows) rotates.
+    # The specs REGISTERED during round 11 after this front filled
+    # (priority_late_orders / nation_market_share / top_revenue_suppliers,
+    # the TPC-H Q4/Q8/Q15 shapes) land at positions 51+ this round and
+    # LEAD the r12 front together with the rolled r5 rows above)
 ]
 
 

@@ -4108,6 +4108,269 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# existence-driven aggregate (TPC-H Q4 shape): priority counts with EXISTS
+# ---------------------------------------------------------------------------
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority counts of Q3-1995 orders, split by whether ANY line
+    shipped after the order date — the TPC-H Q4 shape: an EXISTS
+    correlated subquery lowered to a semi-join, counted per group.
+
+    Scale shape: the 3-month order slice is date-pruned at the scan and
+    BROADCAST into the lineitem probe (the fact side never shuffles for
+    the existence test); the correlated predicate (l_shipdate >
+    o_orderdate) rides the broadcast join as a residual filter; the
+    distinct-orderkey collapse is one shuffle of the matched slice, and
+    the final aggregate is |priorities| rows.  No row of lineitem is
+    materialized beyond (orderkey, shipdate).
+    """
+    utc(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-07-01")
+            & (F.col("o_orderdate") < "1995-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late_keys = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("is_late", F.lit(1))
+    )
+    return (
+        # late_keys ⊆ the order slice that is itself broadcast above, so
+        # broadcasting it back is size-safe by construction (Catalyst has
+        # no static stats for the distinct's output; the hint avoids an
+        # SMJ of two already-small sides)
+        orders.join(F.broadcast(late_keys), "o_orderkey", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.coalesce(F.col("is_late"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "priority_late_orders",
+        q_priority_late_orders,
+        """
+        WITH o AS (
+            SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+            WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+        ),
+        late AS (
+            SELECT DISTINCT o.o_orderkey
+            FROM o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN late.o_orderkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM o LEFT JOIN late USING (o_orderkey)
+        GROUP BY 1 ORDER BY 1
+        """,
+        doc="TPC-H Q4-shaped existence aggregate (EXISTS -> broadcast "
+        "semi-probe + distinct collapse), exact integer counts",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# market share within group (TPC-H Q8 shape): two-role dims + share ratio
+# ---------------------------------------------------------------------------
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of ASIA-customer revenue per order year — the
+    TPC-H Q8 shape: the nation dim serves two roles (supplier origin vs
+    customer market), with the share computed WITHIN each year group.
+
+    Scale shape: one fact-fact shuffle (lineitem ⋈ orders on orderkey);
+    supplier/customer/nation/region all broadcast (nation twice, under
+    role aliases); numerator and denominator come from ONE grouped
+    aggregate via a conditional sum — never two scans diffed, never a
+    window over the fact.  Output is |years| rows.
+    """
+    utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n_cust = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+            ).alias("nation_volume"),
+            F.sum("volume").alias("total_volume"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_2",
+                            F.col("volume"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                / F.sum("volume"),
+                9,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    QuerySpec(
+        "nation_market_share",
+        q_nation_market_share,
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               SUM(CASE WHEN ns.n_name = 'NATION_2'
+                        THEN l_extendedprice * (1 - l_discount) END)
+                   AS nation_volume,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_volume,
+               ROUND(COALESCE(SUM(CASE WHEN ns.n_name = 'NATION_2'
+                              THEN l_extendedprice * (1 - l_discount) END),
+                              0.0)
+                     / SUM(l_extendedprice * (1 - l_discount)), 9)
+                   AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        GROUP BY 1 ORDER BY 1
+        """,
+        doc="TPC-H Q8-shaped market share: two-role nation dim, share "
+        "within year from one conditional aggregate",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# global argmax (TPC-H Q15 shape): top supplier by windowed revenue
+# ---------------------------------------------------------------------------
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-3 suppliers by Q1-1996 shipped revenue, with names — the
+    TPC-H Q15 shape (revenue view + global max), made deterministic by
+    ranking on round(revenue, 6) with a suppkey tie-break.
+
+    Scale shape: the date slice prunes at the scan, the per-supplier sum
+    is one shuffle of the slice keyed by suppkey (|suppliers| rows out),
+    the global top-3 is a distributed TakeOrderedAndProject (per-partition
+    partial top-k, no single-partition window), and supplier names attach
+    by broadcast AFTER the top-k so only 3 rows are enriched.
+    """
+    utc(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select(
+            "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("rev").alias("total_revenue"))
+        .orderBy(
+            F.round(F.col("total_revenue"), 6).desc(),
+            F.col("l_suppkey").asc(),
+        )
+        .limit(3)
+    )
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_revenue"), 6).alias("total_revenue"),
+        )
+        .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey").asc())
+    )
+
+
+register(
+    QuerySpec(
+        "top_revenue_suppliers",
+        q_top_revenue_suppliers,
+        """
+        WITH rev AS (
+            SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY 1
+        ),
+        top AS (
+            SELECT l_suppkey, total_revenue,
+                   ROW_NUMBER() OVER (ORDER BY round(total_revenue, 6) DESC,
+                                      l_suppkey ASC) AS rnk
+            FROM rev QUALIFY rnk <= 3
+        )
+        SELECT l_suppkey AS s_suppkey, s_name,
+               ROUND(total_revenue, 6) AS total_revenue
+        FROM top JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY total_revenue DESC, s_suppkey ASC
+        """,
+        doc="TPC-H Q15-shaped global argmax: distributed "
+        "TakeOrderedAndProject top-k, names attached post-top-k",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Kaplan-Meier survival curve over user activity spans
 # ---------------------------------------------------------------------------
 def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
