@@ -961,6 +961,115 @@ register(
 )
 
 
+def q_stream_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the LIVE engine —
+    the emission surface the inner join never exercises: a view's
+    NULL-side row may only be emitted once the global watermark proves no
+    matching click can still arrive (watermark > view_ts + horizon), i.e.
+    outer results are produced by STATE EVICTION, not by row arrival.
+    That deferred emission is exactly what keeps unbounded stream-stream
+    outer joins memory-bounded at 100 TB/day: left-side state is one
+    horizon + watermark of traffic, evicted rows leave as NULL matches.
+
+    Determinism: matched pairs equal the exact batch interval join
+    (single-delivery availableNow run, nothing late); unmatched views are
+    NULL-emitted iff their match window [view_ts, view_ts + 1h] closed
+    under the FINAL watermark.  Each filtered side carries its OWN
+    watermark, and the engine's global watermark is their MIN
+    (multipleWatermarkPolicy=min): the eviction horizon is
+    min(max view_ts, max click_ts) truncated to millis, minus the 2h
+    delay — pinned empirically at sf0.001, where the click stream ends
+    ~3h before the view stream and the unified-max rule over-emits by one
+    row.  Views newer than the horizon stay buffered and are NOT emitted,
+    so the SQL twin applies the same cutoff.  The NULL side is surfaced
+    as the engine-wide -1 sentinel so the output schema carries no
+    nullable column (driver-hash portability).
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+        stream_view_click_join,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    joined = stream_view_click_join(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "click"),
+        horizon="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    ).select(
+        "user_id",
+        "view_id",
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("bigint")).alias(
+            "click_id"
+        ),
+        "view_ts",
+    )
+    out = run_stream_once(joined, "stream_vc_outer")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_view_click_outer",
+        q_stream_view_click_outer,
+        """
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, ts AS view_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        wm AS (
+            -- the engine watermarks each FILTERED side separately and the
+            -- global watermark is their MIN (multipleWatermarkPolicy=min),
+            -- so the eviction horizon tracks the slower side's max event
+            -- time, not the unified table's
+            SELECT least((SELECT date_trunc('milliseconds', MAX(view_ts))
+                          FROM v),
+                         (SELECT date_trunc('milliseconds', MAX(click_ts))
+                          FROM c))
+                   - INTERVAL 2 HOUR AS w
+        ),
+        matched AS (
+            SELECT v.user_id, v.view_id, c.click_id,
+                   CAST(v.view_ts AS TIMESTAMP) AS view_ts
+            FROM v JOIN c
+              ON v.user_id = c.user_id
+             AND c.click_ts >= v.view_ts
+             AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+        ),
+        unmatched AS (
+            SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS click_id,
+                   CAST(v.view_ts AS TIMESTAMP) AS view_ts
+            FROM v CROSS JOIN wm
+            WHERE v.view_ts + INTERVAL 1 HOUR < wm.w
+              AND NOT EXISTS (
+                  SELECT 1 FROM c
+                  WHERE c.user_id = v.user_id
+                    AND c.click_ts >= v.view_ts
+                    AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+              )
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        """,
+        doc="live-engine stream-stream LEFT OUTER interval join: matched "
+        "pairs == exact batch join; NULL-side rows emitted by state "
+        "eviction once the final watermark closes the match window",
+    )
+)
+
+
 def q_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) windows through the LIVE streaming engine:
     2-hour windows every hour, watermarked, append emission — the

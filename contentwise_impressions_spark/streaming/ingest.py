@@ -312,6 +312,7 @@ def stream_view_click_join(
     clicks: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: clicks within `horizon` AFTER a view by
     the same user — the streaming twin of the batch bounded-range join
@@ -339,7 +340,7 @@ def stream_view_click_join(
         & (c.click_ts >= v.view_ts)
         & (c.click_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
     )
-    return v.join(c, cond).select(
+    return v.join(c, cond, how).select(
         "user_id", "view_id", "click_id", "view_ts", "click_ts"
     )
 
