@@ -76,6 +76,35 @@ def _gemm_probe() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _executor_probe(spark) -> float:
+    """EXECUTOR-side contention canary: one tiny Arrow-worker GEMM per
+    task across 8 tasks, end-to-end wall-clock.  The round-11 cbfops
+    adjudication found the gap this closes: the driver-side GEMM probe
+    stayed quiet (2-4 ms) through an episode that quadrupled an
+    Arrow-kernel query's warm best-of-3, because Python-worker stalls
+    are invisible to the driver process.  ~0.15-0.4 s on a quiet host
+    (mostly fixed job overhead); multi-second under worker-side
+    contention."""
+    import pandas as pd
+
+    def gemm(batches):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((256, 256))
+        for pdf in batches:
+            yield pd.DataFrame({"x": [float((a @ a).sum())] * len(pdf)})
+
+    t0 = time.perf_counter()
+    try:
+        spark.range(8, numPartitions=8).mapInPandas(
+            gemm, "x double"
+        ).count()
+    except Exception:
+        return -1.0
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -131,6 +160,7 @@ def main() -> None:
     warmup_timings: dict[str, float] = {}
     slow_best_of_3: dict[str, float] = {}
     gemm_probes: dict[str, float] = {}
+    exec_probes: dict[str, float] = {}
     t_reruns = 0.0
     t_all = time.perf_counter()
     ticks0 = _cpu_ticks()
@@ -240,6 +270,7 @@ def main() -> None:
                 pass
             slow_best_of_3[name] = round(best, 4)
             gemm_probes[name] = _gemm_probe()
+            exec_probes[name] = _executor_probe(spark)
             t_reruns += time.perf_counter() - t_r
         release_session_payloads(spark)
     total = round(time.perf_counter() - t_all - t_reruns, 4)
@@ -258,6 +289,7 @@ def main() -> None:
     if slow_best_of_3:
         extras["slow_query_best_of_3"] = slow_best_of_3
         extras["slow_query_gemm_probe"] = gemm_probes
+        extras["slow_query_executor_probe"] = exec_probes
         extras["slow_query_rerun_sec"] = round(t_reruns, 4)
     if errors:
         extras["errors"] = errors
