@@ -478,6 +478,80 @@ def _ivf_final_distances(
     return d
 
 
+def ivf_sampled_distances(
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    sample_keep: int = 200,
+    sample_mod: int = 997,
+) -> DataFrame:
+    """(vec_id, c, d2) for the FULL corpus against centroids trained on a
+    deterministic hash-sample — the production IVF training shape.
+
+    The round-11 10x scale measurement (BENCH_sf1.json) showed centroid
+    training dominating IVF cost when it runs over the whole corpus:
+    Lloyd iterations are O(N · n_list · d) while the index only needs
+    centroids that are REPRESENTATIVE, not exhaustive (FAISS trains its
+    coarse quantizer on a bounded sample for exactly this reason).  Here
+    the Lloyd loop runs only on vectors with (vec_id·P1 mod sample_mod) <
+    sample_keep (~sample_keep/sample_mod of the corpus, deterministic and
+    SQL-replayable — no RNG stream), and ONLY the final assignment pass
+    touches every vector: training cost is bounded by the sample while
+    assignment stays the one map-side broadcast join + partial agg that
+    scales.  At 10⁹ vectors, pick sample_keep/sample_mod so the sample is
+    ~10⁶ and training cost becomes independent of corpus growth.
+
+    The seed convention is unchanged (lowest (vec_id·P1 mod 997, vec_id)
+    ranks): those seeds belong to the sample by construction whenever
+    sample_keep exceeds the n_list smallest hash values, so
+    sample_keep=sample_mod degenerates to the exact full-data
+    ``_ivf_final_distances``.
+    """
+    from ..functions.hashing import P1
+
+    e = embeddings.select(
+        "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    h = (F.col("vec_id").cast("bigint") * P1) % sample_mod
+    e_train = e.filter(h < sample_keep)
+    seeds = (
+        embeddings.select("vec_id", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(n_list)
+        .withColumn(
+            "c",
+            F.row_number().over(Window.orderBy("_h", F.col("vec_id"))) - 1,
+        )
+        .drop("_h")
+    )
+    cent = e_train.join(seeds, "vec_id").select(
+        "c", "pos", F.col("x").alias("y")
+    )
+    for _ in range(n_iters - 1):
+        d_train = (
+            e_train.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "c")
+            .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
+        assign = (
+            d_train.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", F.col("c").alias("list_id"))
+        )
+        cent = (
+            assign.join(e_train, "vec_id")
+            .groupBy(F.col("list_id").alias("c"), "pos")
+            .agg(F.avg("x").alias("y"))
+        )
+    return (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c")
+        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+    )
+
+
 def ivf_probe_lists(
     embeddings: DataFrame,
     n_list: int = 8,

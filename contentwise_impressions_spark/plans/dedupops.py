@@ -571,6 +571,81 @@ def _ivf_sql_ctes(n_list: int = 8, n_iters: int = 2) -> str:
     return ",\n        ".join(ctes)
 
 
+def _ivf_sampled_sql_ctes(
+    n_list: int = 8, n_iters: int = 2, keep: int = 200, mod: int = 997
+) -> str:
+    """DuckDB twin of operators/ann.ivf_sampled_distances: the Lloyd loop
+    runs only on the deterministic hash-sample (et); the final distance
+    pass covers the full corpus.  Same seeds, argmin/tiebreak and AVG
+    update as ``_ivf_sql_ctes``."""
+    from ..functions.hashing import P1
+
+    ctes = [
+        """e AS (
+            SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304 + 0.5) AS BIGINT) AS xq
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        )""",
+        f"""et AS (
+            SELECT * FROM e
+            WHERE (CAST(vec_id AS BIGINT) * {P1}) % {mod} < {keep}
+        )""",
+        f"""seeds AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (CAST(vec_id AS BIGINT) * {P1}) % {mod}, vec_id
+                   ) - 1 AS c
+            FROM embeddings
+            QUALIFY c < {n_list}
+        )""",
+        "cent0 AS (SELECT s.c, t.pos, t.x AS y FROM seeds s JOIN et t USING (vec_id))",
+    ]
+    prev = "cent0"
+    for it in range(n_iters - 1):
+        ctes.append(
+            f"""d{it} AS (
+                SELECT t.vec_id, c.c, SUM((t.x - c.y) * (t.x - c.y)) AS d2
+                FROM et t JOIN {prev} c ON t.pos = c.pos
+                GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+                SELECT vec_id, c AS list_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                    FROM d{it}
+                ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""cent{it + 1} AS (
+                SELECT a.list_id AS c, t.pos, AVG(t.x) AS y
+                FROM a{it} a JOIN et t USING (vec_id)
+                GROUP BY 1, 2
+            )"""
+        )
+        prev = f"cent{it + 1}"
+    ctes.append(
+        f"""dF AS (
+            SELECT e.vec_id, c.c, SUM((e.x - c.y) * (e.x - c.y)) AS d2
+            FROM e JOIN {prev} c ON e.pos = c.pos
+            GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        """aF AS (
+            SELECT vec_id, c AS list_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                FROM dF
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(ctes)
+
+
 def _ivf_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final-iteration k-means distances (the IVF 'index'), materialized
     once per session: a real deployment builds the coarse quantizer
@@ -713,6 +788,66 @@ register(
         doc="IVF cosine top-k with n_probe=2: candidate union of the two "
         "nearest inverted lists, exact re-score (quantized entries, see "
         "operators/ann.QUANT)",
+    )
+)
+
+
+def q_ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k whose coarse quantizer is trained on a ~20% hash-sample —
+    the production training shape the round-11 10x scale measurement
+    motivated (BENCH_sf1.json: full-corpus Lloyd iterations dominate IVF
+    cost at scale; FAISS trains its quantizer on a bounded sample).  The
+    Lloyd loop touches only the sample; the assignment pass (and the
+    search) covers every vector.  Same search kernel, ranking rules and
+    quantization contract as ``ann_ivf_topk`` — only the training-set
+    definition differs, and it is a deterministic hash filter, so the
+    DuckDB twin replays centroids exactly."""
+    from ..operators.ann import ivf_sampled_distances, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        k=3,
+        n_list=8,
+        n_iters=2,
+        distances=ivf_sampled_distances(
+            emb, n_list=8, n_iters=2, sample_keep=200
+        ),
+    )
+
+
+register(
+    QuerySpec(
+        "ann_ivf_sampled_topk",
+        q_ann_ivf_sampled_topk,
+        f"""
+        WITH {_ivf_sampled_sql_ctes(8, 2, 200)},
+        ea AS (SELECT e.*, a.list_id FROM e JOIN aF a USING (vec_id)),
+        norms AS (
+            SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS nrm
+            FROM e GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.xq * b.xq) AS DOUBLE) AS dot
+            FROM ea a JOIN ea b
+              ON a.pos = b.pos AND a.list_id = b.list_id
+             AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               d.dot / (na.nrm * nb.nrm) AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM dots d
+        JOIN norms na ON d.vec_id = na.vec_id
+        JOIN norms nb ON d.neighbor_id = nb.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="IVF top-k with sample-trained coarse quantizer (~20% hash "
+        "sample trains Lloyd; assignment and search cover the corpus) — "
+        "the bounded-training-cost ANN shape for corpus growth",
     )
 )
 

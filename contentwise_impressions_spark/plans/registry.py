@@ -135,10 +135,10 @@ DRIVER_PRIORITY: list[str] = [
     # after those, everything is r7+ and the r7 block (46 rows) rotates.
     # The specs REGISTERED during round 11 after this front filled
     # (priority_late_orders / nation_market_share / top_revenue_suppliers,
-    # the TPC-H Q4/Q8/Q15 shapes, and stream_view_click_outer, the
-    # live-engine stream-stream LEFT OUTER join) land at positions 51+
-    # this round and LEAD the r12 front together with the rolled r5 rows
-    # above)
+    # the TPC-H Q4/Q8/Q15 shapes; stream_view_click_outer, the live-engine
+    # stream-stream LEFT OUTER join; ann_ivf_sampled_topk, the
+    # sample-trained coarse quantizer) land at positions 51+ this round
+    # and LEAD the r12 front together with the rolled r5 rows above)
 ]
 
 

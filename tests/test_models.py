@@ -452,6 +452,67 @@ def test_ease_r_size_gate_delegates_to_cg(spark, urm, monkeypatch):
     assert len(calls) == 1  # inverse path, no delegation
 
 
+def test_ivf_sampled_training_degenerates_to_full(spark):
+    """ivf_sampled_distances with sample_keep == sample_mod (keep every
+    vector) must reproduce the full-data Lloyd run EXACTLY — the sampled
+    trainer is the same algorithm with a filtered training set, nothing
+    else.  Also pin that the real sample (~20%) yields a valid coarse
+    quantizer: every vector assigned, n_list lists, and recall@3 against
+    brute force within 0.15 of the full-training IVF (representative
+    centroids, not identical ones)."""
+    from contentwise_impressions_spark.operators.ann import (
+        _ivf_final_distances,
+        cosine_topk_bruteforce,
+        ivf_sampled_distances,
+        ivf_topk,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = {
+        (r["vec_id"], r["c"]): r["d2"]
+        for r in _ivf_final_distances(emb, n_list=8, n_iters=2).collect()
+    }
+    degen = {
+        (r["vec_id"], r["c"]): r["d2"]
+        for r in ivf_sampled_distances(
+            emb, n_list=8, n_iters=2, sample_keep=997, sample_mod=997
+        ).collect()
+    }
+    assert full.keys() == degen.keys()
+    assert all(abs(full[k] - degen[k]) < 1e-9 for k in full)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(emb, k=3))
+    full_ivf = topk_sets(ivf_topk(emb, k=3, n_list=8, n_iters=2))
+    sampled = topk_sets(
+        ivf_topk(
+            emb,
+            k=3,
+            n_list=8,
+            n_iters=2,
+            distances=ivf_sampled_distances(
+                emb, n_list=8, n_iters=2, sample_keep=200
+            ),
+        )
+    )
+
+    def recall(approx):
+        hits = sum(
+            len(approx.get(v, set()) & nbrs) for v, nbrs in exact.items()
+        )
+        return hits / sum(len(n) for n in exact.values())
+
+    r_full, r_sampled = recall(full_ivf), recall(sampled)
+    assert set(sampled) == set(exact)  # every vector got candidates
+    assert r_sampled >= r_full - 0.15, (r_sampled, r_full)
+
+
 def test_ivf_nprobe_recall_monotone(spark):
     """Opening the IVF recall knob (n_probe 1 -> 2) must not lose recall
     against the exact brute force: the candidate set is a superset, so
