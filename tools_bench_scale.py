@@ -47,6 +47,32 @@ def _ann_scaled(n_list: int):
     return q
 
 
+def _ann_sampled(n_list: int, keep: int):
+    """Sample-trained IVF (ann.ivf_sampled_distances): Lloyd on a fixed
+    ~keep/997 hash-sample, full-corpus assignment — the bounded-training
+    shape; at 10x data the sample grows 10x here (fraction-based), but
+    the training fraction can be shrunk at real scale to cap it."""
+
+    def q(spark, sf_dir):
+        from contentwise_impressions_spark.operators.ann import (
+            ivf_sampled_distances,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb,
+            k=3,
+            n_list=n_list,
+            n_iters=2,
+            distances=ivf_sampled_distances(
+                emb, n_list=n_list, n_iters=2, sample_keep=keep
+            ),
+        )
+
+    return q
+
+
 def main() -> None:
     spark = get_spark("cwi-spark-scale-bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -78,12 +104,21 @@ def main() -> None:
                     pass
         spark.range(1).count()
         ann_scaled_nlist = 8 if sf_label == "sf0.1" else 80
+        # full production operating point: bucket size held constant
+        # (n_list grows with N) AND training-set size held constant (the
+        # sample fraction shrinks as the corpus grows)
+        ann_sample_keep = 200 if sf_label == "sf0.1" else 20
         todo = measures + [
             (
                 "ann",
                 f"ann_ivfpq_topk_nlist{ann_scaled_nlist}",
                 _ann_scaled(ann_scaled_nlist),
-            )
+            ),
+            (
+                "ann",
+                f"ann_ivf_sampled_nlist{ann_scaled_nlist}",
+                _ann_sampled(ann_scaled_nlist, ann_sample_keep),
+            ),
         ]
         for fam, label, fn in todo:
             key = label.replace(f"_nlist{ann_scaled_nlist}", "_nlist_scaled")
