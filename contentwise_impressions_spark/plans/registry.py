@@ -137,7 +137,8 @@ DRIVER_PRIORITY: list[str] = [
     # (priority_late_orders / nation_market_share / top_revenue_suppliers,
     # the TPC-H Q4/Q8/Q15 shapes; stream_view_click_outer, the live-engine
     # stream-stream LEFT OUTER join; ann_ivf_sampled_topk, the
-    # sample-trained coarse quantizer) land at positions 51+ this round
+    # sample-trained coarse quantizer; multires_event_rollup, the
+    # hypertable continuous aggregate) land at positions 51+ this round
     # and LEAD the r12 front together with the rolled r5 rows above)
 ]
 

@@ -4613,3 +4613,112 @@ register(
         "broadcast anti-join FK probe",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# hypertable continuous aggregate: multi-resolution rollup, level-from-level
+# ---------------------------------------------------------------------------
+def q_multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute -> hour -> day event rollup where every coarser level is
+    derived ONLY from the next finer one — the hypertable / continuous-
+    aggregate pattern (TimescaleDB-style): the fact is scanned exactly
+    once, at minute grain, and each coarser materialization re-aggregates
+    |finer| rows, not the fact.
+
+    Scale shape: at 100 TB/day the minute level is the only scan of raw
+    events; hour re-aggregates ~1440x fewer rows and day ~24x fewer
+    again, so refresh cost is dominated by the finest grain regardless of
+    how many resolutions serve queries.  Counts and sums are additive so
+    level-from-level is EXACT (the non-additive analog — COUNT DISTINCT
+    via register max-merge — is ``hll_register_rollup``).  The minute
+    level is persisted through the session payload registry so the union
+    of the three levels does not re-scan the fact per branch.  Sums are
+    rounded at the output boundary only (the internal re-aggregation uses
+    unrounded partials, matching the SQL twin's CTE chain).
+    """
+    utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        "event_type",
+        "value",
+    )
+    minute = materialized(
+        spark,
+        sf_dir,
+        "multires_minute",
+        lambda: ev.groupBy("bucket_ts", "event_type").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        ),
+    )
+    hour = materialized(
+        spark,
+        sf_dir,
+        "multires_hour",
+        lambda: minute.groupBy(
+            F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts"),
+            "event_type",
+        ).agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_value").alias("sum_value"),
+        ),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"),
+        "event_type",
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+    out = (
+        minute.withColumn("level", F.lit("minute"))
+        .unionByName(hour.withColumn("level", F.lit("hour")))
+        .unionByName(day.withColumn("level", F.lit("day")))
+    )
+    return out.select(
+        "level",
+        "bucket_ts",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("level", "bucket_ts", "event_type")
+
+
+register(
+    QuerySpec(
+        "multires_event_rollup",
+        q_multires_event_rollup,
+        """
+        WITH minute AS (
+            SELECT date_trunc('minute', ts) AS bucket_ts, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        hour AS (
+            SELECT date_trunc('hour', bucket_ts) AS bucket_ts, event_type,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   SUM(sum_value) AS sum_value
+            FROM minute GROUP BY 1, 2
+        ),
+        day AS (
+            SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt,
+                   SUM(sum_value) AS sum_value
+            FROM hour GROUP BY 1, 2
+        )
+        SELECT 'minute' AS level, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts,
+               event_type, cnt, ROUND(sum_value, 6) AS sum_value FROM minute
+        UNION ALL
+        SELECT 'hour', CAST(bucket_ts AS TIMESTAMP), event_type, cnt,
+               ROUND(sum_value, 6) FROM hour
+        UNION ALL
+        SELECT 'day', CAST(bucket_ts AS TIMESTAMP), event_type, cnt,
+               ROUND(sum_value, 6) FROM day
+        ORDER BY level, bucket_ts, event_type
+        """,
+        doc="hypertable continuous aggregate: one fact scan at minute "
+        "grain, hour/day derived level-from-level (exact for additive "
+        "aggs; the non-additive twin is hll_register_rollup)",
+    )
+)
