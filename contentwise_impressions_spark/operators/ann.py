@@ -503,10 +503,14 @@ def ivf_sampled_distances(
     ~10⁶ and training cost becomes independent of corpus growth.
 
     The seed convention is unchanged (lowest (vec_id·P1 mod 997, vec_id)
-    ranks): those seeds belong to the sample by construction whenever
-    sample_keep exceeds the n_list smallest hash values, so
-    sample_keep=sample_mod degenerates to the exact full-data
-    ``_ivf_final_distances``.
+    ranks).  Seeds belong to the sample iff the sample holds at least
+    n_list vectors (the n_list globally-smallest hashes are then all
+    below sample_keep), so sample_keep=sample_mod degenerates to the
+    exact full-data ``_ivf_final_distances``.  That precondition is
+    CHECKED, not assumed: a sample smaller than n_list would silently
+    drop seeds at the cent-seed join and train fewer lists than asked,
+    so this fails fast instead (one vec_id-only count at build time —
+    a training-path cost, not a serving one).
     """
     from ..functions.hashing import P1
 
@@ -514,6 +518,13 @@ def ivf_sampled_distances(
         "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
     )
     h = (F.col("vec_id").cast("bigint") * P1) % sample_mod
+    n_sample = embeddings.filter(h < sample_keep).count()
+    if n_sample < n_list:
+        raise ValueError(
+            f"IVF training sample has {n_sample} vectors < n_list={n_list} "
+            f"(sample_keep={sample_keep}/{sample_mod}); raise sample_keep "
+            "or lower n_list"
+        )
     e_train = e.filter(h < sample_keep)
     seeds = (
         embeddings.select("vec_id", h.alias("_h"))

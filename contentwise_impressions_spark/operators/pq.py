@@ -100,6 +100,8 @@ def pq_codebooks(
     n_iters: int = 2,
     dsub: int = 8,
     vec_col: str = "embedding",
+    sample_keep: int | None = None,
+    sample_mod: int = 997,
 ) -> DataFrame:
     """(sub, c, pos, y): per-subspace integer-grid centroids after
     ``n_iters - 1`` Lloyd updates (the codebook the final assignment runs
@@ -109,9 +111,40 @@ def pq_codebooks(
     (FLOOR(AVG(xq) + 0.5)), keeping all downstream arithmetic exact
     integer sums.  The grid step is 2⁻²² of the embedding scale — far
     below centroid-separation scales, so clustering quality is
-    unaffected."""
+    unaffected.
+
+    ``sample_keep`` bounds TRAINING cost the way FAISS trains its
+    quantizers on a sample: when set, the Lloyd loop touches only
+    vectors with (vec_id·P1 mod sample_mod) < sample_keep — the same
+    deterministic, SQL-replayable hash filter as
+    ``ann.ivf_sampled_distances`` — while the codebook consumers
+    (``pq_codes`` encoding, ADC serving) still cover every vector.
+    The round-11 10x measurement (BENCH_sf1.json) showed full-corpus
+    Lloyd dominating IVF-PQ cost (7.3-9.4x at 10x data): codebooks are
+    O(m·k·d) constants, so their training set needs to be
+    REPRESENTATIVE, not exhaustive.  At 10⁹ vectors pick
+    sample_keep/sample_mod ≈ 10⁶/N so training cost is flat in corpus
+    growth.  ``sample_keep=sample_mod`` (or None) degenerates to the
+    full-corpus trainer bit-for-bit (pinned in tests/test_models.py).
+    Fails fast when the sample holds fewer than k vectors (seeds would
+    silently drop at the cent-seed join — same guard as the IVF
+    trainer)."""
     e = _sub_frame(embeddings, vec_col, dsub)
     seeds = _pq_seeds(embeddings, k)
+    if sample_keep is not None and sample_keep < sample_mod:
+        from ..functions.hashing import P1
+
+        h = (F.col("vec_id").cast("bigint") * P1) % sample_mod
+        n_sample = embeddings.filter(h < sample_keep).count()
+        if n_sample < k:
+            raise ValueError(
+                f"PQ training sample has {n_sample} vectors < k={k} "
+                f"(sample_keep={sample_keep}/{sample_mod}); raise "
+                "sample_keep or lower k"
+            )
+        e = e.filter(
+            (F.col("vec_id").cast("bigint") * P1) % sample_mod < sample_keep
+        )
     cent = e.join(seeds, "vec_id").select("c", "sub", "pos", F.col("xq").alias("y"))
     for _ in range(n_iters - 1):
         d = (

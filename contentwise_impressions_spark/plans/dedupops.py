@@ -928,12 +928,27 @@ register(
 # product quantization: compressed-index ANN (Jégou et al., TPAMI 2011)
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB = 8, 32, 2, 8
+# codebooks train on a ~20% deterministic hash-sample (FAISS-style bounded
+# training; round-12 extension of the round-11 sampled-IVF fix — BENCH_sf1
+# measured full-corpus Lloyd dominating IVF-PQ cost, 7.3-9.4x at 10x data);
+# encoding and serving always cover the full corpus
+_PQ_KEEP, _PQ_MOD = 200, 997
 
 
-def _pq_sql_ctes(m: int, k: int, n_iters: int, dsub: int) -> str:
+def _pq_sql_ctes(
+    m: int,
+    k: int,
+    n_iters: int,
+    dsub: int,
+    keep: int | None = None,
+    mod: int = 997,
+) -> str:
     """DuckDB twin of operators/pq.pq_codebooks + pq_codes — same seeds,
     same integer-grid centroid rounding (FLOOR(SUM/COUNT + 0.5)), same
-    (d2 asc, c asc) integer argmin; generated from the same constants."""
+    (d2 asc, c asc) integer argmin; generated from the same constants.
+    ``keep``/``mod`` mirror pq_codebooks' sample-trained mode: the Lloyd
+    CTEs read the hash-sampled `pet`, the final encoding pass (pdF /
+    pcodes) always covers the full `pe`."""
     from ..functions.hashing import P1
 
     ctes = [
@@ -952,16 +967,28 @@ def _pq_sql_ctes(m: int, k: int, n_iters: int, dsub: int) -> str:
             FROM embeddings
             QUALIFY c < {k}
         )""",
-        "pcent0 AS (SELECT s.c, e.sub, e.pos, e.xq AS y "
-        "FROM pseeds s JOIN pe e USING (vec_id))",
     ]
+    if keep is not None and keep < mod:
+        ctes.append(
+            f"""pet AS (
+                SELECT * FROM pe
+                WHERE (CAST(vec_id AS BIGINT) * {P1}) % {mod} < {keep}
+            )"""
+        )
+        train = "pet"
+    else:
+        train = "pe"
+    ctes.append(
+        f"pcent0 AS (SELECT s.c, e.sub, e.pos, e.xq AS y "
+        f"FROM pseeds s JOIN {train} e USING (vec_id))"
+    )
     prev = "pcent0"
     for it in range(n_iters - 1):
         ctes.append(
             f"""pd{it} AS (
                 SELECT e.vec_id, e.sub, c.c,
                        SUM((e.xq - c.y) * (e.xq - c.y)) AS d2
-                FROM pe e JOIN {prev} c ON e.pos = c.pos
+                FROM {train} e JOIN {prev} c ON e.pos = c.pos
                 GROUP BY 1, 2, 3
             )"""
         )
@@ -978,7 +1005,7 @@ def _pq_sql_ctes(m: int, k: int, n_iters: int, dsub: int) -> str:
             f"""pcent{it + 1} AS (
                 SELECT a.code AS c, e.sub, e.pos,
                        CAST(FLOOR(SUM(e.xq) / COUNT(*) + 0.5) AS BIGINT) AS y
-                FROM pa{it} a JOIN pe e
+                FROM pa{it} a JOIN {train} e
                   ON a.vec_id = e.vec_id AND a.sub = e.sub
                 GROUP BY 1, 2, 3
             )"""
@@ -1007,19 +1034,24 @@ def _pq_sql_ctes(m: int, k: int, n_iters: int, dsub: int) -> str:
 def _pq_codebooks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-materialized PQ codebook (a deployment trains it offline;
     both PQ queries share one Lloyd run — same pattern as the shared IVF
-    quantizer `_ivf_distances`)."""
+    quantizer `_ivf_distances`).  Sample-trained (see _PQ_KEEP note):
+    the Lloyd loop reads ~20% of the corpus, encoding/serving read it
+    all — the scale shape that keeps training cost flat as the corpus
+    grows."""
     from ..operators.pq import pq_codebooks
 
     return shared.materialized(
         spark,
         sf_dir,
-        f"pq_cb_{_PQ_M}_{_PQ_K}_{_PQ_ITERS}",
+        f"pq_cb_{_PQ_M}_{_PQ_K}_{_PQ_ITERS}_s{_PQ_KEEP}",
         lambda: pq_codebooks(
             load_table(spark, sf_dir, "embeddings"),
             m=_PQ_M,
             k=_PQ_K,
             n_iters=_PQ_ITERS,
             dsub=_PQ_DSUB,
+            sample_keep=_PQ_KEEP,
+            sample_mod=_PQ_MOD,
         ),
     )
 
@@ -1038,7 +1070,9 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
 
 
-_PQ_CTES, _PQ_CENT_F = _pq_sql_ctes(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB)
+_PQ_CTES, _PQ_CENT_F = _pq_sql_ctes(
+    _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DSUB, keep=_PQ_KEEP, mod=_PQ_MOD
+)
 
 register(
     QuerySpec(
@@ -1052,7 +1086,9 @@ register(
         doc="product-quantization encoder: per-subspace integer-grid "
         "k-means codes (Jégou et al. TPAMI 2011; M=8 × K=32 over 64 dims "
         "— the 50-100× index compression that makes a 10⁹-vector ANN "
-        "index executor-resident)",
+        "index executor-resident); codebooks sample-trained on a ~20% "
+        "hash-sample (FAISS-style bounded training cost), encoding "
+        "covers the full corpus",
         bench=False,  # sub-plan of ann_pq_adc_topk; benching both double-counts
     )
 )
@@ -1113,7 +1149,9 @@ register(
         doc="asymmetric-distance (ADC) top-k over PQ codes: probes build "
         "M×K lookup tables against the broadcast codebook, the index side "
         "ships only 8 codes per vector; every LUT entry / norm / dot is "
-        "an exact integer sum (engine-portable ranking, operators/pq.py)",
+        "an exact integer sum (engine-portable ranking, operators/pq.py); "
+        "codebooks sample-trained (~20% hash-sample) so training cost "
+        "stays flat in corpus growth",
     )
 )
 

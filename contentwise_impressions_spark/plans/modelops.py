@@ -974,14 +974,21 @@ def q_stream_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: matched pairs equal the exact batch interval join
     (single-delivery availableNow run, nothing late); unmatched views are
     NULL-emitted iff their match window [view_ts, view_ts + 1h] closed
-    under the FINAL watermark.  Each filtered side carries its OWN
-    watermark, and the engine's global watermark is their MIN
-    (multipleWatermarkPolicy=min): the eviction horizon is
+    STRICTLY under the FINAL watermark.  The boundary is derived from
+    Spark's stream-stream state-watermark rule (StreamingJoinHelper
+    solves the join's event-time bound for the buffered side: a view is
+    evictable once globalWatermark > view_ts + horizon) plus two engine
+    conventions: each filtered side carries its OWN watermark and the
+    global watermark is their MIN (multipleWatermarkPolicy=min), and
+    event-time stats are millisecond-floored.  Eviction horizon =
     min(max view_ts, max click_ts) truncated to millis, minus the 2h
-    delay — pinned empirically at sf0.001, where the click stream ends
-    ~3h before the view stream and the unified-max rule over-emits by one
-    row.  Views newer than the horizon stay buffered and are NOT emitted,
-    so the SQL twin applies the same cutoff.  The NULL side is surfaced
+    delay.  All three boundary behaviors (strict '<' at exact window
+    close, the min-across-sides rule, ms flooring) are pinned by
+    tests/test_streaming.py::test_availablenow_outer_join_watermark_boundary
+    with crafted at/just-under/just-over rows, not only by whole-query
+    parity at sf0.001.  Views newer than the horizon stay buffered and
+    are NOT emitted, so the SQL twin applies the same cutoff.  The NULL
+    side is surfaced
     as the engine-wide -1 sentinel so the output schema carries no
     nullable column (driver-hash portability).
     """

@@ -3966,11 +3966,14 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join-ambiguity trap.
 
     Scale shape: ONE fact-fact shuffle (lineitem ⋈ orders on orderkey);
-    supplier, customer and BOTH nation roles ride broadcasts (the
-    nation dim broadcasts twice under distinct aliases — no ambiguity,
-    no re-shuffle), and the final aggregate is |nation-pairs|×|years|
-    rows.  The supp<cust filter halves the pair space without losing
-    information (revenue is direction-tagged by the role columns).
+    supplier and BOTH nation roles ride broadcasts (the nation dim
+    broadcasts twice under distinct aliases — no ambiguity, no
+    re-shuffle).  Customer is NOT hinted — it scales with SF (15M rows
+    at sf100), so AQE broadcasts it at small SF and shuffles past the
+    threshold, matching the reference Q7 plan.  The final aggregate is
+    |nation-pairs|×|years| rows.  The supp<cust filter halves the pair
+    space without losing information (revenue is direction-tagged by
+    the role columns).
     """
     utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -3999,7 +4002,7 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -4195,10 +4198,13 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer market), with the share computed WITHIN each year group.
 
     Scale shape: one fact-fact shuffle (lineitem ⋈ orders on orderkey);
-    supplier/customer/nation/region all broadcast (nation twice, under
-    role aliases); numerator and denominator come from ONE grouped
-    aggregate via a conditional sum — never two scans diffed, never a
-    window over the fact.  Output is |years| rows.
+    supplier/nation/region broadcast (nation twice, under role aliases).
+    Customer is NOT hinted: it scales with SF (15M rows at sf100, far
+    past any broadcast threshold — the reference Q8 plan shuffles it),
+    so AQE picks broadcast at small SF and a shuffle join at scale.
+    Numerator and denominator come from ONE grouped aggregate via a
+    conditional sum — never two scans diffed, never a window over the
+    fact.  Output is |years| rows.
     """
     utc(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -4232,7 +4238,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").alias("cn_key"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))

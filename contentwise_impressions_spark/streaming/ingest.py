@@ -314,16 +314,28 @@ def stream_view_click_join(
     watermark: str = "2 hours",
     how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: clicks within `horizon` AFTER a view by
-    the same user — the streaming twin of the batch bounded-range join
-    (operators/asof.range_join_within, `view_to_click_conversions`).
+    """Stream-stream join (``how`` = 'inner' or 'left_outer'): clicks
+    within `horizon` AFTER a view by the same user — the streaming twin of
+    the batch bounded-range join (operators/asof.range_join_within,
+    `view_to_click_conversions`).
 
     Structured Streaming requires BOTH sides watermarked and an event-time
     bound in the join condition; together they let the engine evict
     buffered rows once no future match is possible (state ≈ one horizon +
-    watermark of traffic per side, not the whole stream).  Works
-    identically on batch DataFrames (watermarks are a no-op in batch) —
-    the batch/stream parity pattern this module uses throughout.
+    watermark of traffic per side, not the whole stream).
+
+    Outer semantics (``how='left_outer'``): a view with no matching click
+    is NOT emitted when first seen — it is held in the state store and
+    emitted with NULL click columns only when the join state watermark
+    (min across both sides' watermarks) passes the end of its match window
+    (view_ts + horizon), i.e. when the engine can prove no future click
+    can match.  NULL rows therefore appear one watermark delay after the
+    window closes, and views whose windows are still open when the stream
+    ends are never emitted (see `stream_view_click_outer`'s twin in
+    plans/modelops.py for the exact eviction boundary).  Works identically
+    on batch DataFrames for the inner case (watermarks are a no-op in
+    batch; batch left_outer emits ALL unmatched views immediately) — the
+    batch/stream parity pattern this module uses throughout.
     """
     v = as_event_time(views).select(
         "user_id",

@@ -980,3 +980,81 @@ def test_ivfpq_nprobe_recall_monotone(spark, sf_dir):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1 * 0.95, (r1, r2)  # slack only for ADC near-ties
+
+
+def test_pq_sampled_training_degenerates_to_full(spark):
+    """pq_codebooks with sample_keep == sample_mod must reproduce the
+    full-corpus Lloyd run bit-for-bit (same algorithm, filtered training
+    set only) — the pin the operator docstring promises.  The real ~20%
+    sample must still produce a complete codebook (every (sub, c) cell
+    when the sample populates all clusters, and every corpus vector
+    encodable) with ADC recall within 0.15 of the full-trained ADC."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codes,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(m=8, k=8, n_iters=2, dsub=8)
+    full = {
+        (r["sub"], r["c"], r["pos"]): r["y"]
+        for r in pq_codebooks(emb, **kw).collect()
+    }
+    degen = {
+        (r["sub"], r["c"], r["pos"]): r["y"]
+        for r in pq_codebooks(
+            emb, sample_keep=997, sample_mod=997, **kw
+        ).collect()
+    }
+    assert full == degen  # exact integer-grid equality, not approximate
+
+    cb = pq_codebooks(emb, sample_keep=200, **kw)
+    n_vec = emb.count()
+    codes = pq_codes(emb, codebooks=cb, **kw)
+    # every corpus vector (not just sampled ones) encodable in all subspaces
+    assert codes.count() == n_vec * 8
+
+    def topk_sets(df, col="neighbor_id"):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["vec_id"], set()).add(r[col])
+        return out
+
+    exact = topk_sets(cosine_topk_bruteforce(emb, k=3))
+    full_adc = topk_sets(pq_adc_topk(emb, k=3, kcent=8, **{k: v for k, v in kw.items() if k != "k"}))
+    cb_s = pq_codebooks(emb, sample_keep=200, **kw)
+    samp_adc = topk_sets(
+        pq_adc_topk(emb, k=3, kcent=8, codebooks=cb_s,
+                    **{k: v for k, v in kw.items() if k != "k"})
+    )
+
+    def recall(approx):
+        hits = sum(len(approx.get(v, set()) & n) for v, n in exact.items())
+        return hits / sum(len(n) for n in exact.values())
+
+    assert set(samp_adc) == set(exact)
+    assert recall(samp_adc) >= recall(full_adc) - 0.15
+
+
+def test_sampled_trainer_guards_fail_fast(spark):
+    """Both sampled trainers must refuse a sample smaller than their
+    cluster count instead of silently dropping seeds at the cent-seed
+    join and training fewer lists than asked (round-11 ADVICE)."""
+    import pytest as _pytest
+
+    from contentwise_impressions_spark.operators.ann import (
+        ivf_sampled_distances,
+    )
+    from contentwise_impressions_spark.operators.pq import pq_codebooks
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="IVF training sample"):
+        ivf_sampled_distances(emb, n_list=8, sample_keep=1, sample_mod=997)
+    with _pytest.raises(ValueError, match="PQ training sample"):
+        pq_codebooks(emb, k=32, sample_keep=1, sample_mod=997)

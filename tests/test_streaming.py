@@ -588,3 +588,68 @@ def test_stream_dedup_query_emission_is_distinct_event_set(spark, sf_dir):
     a, b = out.select(cols), ev.select(cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_availablenow_outer_join_watermark_boundary(spark):
+    """Pins the stream-stream LEFT OUTER eviction-emission boundary the
+    stream_view_click_outer twin encodes, derived from Spark's
+    stream-stream state-watermark rule (StreamingJoinHelper solves the
+    join's event-time bound for the left side: a view can't match once
+    globalWatermark > view_ts + horizon, so NULL emission requires
+    view_ts + horizon STRICTLY below the final watermark) and from the
+    min-across-sides global-watermark policy
+    (multipleWatermarkPolicy=min, each filtered side watermarked
+    separately).
+
+    Crafted boundary rows (horizon 1h, delay 2h; no user has a matching
+    click):
+      * click-side max = 04:00:00.0007 (micros prove ms flooring), view
+        side max = 06:00 -> global watermark = min(04:00, 06:00) - 2h
+        = 02:00
+      * view @01:00 -> window closes exactly AT the watermark -> HELD
+        (the strict-< case the twin's `+ 1h < w` encodes)
+      * view @00:59:59 -> window closed 1s before -> NULL-emitted
+      * view @02:30 -> closes 03:30: below the WRONG unified-max
+        watermark (04:00) but above the min-policy one (02:00) -> HELD
+        (pins the min rule)
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        run_stream_once,
+        stream_events,
+        stream_view_click_join,
+    )
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ts(**kw):
+        return T0 + datetime.timedelta(**kw)
+
+    rows = [
+        (1, 11, ts(hours=1), "view"),                    # closes == wm -> held
+        (2, 12, ts(minutes=59, seconds=59), "view"),     # closed < wm -> NULL-emitted
+        (3, 13, ts(hours=2, minutes=30), "view"),        # min-policy: held
+        (101, 14, ts(hours=6), "view"),                  # view-side max
+        (100, 15, ts(hours=4, microseconds=700), "click"),  # click-side max (ms-floored)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    d = tempfile.mkdtemp(prefix="cwi_ssobnd_")
+    df.coalesce(1).write.parquet(os.path.join(d, "data"))
+    src = stream_events(spark, os.path.join(d, "data"), schema=df.schema)
+    joined = stream_view_click_join(
+        src.filter("event_type = 'view'"),
+        src.filter("event_type = 'click'"),
+        horizon="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    out = run_stream_once(joined, "ssobnd")
+    got = sorted(
+        (r["user_id"], r["click_id"]) for r in out.collect()
+    )
+    assert got == [(2, None)], got
