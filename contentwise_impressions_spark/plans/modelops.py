@@ -1439,8 +1439,116 @@ register(
         q_custom_w_recommendations,
         None,
         doc="custom-W ItemKNN pass-through "
-        "(KNN/ItemKNNCustomSimilarityRecommender.py:20-33)",
+        "(KNN/ItemKNNCustomSimilarityRecommender.py:20-33); EASE_R W "
+        "needs a matrix inverse → rows-only; the serving stage itself "
+        "is hash-green via custom_w_serving_topk",
         bench=False,
+    )
+)
+
+
+def q_custom_w_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic SERVING stage of the custom-W recommender,
+    carved out hash-green (round-12 conversion, mirroring the round-11
+    tuning_refit_metrics pattern): given a fixed externally-supplied W,
+    pass-through + URM·W + remove-seen + top-K is pure relational
+    algebra (KNN/ItemKNNCustomSimilarityRecommender.py:20-33 accepts ANY
+    similarity matrix — that arbitrariness is the operator's point).
+
+    The external W here is a pseudo-random sparse matrix from the
+    portable Lehmer mix (5 proposed neighbors per item, hash-uniform
+    weights) so the whole pipeline is exactly replayable in ANSI SQL;
+    the EASE_R-weighted composite above stays rows-only because ITS W
+    needs a matrix inverse, not because serving is untestable.
+
+    Scale shape: identical to itemknn_recommendations — W bounded to 5
+    entries per item caps the scoring-join fan-out, remove-seen is a
+    left_anti, one per-user window over candidate rows only."""
+    from ..operators.scoring import item_based_scores, recommend_top_k
+    from ..operators.splits import bounded_item_proposals
+
+    urm = _urm(spark, sf_dir)
+    items = urm.select("item_id").distinct()
+    props = (
+        bounded_item_proposals(
+            items.select(F.col("item_id").alias("user_id")),
+            items,
+            n_props=5,
+            epoch=7,
+        )
+        .select(
+            F.col("user_id").alias("item_i"),
+            F.col("item_id").alias("item_j"),
+        )
+        .filter(F.col("item_i") != F.col("item_j"))
+        .dropDuplicates(["item_i", "item_j"])
+    )
+    r1 = F.pmod(
+        F.col("item_i") * F.lit(1_000_003)
+        + F.col("item_j") * F.lit(7_919)
+        + F.lit(7),
+        F.lit(1_000_003_619),
+    )
+    w = props.withColumn(
+        "sim",
+        F.pmod(r1 * F.lit(48_271), F.lit(2_147_483_647)).cast("double")
+        / F.lit(2_147_483_647.0),
+    )
+    scores = item_based_scores(urm, w)
+    return recommend_top_k(scores, 10, train=urm, round_digits=9)
+
+
+register(
+    QuerySpec(
+        "custom_w_serving_topk",
+        q_custom_w_serving_topk,
+        f"""
+        WITH {URM_CTE},
+        items_idx AS (
+            SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS idx
+            FROM (SELECT DISTINCT item_id FROM urm)
+        ),
+        nitems AS (SELECT COUNT(*) AS n FROM items_idx),
+        -- bounded_item_proposals over the item vocabulary (epoch=7)
+        wprops AS (
+            SELECT it.item_id AS item_i,
+                   ((((it.item_id * 1000003 + s.seq + 7 * 7919)
+                      % 1000003619) * 48271
+                     % 2147483647) * 16807 % 2147483647) % nitems.n AS idx
+            FROM (SELECT DISTINCT item_id FROM urm) it
+            CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS seq) s
+            CROSS JOIN nitems
+        ),
+        w AS (
+            SELECT DISTINCT p.item_i, i.item_id AS item_j
+            FROM wprops p JOIN items_idx i USING (idx)
+            WHERE p.item_i <> i.item_id
+        ),
+        ws AS (
+            SELECT item_i, item_j,
+                   CAST((((item_i * 1000003 + item_j * 7919 + 7)
+                          % 1000003619) * 48271 % 2147483647) AS DOUBLE)
+                       / 2147483647.0 AS sim
+            FROM w
+        ),
+        scores AS (
+            SELECT u.user_id, ws.item_j AS item_id, SUM(ws.sim) AS score
+            FROM urm u JOIN ws ON u.item_id = ws.item_i
+            GROUP BY 1, 2
+        ),
+        unseen AS (
+            SELECT s.* FROM scores s
+            LEFT JOIN urm t ON s.user_id = t.user_id AND s.item_id = t.item_id
+            WHERE t.user_id IS NULL
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY round(score, 9) DESC, item_id ASC) AS INT) AS rank
+        FROM unseen QUALIFY rank <= 10
+        """,
+        doc="custom-W ItemKNN SERVING stage with a fixed external W "
+        "(KNN/ItemKNNCustomSimilarityRecommender.py:20-33): pass-through "
+        "+ URM·W + remove-seen + top-K, exactly SQL-replayable",
     )
 )
 
@@ -1451,9 +1559,12 @@ def q_random_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     user×catalog crossJoin — top-k of uniform over a random subset IS a
     uniform random pick).
 
-    Validated distribution-level only: random membership is
-    engine-specific by design (SURVEY.md §4 seeded-reproducibility
-    note) — rows-only check."""
+    Hash-green since round 12: the draw AND the scores are the portable
+    Lehmer/MINSTD mix (int64 arithmetic, exactly replayable in ANSI
+    SQL), so the full recommend output carries a DuckDB twin — the
+    reference seeds NumPy for determinism, not for a particular RNG
+    stream, and a counter-based hash RNG is the distributed-engine
+    equivalent (uniformity gate stays in tests/test_models.py)."""
     from ..recommenders.nonpersonalized import random_recommend
 
     urm = _urm(spark, sf_dir)
@@ -1464,10 +1575,44 @@ register(
     QuerySpec(
         "random_recommendations",
         q_random_recommendations,
-        None,
+        f"""
+        WITH {URM_CTE},
+        items_idx AS (
+            SELECT item_id, ROW_NUMBER() OVER (ORDER BY item_id) - 1 AS idx
+            FROM (SELECT DISTINCT item_id FROM urm)
+        ),
+        nitems AS (SELECT COUNT(*) AS n FROM items_idx),
+        -- bounded_item_proposals(epoch=42): Lehmer/MINSTD proposal stream
+        props AS (
+            SELECT u.user_id,
+                   ((((u.user_id * 1000003 + s.seq + 42 * 7919)
+                      % 1000003619) * 48271
+                     % 2147483647) * 16807 % 2147483647) % nitems.n AS idx
+            FROM (SELECT DISTINCT user_id FROM urm) u
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS seq) s
+            CROSS JOIN nitems
+        ),
+        cand AS (
+            SELECT DISTINCT p.user_id, i.item_id
+            FROM props p JOIN items_idx i USING (idx)
+        ),
+        scored AS (
+            SELECT user_id, item_id,
+                   CAST((((user_id * 1000003 + item_id * 7919 + 42)
+                          % 1000003619) * 48271 % 2147483647) AS DOUBLE)
+                       / 2147483647.0 AS score
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM urm t
+                 WHERE t.user_id = c.user_id AND t.item_id = c.item_id)
+        )
+        SELECT user_id, item_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY score DESC, item_id ASC) AS INT) AS rank
+        FROM scored QUALIFY rank <= 10
+        """,
         doc="seeded Random recommender "
-        "(NonPersonalizedRecommender.py:155-180); RNG streams differ "
-        "across engines → rows-only",
+        "(NonPersonalizedRecommender.py:155-180); portable Lehmer-mix "
+        "draw + scores → full SQL twin (rows-only until round 12)",
         bench=False,
     )
 )

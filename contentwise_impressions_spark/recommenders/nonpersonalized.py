@@ -64,17 +64,31 @@ def random_recommend(
     (the reference's dense per-user score row, and the per-user window
     over the entire catalog that goes with it) is replaced by the shared
     ``bounded_item_proposals`` stream: O(U·n_props) rows end to end.
-    Scores are a deterministic per-(user, item) hash so the ranking is
-    reproducible under any partitioning.  Same shortfall contract as the
-    bounded negative sampler: a user whose n_props proposals all collide
-    with seen items gets fewer than k rows — probability nil at real
-    seen/|catalog| ratios.
+    Scores are the same portable Lehmer/MINSTD mix the proposal stream
+    uses (per-(user, item, seed) integers over int64 arithmetic), so the
+    ranking is reproducible under any partitioning AND exactly
+    replayable in ANSI SQL — the Random recommender carries a full
+    DuckDB twin (the reference seeds NumPy for the same purpose:
+    determinism, not a specific RNG stream).  Same shortfall contract
+    as the bounded negative sampler: a user whose n_props proposals all
+    collide with seen items gets fewer than k rows — probability nil at
+    real seen/|catalog| ratios.
     """
     from ..operators.scoring import recommend_top_k
     from ..operators.splits import bounded_item_proposals
 
     users = urm.select("user_id").distinct()
     items = urm.select("item_id").distinct()
+    # score mix deliberately differs from the proposal mix (item_id*7919
+    # enters the first residue) so rank order is uncorrelated with which
+    # proposals were drawn
+    r1 = F.pmod(
+        F.col("user_id") * F.lit(1_000_003)
+        + F.col("item_id") * F.lit(7_919)
+        + F.lit(int(seed)),
+        F.lit(1_000_003_619),
+    )
+    r2 = F.pmod(r1 * F.lit(48_271), F.lit(2_147_483_647))
     cand = (
         bounded_item_proposals(users, items, n_props=n_props, epoch=seed)
         # drop the internal proposal ordinal BEFORE dedup: which `seq`
@@ -83,12 +97,7 @@ def random_recommend(
         .select("user_id", "item_id")
         .dropDuplicates(["user_id", "item_id"])
         .withColumn(
-            "score",
-            F.pmod(
-                F.xxhash64("user_id", "item_id", F.lit(seed)),
-                F.lit(1_000_000_007),
-            ).cast("double")
-            / F.lit(1_000_000_007.0),
+            "score", r2.cast("double") / F.lit(2_147_483_647.0)
         )
     )
     return recommend_top_k(cand, k, train=urm)

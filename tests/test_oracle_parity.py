@@ -48,7 +48,8 @@ def test_every_query_has_oracle_or_is_declared():
         "rating_model_quality_gates",
         "slim_bpr_weights",
         "custom_w_recommendations",
-        "random_recommendations",
+        # random_recommendations converted to hash-green in round 12
+        # (portable Lehmer-mix draw + scores, full SQL twin)
         "ease_r_blocked_weights",
         "ease_r_cg_weights",
         # sketch estimates are implementation-defined (DuckDB's HLL/quantile
