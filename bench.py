@@ -105,9 +105,39 @@ def _executor_probe(spark) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _round_and_prior() -> tuple[Path, str, dict | None]:
+    """(repo_dir, round_number, prior official artifact) — the round is
+    inferred from BOTH artifact families (driver drops BENCH_r*.json, we
+    write BENCH_full_r*.json); the prior artifact feeds the contention
+    self-adjudication (round-11 verdict task 3)."""
+    here = Path(__file__).resolve().parent
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    seen: list[tuple[int, Path]] = []
+    for pat in ("BENCH_r*.json", "BENCH_full_r*.json"):
+        for p in here.glob(pat):
+            s = p.stem.split("_r")[-1]
+            if s.isdigit():
+                seen.append((int(s), p))
+    if rnd is None:
+        rnd = str(max((n for n, _ in seen), default=0) + 1)
+    prior = None
+    prior_full = [
+        (n, p)
+        for n, p in seen
+        if n < int(rnd) and p.name.startswith("BENCH_full_")
+    ]
+    if prior_full:
+        try:
+            prior = json.loads(max(prior_full)[1].read_text())
+        except Exception:
+            prior = None
+    return here, rnd, prior
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    here, rnd, prior = _round_and_prior()
     spark = get_spark("cwi-spark-bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # model FITS are excluded: their reference analog is a training budget,
@@ -273,6 +303,69 @@ def main() -> None:
             exec_probes[name] = _executor_probe(spark)
             t_reruns += time.perf_counter() - t_r
         release_session_payloads(spark)
+
+    # contention self-adjudication (round-11 verdict task 3): a slow-query
+    # warm best-of-3 landing >2x its prior-official value WITH an elevated
+    # contention probe gets ONE end-of-suite re-queue (family payloads
+    # re-warmed, quiet-host retry); if the ratio persists the line is
+    # machine-stamped `contended` — the artifact adjudicates itself
+    # instead of needing COVERAGE.md prose (r10/r11 cbfops episodes).
+    recheck: dict[str, dict] = {}
+    if slow_best_of_3 and prior:
+        import statistics
+
+        t_r = time.perf_counter()
+        prior_best = prior.get("slow_query_best_of_3", {})
+        prior_t = prior.get("queries", {})
+        gmed = statistics.median(gemm_probes.values())
+        epos = [v for v in exec_probes.values() if v > 0]
+        emed = statistics.median(epos) if epos else 0.0
+        for name, best in list(slow_best_of_3.items()):
+            ref = prior_best.get(name, prior_t.get(name))
+            if not ref or best <= 2.0 * ref:
+                continue
+            elevated = gemm_probes.get(name, 0.0) > 2.0 * gmed or (
+                emed > 0 and exec_probes.get(name, 0.0) > 2.0 * emed
+            )
+            if not elevated:
+                continue  # probes quiet -> likely real regression; leave it
+            fam = families.get(name, "misc")
+            for wkey in [
+                k for k in warmups if k == fam or k.startswith(f"{fam}/")
+            ]:
+                try:
+                    warmups[wkey](spark, sf_dir)
+                except Exception:
+                    pass
+            rbest: float | None = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    rbest = dt if rbest is None else min(rbest, dt)
+                except Exception as exc:
+                    errors[f"recheck:{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
+                    break
+            entry = {
+                "prior_best": ref,
+                "suite_best": best,
+                "requeued_best": round(rbest, 4) if rbest is not None else None,
+                "gemm_probe": _gemm_probe(),
+                "executor_probe": _executor_probe(spark),
+            }
+            if rbest is not None and rbest < best:
+                slow_best_of_3[name] = round(rbest, 4)
+            entry["contended"] = bool(
+                rbest is None or min(best, rbest) > 2.0 * ref
+            )
+            recheck[name] = entry
+            release_session_payloads(spark)
+        t_reruns += time.perf_counter() - t_r
     total = round(time.perf_counter() - t_all - t_reruns, 4)
     cpu = _cpu_share(ticks0, _cpu_ticks())
 
@@ -334,7 +427,28 @@ def main() -> None:
     # failures (rerun:*) don't invalidate the suite — the in-suite
     # workload completed; only the warm best-of-3 for that query is
     # unverified (and its error line says so).
-    valid = not any(not k.startswith("rerun:") for k in errors)
+    valid = not any(
+        not k.startswith(("rerun:", "recheck:")) for k in errors
+    )
+    if recheck:
+        extras["contention_recheck"] = recheck
+    # compact headline, duplicated at BOTH ends of the stdout stream: the
+    # driver's capture keeps only ~2000 chars of the output (BENCH_r11's
+    # `tail` parsed to null), so the first printed line AND the final key
+    # of the big JSON line each carry total/n/eval-throughput/validity —
+    # whichever window the capture keeps, the headline survives.
+    headline = {
+        "total_sec": total if valid else round(sum(timings.values()), 4),
+        "n_queries": len(timings),
+        "sf": sf,
+        "valid": valid,
+        "eval_users_per_sec": extras.get("eval_users_per_sec"),
+        "contended": sorted(
+            n for n, e in recheck.items() if e.get("contended")
+        ),
+        "n_errors": len(errors),
+    }
+    print(json.dumps({"metric": "headline_summary", **headline}))
     result = {
         "metric": "headline_query_suite_wall_clock",
         "value": total if valid else round(sum(timings.values()), 4),
@@ -343,27 +457,14 @@ def main() -> None:
         "sf": sf,
         "valid": valid,
         **extras,
+        "headline": headline,
     }
     print(json.dumps(result))
-    # durability: the driver keeps only the tail of the stdout line, so
+    # durability: the driver keeps only a window of the stdout line, so
     # rounds 1-2 lost most per-query history — persist the full dict
-    # in-repo too (round inferred from existing BENCH_r*.json artifacts,
+    # in-repo too (round + prior inferred once in _round_and_prior,
     # overridable via SPARK_GRAFT_ROUND)
     try:
-        here = Path(__file__).resolve().parent
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            # infer from BOTH artifact families: the driver drops
-            # BENCH_r*.json, this code writes BENCH_full_r*.json — globbing
-            # only the former would stall the counter (and silently
-            # overwrite one snapshot) if the driver's copy ever lags
-            seen = [
-                int(p.stem.split("_r")[-1])
-                for pat in ("BENCH_r*.json", "BENCH_full_r*.json")
-                for p in here.glob(pat)
-                if p.stem.split("_r")[-1].isdigit()
-            ]
-            rnd = str(max(seen, default=0) + 1)
         out = here / f"BENCH_full_r{int(rnd):02d}.json"
         out.write_text(json.dumps(result, indent=1) + "\n")
     except Exception:

@@ -65,81 +65,83 @@ def _load_all_modules() -> None:
 #: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
 #: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-11 front (driver verifies in order, budget 50/round) ---
-    # NEW in round 11 — deterministic refit-on-best + test metrics,
-    # the oracled stage carved out of the rows-only tuning composite
-    "tuning_refit_metrics",
-    # round-10-late specs with ZERO driver evidence (queued by the r10
-    # front comment; user_survival_curve's oracle twin changed this round)
-    "nation_trade_volume",
-    "promo_revenue_share",
-    "user_survival_curve",
-    "data_quality_checks",
-    "audio_frame_energy",
-    "doc_top_terms",
-    "token_top_docs",
-    "stream_hopping_counts",
-    # r4-vintage evidence (7 rounds stale) -- all twenty-four
-    "bm25_weighted_itemknn",
-    "bpr_triplets_inside",
-    "centered_similarities",
-    "confidence_matrix",
-    "corpus_bigrams",
-    "diversity_similarity",
-    "p3alpha_topk",
-    "pii_scrub_stats",
-    "props_json_stats",
-    "remove_top_popular",
-    "rmse_global_effects",
-    "rp3beta_topk",
-    "simhash_fingerprints",
-    "stratified_sample_sizes",
-    "tfidf_weights",
-    "toppop_beyond_accuracy",
-    "toppop_eval_metrics",
-    "toppop_eval_multi_cutoff",
-    "toppop_recommendations",
-    "tumbling_window_counts",
-    "user_holdout_sizes",
-    "user_sessions",
-    "weighted_ndcg",
-    "zorder_layout_stats",
-    # r5-vintage (6 rounds stale) -- alphabetically-first seventeen
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "ann_retrieval_topk",
-    "audio_decode_stats",
-    "batch_drift_stats",
-    "blocklist_filter_stats",
-    "bm25_search_topk",
-    "bpe_compression_stats",
-    "bpe_learned_merges",
-    "conversion_funnel",
-    "custom_w_recommendations",
-    "doc_novelty_stats",
-    "dsir_importance_weights",
-    "duplicated_span_stats",
-    "ease_r_blocked_weights",
-    "embedding_neardup_pairs",
-    # (the remaining twenty-three r5-vintage rows roll to the r12 front:
-    # embedding_outlier_flags / hard_negative_pairs /
-    # incremental_dedup_flags / jpeg_decode_stats /
-    # lang_temperature_sampling / lsh_recall_stats /
-    # minhash_jaccard_estimates / multimodal_decode_stats /
-    # passage_chunks / png_decode_stats / quality_classifier_scores /
-    # random_recommendations / semantic_dedup_flags / sketch_summary /
-    # slim_bpr_weights / source_quality_rollup / span_scrubbed_docs /
-    # tag_tokens_porter / token_budget_mixture / training_shard_manifest /
-    # unigram_ppl_buckets / user_cosine_topk / userknn_recommendations —
-    # after those, everything is r7+ and the r7 block (46 rows) rotates.
-    # The specs REGISTERED during round 11 after this front filled
-    # (priority_late_orders / nation_market_share / top_revenue_suppliers,
-    # the TPC-H Q4/Q8/Q15 shapes; stream_view_click_outer, the live-engine
-    # stream-stream LEFT OUTER join; ann_ivf_sampled_topk, the
-    # sample-trained coarse quantizer; multires_event_rollup, the
-    # hypertable continuous aggregate) land at positions 51+ this round
-    # and LEAD the r12 front together with the rolled r5 rows above)
+    # --- round-12 front (driver verifies in order, budget 50/round) ---
+    # Ledger entering round 12 (from the CORRECTNESS_r* key sets): r11
+    # evidence for 50 queries, r10 for 50, r9 for 47, r7 for 46, r5 for
+    # 23, and 6 round-11-late specs with none.  Front order: (1) queries
+    # NEW or output-CHANGED this round (custom_w_serving_topk is new;
+    # random_recommendations converted to a portable-hash draw with its
+    # first SQL twin; the three PQ queries switched to sample-trained
+    # codebooks, so their r9 hashes no longer describe HEAD), (2) the six
+    # zero-evidence round-11-late specs, (3) the remaining twenty-two
+    # r5-vintage rows (7 rounds stale), (4) the alphabetically-first
+    # seventeen r7-vintage rows, filling the 50 budget.
+    "custom_w_serving_topk",
+    "random_recommendations",
+    "ann_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    # round-11-late specs with ZERO driver evidence
+    "priority_late_orders",
+    "nation_market_share",
+    "top_revenue_suppliers",
+    "stream_view_click_outer",
+    "ann_ivf_sampled_topk",
+    "multires_event_rollup",
+    # r5-vintage evidence (7 rounds stale) -- all remaining twenty-two
+    "embedding_outlier_flags",
+    "hard_negative_pairs",
+    "incremental_dedup_flags",
+    "jpeg_decode_stats",
+    "lang_temperature_sampling",
+    "lsh_recall_stats",
+    "minhash_jaccard_estimates",
+    "multimodal_decode_stats",
+    "passage_chunks",
+    "png_decode_stats",
+    "quality_classifier_scores",
+    "semantic_dedup_flags",
+    "sketch_summary",
+    "slim_bpr_weights",
+    "source_quality_rollup",
+    "span_scrubbed_docs",
+    "tag_tokens_porter",
+    "token_budget_mixture",
+    "training_shard_manifest",
+    "unigram_ppl_buckets",
+    "user_cosine_topk",
+    "userknn_recommendations",
+    # r7-vintage (5 rounds stale) -- alphabetically-first seventeen
+    "active_users",
+    "bpr_triplets_outside",
+    "cfcbf_hybrid_topk",
+    "clickers_never_purchased",
+    "cold_start_split_sizes",
+    "corpus_cardinalities",
+    "event_type_entropy",
+    "event_type_herfindahl",
+    "events_of_known_customers",
+    "fd_violations",
+    "filter_project",
+    "hourly_event_type_pivot",
+    "item_pmi_topk",
+    "item_similarity_family",
+    "itemcbf_cosine_topk",
+    "january_traffic",
+    "kcore_filter",
+    # (the remaining twenty-nine r7-vintage rows roll to the r13 front:
+    # latest_event_per_user / leave_last_out_sizes / negative_sample_eval /
+    # negative_samples / nmf_user_factors / part_name_tokens /
+    # popularity_bias_stats / pricing_summary / pure_svd_factors /
+    # region_customer_rollup / revenue_rollup / salted_user_nation_counts /
+    # slim_elasticnet_weights / split_invariants / split_sizes /
+    # sql_shipping_priority / token_position / top_events_per_type /
+    # top_orders_by_revenue / toppop / urm_density / user_activity_deciles /
+    # user_activity_gini / users_covering_traffic / value_histogram /
+    # value_outliers / value_quantiles / weekday_hour_traffic /
+    # weekly_cohort_retention — after those the r9 block (47 rows)
+    # rotates.  Any spec registered during round 12 AFTER this front
+    # filled lands at position 51+ and leads the r13 front.)
 ]
 
 

@@ -73,6 +73,145 @@ def _ann_sampled(n_list: int, keep: int):
     return q
 
 
+def _pq_adc(keep: int | None):
+    """Registered-shape ADC top-k with an explicit codebook training mode:
+    keep=None -> full-corpus Lloyd (the round-11 superlinear finding),
+    keep=K -> hash-sample Lloyd (operators/pq.pq_codebooks sample mode)."""
+
+    def q(spark, sf_dir):
+        from contentwise_impressions_spark.operators.pq import (
+            pq_adc_topk,
+            pq_codebooks,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = pq_codebooks(
+            emb, m=8, k=32, n_iters=2, dsub=8, sample_keep=keep
+        )
+        return pq_adc_topk(
+            emb, k=3, m=8, kcent=32, n_iters=2, dsub=8, codebooks=cb
+        )
+
+    return q
+
+
+# --- streaming at 10x: wall time + STATE-STORE rows + emission counts ----
+N_STREAM_SLICES = 12
+
+
+def _sliced_events_dir(spark, sf_dir: str) -> str:
+    """Time-ordered delivery for the streaming scale rows: the events table
+    split into N_STREAM_SLICES parquet files by ts rank, written with
+    increasing mtimes so the file source (maxFilesPerTrigger=1) replays
+    them as N micro-batches.  Single-file delivery would buffer the WHOLE
+    stream before the first watermark advance (state == input, measuring
+    nothing); sliced delivery lets eviction actually run, so max state
+    measures the windowed buffer the operators claim."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix=f"scale_stream_{Path(sf_dir).name}_")
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn(
+        "_b", F.ntile(N_STREAM_SLICES).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, N_STREAM_SLICES + 1):
+        b.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        time.sleep(0.05)  # strictly increasing mtimes -> replay order
+    return out
+
+
+def _run_stream_with_stats(spark, stream_df, name_prefix: str):
+    """run_stream_once, but keeps the query handle so the artifact can
+    record state-store rows (max numRowsTotal across micro-batches) and
+    emitted rows next to the wall time."""
+    import json as _json
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t0 = time.perf_counter()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    wall = time.perf_counter() - t0
+    state_rows, batches = 0, 0
+    for p in q.recentProgress:
+        if not isinstance(p, dict):  # older/newer API: progress object
+            p = _json.loads(p.json)
+        batches += 1
+        for so in p.get("stateOperators") or []:
+            state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
+    emitted = spark.table(name).count()
+    spark.catalog.dropTempView(name)
+    return round(wall, 3), emitted, state_rows, batches
+
+
+def _stream_join_stats(how: str):
+    def run(spark, sf_dir, src_dir):
+        from pyspark.sql import functions as F
+
+        from contentwise_impressions_spark.streaming.ingest import (
+            stream_events,
+        )
+        from contentwise_impressions_spark.streaming.ingest import (
+            stream_view_click_join,
+        )
+
+        schema = load_table(spark, sf_dir, "events").schema
+        src = stream_events(spark, src_dir, schema=schema)
+        joined = stream_view_click_join(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+            horizon="1 hour",
+            watermark="2 hours",
+            how=how,
+        )
+        return _run_stream_with_stats(spark, joined, f"scale_ssj_{how}")
+
+    return run
+
+
+def _stream_session_stats(spark, sf_dir, src_dir):
+    from contentwise_impressions_spark.streaming.ingest import (
+        sessionize_events,
+        stream_events,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    src = stream_events(spark, src_dir, schema=schema)
+    return _run_stream_with_stats(
+        spark,
+        sessionize_events(src, gap="30 minutes", watermark="1 hour"),
+        "scale_sess",
+    )
+
+
+STREAM_MEASURES = [
+    ("streaming", "stream_view_click_inner", _stream_join_stats("inner")),
+    (
+        "streaming",
+        "stream_view_click_outer",
+        _stream_join_stats("left_outer"),
+    ),
+    ("streaming", "stream_sessionization", _stream_session_stats),
+]
+
+
 def main() -> None:
     spark = get_spark("cwi-spark-scale-bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -119,6 +258,19 @@ def main() -> None:
                 f"ann_ivf_sampled_nlist{ann_scaled_nlist}",
                 _ann_sampled(ann_scaled_nlist, ann_sample_keep),
             ),
+            # PQ codebook training modes (round-12: the sampled trainer
+            # extended to PQ — the one family BENCH_sf1 measured
+            # superlinear-ish in round 11, 7.3-9.4x at 10x data):
+            # full-corpus Lloyd vs fraction sample (~20% at both scales,
+            # the registered queries' shape) vs constant-size sample
+            # (fraction shrinks 10x at sf1 — training cost flat in N)
+            ("pq", "ann_pq_adc_full_train", _pq_adc(None)),
+            ("pq", "ann_pq_adc_sampled_frac", _pq_adc(200)),
+            (
+                "pq",
+                "ann_pq_adc_sampled_const",
+                _pq_adc(200 if sf_label == "sf0.1" else 20),
+            ),
         ]
         for fam, label, fn in todo:
             key = label.replace(f"_nlist{ann_scaled_nlist}", "_nlist_scaled")
@@ -145,6 +297,42 @@ def main() -> None:
                 .distinct()
                 .count()
             )
+
+        # streaming family (round-11 verdict task 5): wall time + state
+        # metrics through the LIVE engine over time-sliced delivery, so
+        # the state store actually evicts between micro-batches.  The
+        # number that matters: max state rows tracks the delivery window
+        # (≈ input/N_STREAM_SLICES + the join/session horizon), NOT total
+        # stream length — double the stream, state unchanged.
+        import shutil
+
+        n_events = load_table(spark, sf_dir, "events").count()
+        src_dir = _sliced_events_dir(spark, sf_dir)
+        try:
+            for fam, label, fn in STREAM_MEASURES:
+                ent = rows.setdefault(label, {"family": fam})
+                for attempt in ("first", "warm"):
+                    try:
+                        wall, emitted, state_rows, batches = fn(
+                            spark, sf_dir, src_dir
+                        )
+                        ent[f"{sf_label}_{attempt}"] = wall
+                    except Exception as exc:
+                        ent[f"{sf_label}_{attempt}"] = (
+                            f"{type(exc).__name__}: {exc}"[:200]
+                        )
+                        break
+                else:
+                    ent[f"{sf_label}_emitted"] = emitted
+                    ent[f"{sf_label}_state_rows_max"] = state_rows
+                    ent[f"{sf_label}_input_rows"] = n_events
+                    ent[f"{sf_label}_batches"] = batches
+                    ent[f"{sf_label}_state_frac"] = (
+                        round(state_rows / n_events, 4) if n_events else None
+                    )
+                ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
+        finally:
+            shutil.rmtree(src_dir, ignore_errors=True)
         release_session_payloads(spark)
 
     for ent in rows.values():
