@@ -1228,6 +1228,104 @@ register(
 )
 
 
+_REFINE_SHORT, _REFINE_K = 10, 3
+
+
+def q_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist → EXACT re-rank (FAISS IndexRefine): ADC ranks by
+    reconstructed candidates, so compression error can swap near-ties;
+    rescoring only the C=10 shortlisted pairs per probe against
+    full-precision vectors buys the recall back for C·d work instead of
+    a flat scan's N·d — the third stage of the production serving
+    pipeline (coarse-prune → compressed-score → exact-refine)."""
+    from ..operators.pq import ivfpq_topk, refine_exact_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = ivfpq_topk(
+        emb,
+        k=_REFINE_SHORT,
+        n_list=8,
+        ivf_iters=2,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+        ivf_distances=_ivf_distances(spark, sf_dir),
+    )
+    return refine_exact_topk(emb, short, k=_REFINE_K)
+
+
+register(
+    QuerySpec(
+        "ann_refined_topk",
+        q_ann_refined_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        {_PQ_CTES},
+        plut AS (
+            SELECT p.vec_id, c.sub, c.c, SUM(p.xq * c.y) AS ip
+            FROM pe p JOIN {_PQ_CENT_F} c ON p.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        pcbn AS (SELECT sub, c, SUM(y * y) AS n2 FROM {_PQ_CENT_F} GROUP BY 1, 2),
+        precon AS (
+            SELECT s.vec_id, SUM(n.n2) AS r2
+            FROM pcodes s JOIN pcbn n ON s.sub = n.sub AND s.code = n.c
+            GROUP BY 1
+        ),
+        ppn AS (SELECT vec_id, SUM(xq * xq) AS p2 FROM pe GROUP BY 1),
+        pscore AS (
+            SELECT ap.vec_id, s.vec_id AS neighbor_id, SUM(l.ip) AS dot
+            FROM pcodes s
+            JOIN a1 ai ON ai.vec_id = s.vec_id
+            JOIN a1 ap ON ap.vec_id <> s.vec_id AND ap.list_id = ai.list_id
+            JOIN plut l ON l.vec_id = ap.vec_id AND l.sub = s.sub
+                       AND l.c = s.code
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT sc.vec_id, sc.neighbor_id
+            FROM pscore sc
+            JOIN ppn p ON sc.vec_id = p.vec_id
+            JOIN precon r ON sc.neighbor_id = r.vec_id
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+                    ORDER BY CAST(sc.dot AS DOUBLE)
+                        / (sqrt(CAST(p.p2 AS DOUBLE))
+                           * sqrt(CAST(r.r2 AS DOUBLE))) DESC,
+                             sc.neighbor_id ASC) <= {_REFINE_SHORT}
+        ),
+        xn AS (SELECT vec_id, SUM(xq * xq) AS n2 FROM e GROUP BY 1),
+        xd AS (
+            SELECT s.vec_id, s.neighbor_id, SUM(p.xq * c.xq) AS dot
+            FROM short s
+            JOIN e p ON p.vec_id = s.vec_id
+            JOIN e c ON c.vec_id = s.neighbor_id AND c.pos = p.pos
+            GROUP BY 1, 2
+        )
+        SELECT d.vec_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+                   AS cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                    ORDER BY CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(a.n2 AS DOUBLE))
+                           * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+                             d.neighbor_id ASC) AS INT) AS rank
+        FROM xd d
+        JOIN xn a ON d.vec_id = a.vec_id
+        JOIN xn b ON d.neighbor_id = b.vec_id
+        QUALIFY rank <= {_REFINE_K}
+        """,
+        doc="exact re-rank of the IVF-PQ shortlist (FAISS IndexRefine, "
+        "Jégou et al. 2011 §V.C): C=10 ADC candidates per probe rescored "
+        "against full-precision vectors via codegen zip_with/aggregate "
+        "(operators/pq.refine_exact_topk; shares the session IVF "
+        "quantizer and PQ codebook)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------

@@ -1147,6 +1147,80 @@ register(
 )
 
 
+def q_stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful aggregations in ONE streaming query through
+    the LIVE engine: 15-minute tumbling counts per event_type re-rolled
+    into hourly (max / sum / n_windows) — the multiple-stateful-operator
+    capability Spark added in 3.4 (groupBy on the upstream WINDOW column;
+    no second withWatermark), exercised end-to-end with append-mode
+    cascade emission.
+
+    Emission boundary: with aligned durations (1 h % 15 min == 0) the
+    cascade reduces to `outer_end <= final watermark` — the inner windows
+    of a closed hour are all emitted (inner_end <= outer_end <= wm) and
+    flow into the outer state store in the follow-up micro-batches that
+    availableNow schedules while eviction progresses.  Watermark
+    conventions as pinned for stream_tumbling_counts: ms-floored max
+    event time minus the 1 h delay, window-end INCLUSIVE eviction.
+
+    Scale rationale (the 100 TB point): only the fine agg sees raw input
+    volume; the hourly re-agg's state and input are bounded by open
+    windows × types — a rollup LADDER is nearly free in one query,
+    instead of one full-volume scan + shuffle per resolution (the batch
+    ladder `multires_event_rollup` pays per level from parquet).
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        chained_window_rollup,
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    out = run_stream_once(
+        chained_window_rollup(src, "15 minutes", "1 hour", "1 hour"),
+        "stream_chained",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_chained_rollup",
+        q_stream_chained_rollup,
+        """
+        WITH q AS (
+            SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS ws, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 1 HOUR
+                       AS w
+            FROM events
+        )
+        SELECT CAST(date_trunc('hour', ws) AS TIMESTAMP) AS window_start,
+               event_type,
+               MAX(cnt) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM q, wm
+        WHERE date_trunc('hour', ws) + INTERVAL 1 HOUR <= w
+        GROUP BY 1, 2
+        """,
+        doc="live-engine CHAINED stateful aggs (15-min tumbling -> hourly "
+        "rollup in one append-mode query, groupBy on the window column); "
+        "cascade emission at outer window_end <= final watermark",
+    )
+)
+
+
 def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-user running profiles (event count, value sum, last-seen ts)

@@ -4376,6 +4376,133 @@ register(
 )
 
 
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier per ECONOMY part of selected sizes — the
+    TPC-H Q2 shape: a correlated MIN subquery (min supplycost among the
+    region's suppliers, per part) decorrelated into a grouped MIN joined
+    back on (partkey, cost), then ordered by supplier balance, top 100.
+    The supply catalog (partsupp's analog here) is the per-(part,
+    supplier) MIN line price observed in lineitem.
+
+    Scale shape: the region→nation→supplier chain is a broadcast
+    dimension filter applied to the fact BEFORE the first aggregate
+    (left-semi, so the catalog agg only sees qualifying suppliers); the
+    catalog build is ONE shuffle of the filtered fact keyed by
+    (l_partkey, l_suppkey) with map-side partial MIN; the per-part MIN
+    re-aggregates the |part×supplier_region| catalog — dimension-sized,
+    no second fact scan; the equality join-back on (partkey, min cost)
+    is catalog ⋈ part-sized mins (AQE broadcasts at small SF, shuffles
+    at scale), the exact decorrelation Catalyst itself applies to the
+    correlated-subquery SQL form.  The MIN key is a raw double (no
+    arithmetic), so the equality join is engine-portable.  Final top-100
+    is a distributed TakeOrderedAndProject over a fully-tiebroken key.
+    """
+    utc(spark)
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    eur_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(eur_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "ECONOMY") & F.col("p_size").isin(15, 25, 35)
+        )
+        .select("p_partkey", "p_size")
+    )
+    catalog = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(supplier.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    mins = catalog.groupBy(
+        F.col("l_partkey").alias("m_partkey")
+    ).agg(F.min("supplycost").alias("min_cost"))
+    return (
+        catalog.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "supplycost")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), "p_partkey")
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_size",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        "min_cost_part_supplier",
+        q_min_cost_part_supplier,
+        """
+        WITH eur_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        sel_part AS (
+            SELECT p_partkey, p_size FROM part
+            WHERE p_type = 'ECONOMY' AND p_size IN (15, 25, 35)
+        ),
+        catalog AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+              AND l_partkey IN (SELECT p_partkey FROM sel_part)
+            GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name,
+               c.l_partkey AS p_partkey, p_size, supplycost
+        FROM catalog c
+        JOIN eur_supp ON c.l_suppkey = s_suppkey
+        JOIN sel_part ON c.l_partkey = p_partkey
+        WHERE supplycost = (
+            SELECT MIN(c2.supplycost) FROM catalog c2
+            WHERE c2.l_partkey = c.l_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """,
+        doc="TPC-H Q2-shaped correlated-MIN lookup: broadcast region "
+        "supplier filter, one fact shuffle to a (part,supplier) catalog, "
+        "grouped-MIN decorrelation + equality join-back, top-100",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Kaplan-Meier survival curve over user activity spans
 # ---------------------------------------------------------------------------

@@ -473,3 +473,62 @@ def stream_incremental_dedup(
     return inc.join(idx, ["band", "bucket"]).select(
         "doc_id", "match_id", "band"
     )
+
+
+def chained_window_rollup(
+    events: DataFrame,
+    inner_duration: str = "15 minutes",
+    outer_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Two CHAINED stateful windowed aggregations in one streaming query:
+    fine-grained tumbling counts per event_type, re-aggregated into a
+    coarser window (max / sum / n_windows of the inner counts) — the
+    streaming form of a multi-resolution continuous aggregate (the batch
+    twin is `multires_event_rollup`'s resolution ladder).
+
+    Mechanism: Spark ≥3.4 allows multiple stateful operators in ONE
+    append-mode query when the downstream groupBy keys on the upstream's
+    WINDOW COLUMN (`F.window(F.col("win"), outer)`): the inner window
+    struct carries the event-time interval, so the outer agg derives its
+    own eviction from the same query watermark instead of needing a
+    second `withWatermark`.  Emission cascades: an inner window is
+    emitted once `watermark >= inner_end` (the inclusive eviction
+    predicate pinned for `stream_tumbling_counts`), flows into the outer
+    state store in a LATER micro-batch, and the outer window is emitted
+    once `watermark >= outer_end`.  With aligned durations
+    (outer % inner == 0) the last inner window of an outer window ends
+    exactly at outer_end, so both predicates reduce to
+    `outer_end <= final watermark` — the SQL-twin cutoff.  availableNow
+    keeps scheduling micro-batches while eviction can still progress
+    (shouldRunAnotherBatch), so the cascade completes within one run.
+
+    Why this matters at 100 TB/day: the raw-to-fine agg is the only one
+    that sees full input volume; the fine-to-coarse agg's state is
+    bounded by open windows × types (thousands of rows), making
+    arbitrarily deep rollup ladders nearly free — the alternative
+    (re-aggregating raw events per resolution) multiplies the full-volume
+    scan and shuffle per level.
+    """
+    src = as_event_time(events).withWatermark("ts", watermark)
+    inner = src.groupBy(
+        F.window("ts", inner_duration).alias("win"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        inner.groupBy(
+            F.window(F.col("win"), outer_duration).alias("outer_win"),
+            "event_type",
+        )
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .select(
+            F.col("outer_win.start").alias("window_start"),
+            "event_type",
+            "max_cnt",
+            "sum_cnt",
+            "n_windows",
+        )
+    )
