@@ -653,3 +653,59 @@ def test_availablenow_outer_join_watermark_boundary(spark):
         (r["user_id"], r["click_id"]) for r in out.collect()
     )
     assert got == [(2, None)], got
+
+
+def test_tws_user_ledger(spark, sf_dir):
+    """transformWithStateInPandas ledger == batch GROUP BY under single
+    delivery.  SKIPS where the google.protobuf runtime is absent (the TWS
+    Python worker's state protocol needs it — streaming/tws.py gate)."""
+    import pytest
+
+    from contentwise_impressions_spark.streaming.tws import (
+        run_ledger_once,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            from contentwise_impressions_spark.streaming.tws import (
+                user_type_ledger,
+            )
+
+            user_type_ledger(load_table(spark, sf_dir, "events"))
+        pytest.skip("google.protobuf not installed; TWS worker cannot start")
+
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        stream_dir_for_file,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    try:
+        src = stream_events(spark, src_dir, schema=ev.schema)
+        got = run_ledger_once(src).toPandas()
+        want = (
+            ev.groupBy("user_id", "event_type")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("value").alias("sum_value"),
+                F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+            )
+            .toPandas()
+        )
+        key = ["user_id", "event_type"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want[got.columns].sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+        assert (
+            abs(got["sum_value"].to_numpy() - want["sum_value"].to_numpy())
+            < 1e-9
+        ).all()
+        assert (
+            got["last_ts"].to_numpy() == want["last_ts"].to_numpy()
+        ).all()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
