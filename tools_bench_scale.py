@@ -201,6 +201,24 @@ def _stream_session_stats(spark, sf_dir, src_dir):
     )
 
 
+def _stream_chained_stats(spark, sf_dir, src_dir):
+    """Chained dual-agg rollup (round-12): the number that matters is
+    state bounded by open windows x types at BOTH levels — double the
+    stream, outer-level state unchanged."""
+    from contentwise_impressions_spark.streaming.ingest import (
+        chained_window_rollup,
+        stream_events,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    src = stream_events(spark, src_dir, schema=schema)
+    return _run_stream_with_stats(
+        spark,
+        chained_window_rollup(src, "15 minutes", "1 hour", "1 hour"),
+        "scale_chained",
+    )
+
+
 STREAM_MEASURES = [
     ("streaming", "stream_view_click_inner", _stream_join_stats("inner")),
     (
@@ -209,6 +227,7 @@ STREAM_MEASURES = [
         _stream_join_stats("left_outer"),
     ),
     ("streaming", "stream_sessionization", _stream_session_stats),
+    ("streaming", "stream_chained_rollup", _stream_chained_stats),
 ]
 
 
@@ -226,6 +245,10 @@ def main() -> None:
         ("lsh", "minhash_lsh_candidates", qs["minhash_lsh_candidates"]),
         ("lsh", "minhash_dedup_clusters", qs["minhash_dedup_clusters"]),
         ("ann", "ann_ivfpq_topk_fixed_params", qs["ann_ivfpq_topk"]),
+        # round-12: exact-refine stage layered on the same shortlist —
+        # the delta vs ann_ivfpq_topk is the refine overhead (pairs =
+        # probes x C, strictly linear in N)
+        ("ann", "ann_refined_topk", qs["ann_refined_topk"]),
         # scale-path knob: bucket size held at ~250 vectors at BOTH scales
         # (n_list grown 10x with N) -> bucket count linear, per-bucket work
         # constant; centroid training is the documented offline/sampled
