@@ -556,3 +556,19 @@ def test_q14_share_is_single_scan_single_aggregate(spark, sf_dir):
     plan = _formatted_plan(QUERIES["promo_revenue_share"](spark, sf_dir))
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 2, plan  # lineitem once + part broadcast
+
+
+def test_q2_min_cost_semi_filters_broadcast_before_agg(spark, sf_dir):
+    """min_cost_part_supplier: the region-supplier and part filters must
+    reach the fact as BROADCAST left-semi joins BEFORE the catalog
+    aggregate (the fact is filtered first, then aggregated once), and the
+    decorrelated min join-back must never lower to a nested loop."""
+    import re
+
+    plan = _formatted_plan(QUERIES["min_cost_part_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
+    # column pruning: the part scan must not read p_name/p_retailprice
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert not any("p_retailprice" in r or "p_name" in r for r in reads), plan

@@ -709,3 +709,63 @@ def test_tws_user_ledger(spark, sf_dir):
         ).all()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_availablenow_chained_rollup_watermark_boundary(spark):
+    """Cascade-emission boundary for the chained dual-agg rollup: an
+    outer (hourly) window is emitted iff `outer_end <= final watermark`
+    — INCLUSIVE at exact equality (the tumbling predicate applied at the
+    outer level), and an hour whose end is past the watermark stays in
+    state even when all its INNER windows have closed."""
+    import pandas as pd
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        chained_window_rollup,
+        run_stream_once,
+        stream_events,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="cwi_chain_"))
+    src = tmp / "in"
+    src.mkdir()
+    # watermark delay 1 h; final event at exactly 02:00 -> wm = 01:00.
+    # hour 0 (end 01:00): boundary case, emitted iff predicate INCLUSIVE.
+    # hour 1 (end 02:00): all its inner 15-min windows end <= 01:25 wm?
+    #   no — wm is 01:00, so only [01:00,01:15) closed... regardless,
+    #   hour 1's END (02:00) > wm -> must NOT be emitted.
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05:00", "2024-01-01 00:20:00",
+                 "2024-01-01 01:10:00", "2024-01-01 02:00:00"]
+            ),
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(src / "f0"))
+    stream = stream_events(
+        spark,
+        str(src / "f0"),
+        schema=spark.read.parquet(str(src / "f0")).schema,
+    )
+    try:
+        out = run_stream_once(
+            chained_window_rollup(stream, "15 minutes", "1 hour", "1 hour"),
+            "chain_boundary",
+        ).toPandas()
+        got = {
+            (str(r.window_start), r.event_type): (
+                r.max_cnt, r.sum_cnt, r.n_windows,
+            )
+            for r in out.itertuples()
+        }
+        # hour 0 emitted at the INCLUSIVE boundary, with both 15-min
+        # windows rolled up; hours 1 and 2 held in state (end > wm)
+        assert got == {
+            ("2024-01-01 00:00:00", "view"): (1, 2, 2)
+        }, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
