@@ -72,6 +72,8 @@ PICKS = [
     ("mmr_diversified_topk", "MMR re-rank: blocked GEMM retrieval, then per-query equi-join sims + 3 unrolled window-argmax greedy steps — nothing data-scale after retrieval"),
     ("multi_touch_attribution", "linear attribution: 1h range join lowered to the epoch-bucketed equi-join; touch counts from ONE window, no second join"),
     ("event_cube_stats", "CUBE lattice: single Expand x4 over one scan -> partial-agg shuffle of |groups| rows; grouping_id disambiguates"),
+    ("min_cost_part_supplier", "TPC-H Q2 correlated MIN decorrelated: broadcast left-semi region/part filters BEFORE the single catalog shuffle; grouped-MIN join-back, top-100"),
+    ("ann_refined_topk", "IVF-PQ shortlist -> exact refine: pair set joins the vector table twice (|probes| x C rows), dot product is codegen zip_with/aggregate — no Arrow kernel, no N^2"),
 ]
 
 
