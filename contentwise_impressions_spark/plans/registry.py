@@ -141,7 +141,10 @@ DRIVER_PRIORITY: list[str] = [
     # value_outliers / value_quantiles / weekday_hour_traffic /
     # weekly_cohort_retention — after those the r9 block (47 rows)
     # rotates.  Any spec registered during round 12 AFTER this front
-    # filled lands at position 51+ and leads the r13 front.)
+    # filled lands at position 51+ and leads the r13 front.  Round-12
+    # registered exactly three such specs, all with DuckDB twins and
+    # zero driver evidence yet — they MUST open the r13 front:
+    # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk.)
 ]
 
 
