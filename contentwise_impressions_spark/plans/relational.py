@@ -4376,6 +4376,109 @@ register(
 )
 
 
+def q_nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on 'red' product lines by supplier nation and order year —
+    the TPC-H Q9 shape: line profit = revenue − supplycost·quantity,
+    where the supply-cost catalog (partsupp's analog) is DERIVED from the
+    same fact as the per-(part, supplier) MIN unit price, then joined
+    back on the composite key.
+
+    Scale shape: the name-filtered part set broadcasts as a left-semi
+    filter into BOTH fact passes (catalog build and profit scan), so the
+    double scan only touches the 'red' slice; the catalog build is one
+    shuffle keyed (l_partkey, l_suppkey) with map-side partial MIN; the
+    profit pass shuffles the slice twice — orders on orderkey (the
+    fact-fact join Q9 cannot avoid) and the catalog join on the same
+    composite key the catalog is already partitioned by; supplier→nation
+    rides a broadcast chain.  Output is |nations|×|years| rows from one
+    grouped agg.  unit price (one divide) and the profit expression are
+    single-op float chains — engine-portable at the canonicalizer's
+    rounding, same convention as every revenue rollup here.
+    """
+    utc(spark)
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(red),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    catalog = li.groupBy(
+        F.col("l_partkey").alias("c_partkey"),
+        F.col("l_suppkey").alias("c_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            catalog,
+            (F.col("l_partkey") == F.col("c_partkey"))
+            & (F.col("l_suppkey") == F.col("c_suppkey")),
+        )
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("supplycost") * F.col("l_quantity")
+            ).alias("sum_profit")
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+register(
+    QuerySpec(
+        "nation_profit_rollup",
+        q_nation_profit_rollup,
+        """
+        WITH red AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+        ),
+        li AS (
+            SELECT * FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM red)
+        ),
+        catalog AS (
+            SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supplycost
+            FROM li GROUP BY 1, 2
+        )
+        SELECT n_name, year(o_orderdate) AS o_year,
+               SUM(l_extendedprice * (1 - l_discount)
+                   - supplycost * l_quantity) AS sum_profit
+        FROM li
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN catalog ON l_partkey = c_partkey AND l_suppkey = c_suppkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+        ORDER BY n_name, o_year DESC
+        """,
+        doc="TPC-H Q9-shaped profit rollup: self-derived supply-cost "
+        "catalog joined back on the composite (part, supplier) key, "
+        "broadcast name-filter into both fact passes, one grouped agg",
+    )
+)
+
+
 def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest EUROPE supplier per ECONOMY part of selected sizes — the
     TPC-H Q2 shape: a correlated MIN subquery (min supplycost among the
