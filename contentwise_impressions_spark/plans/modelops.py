@@ -1221,6 +1221,95 @@ register(
 )
 
 
+def q_stream_join_hourly_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join chained into a windowed aggregation —
+    ONE query, two stateful operators of DIFFERENT kinds (join state +
+    window state), completing the multiple-stateful-operator matrix next
+    to `stream_chained_rollup`'s agg→agg.  Hourly conversion counts and
+    summed view→click delay, never landing the join output.
+
+    Emission boundary (probed to the millisecond, see
+    tests/test_streaming.py::test_availablenow_join_agg_watermark_boundary):
+    the join delays the downstream watermark by its buffered-side state
+    bound, so a window emits iff `window_end + horizon < raw_wm`, STRICT
+    — where raw_wm is the ms-floored min of both sides' max event time
+    minus the 2 h delay (the min-across-sides rule pinned for
+    `stream_view_click_outer`).  The delay sum is exact bigint micros.
+    """
+    import shutil
+
+    from ..streaming.ingest import (
+        joined_conversion_counts,
+        run_stream_once,
+        stream_dir_for_file,
+        stream_events,
+    )
+
+    utc(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src_dir = stream_dir_for_file(f"{sf_dir}/events.parquet")
+    src = stream_events(spark, src_dir, schema=batch.schema)
+    out = run_stream_once(
+        joined_conversion_counts(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+            horizon="1 hour",
+            watermark="2 hours",
+            window_duration="1 hour",
+        ),
+        "stream_join_agg",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+register(
+    QuerySpec(
+        "stream_join_hourly_conversions",
+        q_stream_join_hourly_conversions,
+        """
+        WITH v AS (
+            SELECT user_id, ts AS view_ts FROM events
+            WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'
+        ),
+        m AS (
+            SELECT v.user_id, v.view_ts, c.click_ts
+            FROM v JOIN c
+              ON v.user_id = c.user_id
+             AND c.click_ts >= v.view_ts
+             AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+        ),
+        wm AS (
+            SELECT date_trunc('milliseconds',
+                       least((SELECT MAX(view_ts) FROM v),
+                             (SELECT MAX(click_ts) FROM c)))
+                   - INTERVAL 2 HOUR AS w
+        )
+        SELECT CAST(date_trunc('hour', view_ts) AS TIMESTAMP)
+                   AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS conversions,
+               CAST(SUM(epoch_us(click_ts) - epoch_us(view_ts)) AS BIGINT)
+                   AS sum_delay_us
+        FROM m, wm
+        WHERE date_trunc('hour', view_ts) + INTERVAL 1 HOUR
+                  + INTERVAL 1 HOUR < w
+        GROUP BY 1
+        """,
+        doc="live-engine stream-stream join CHAINED into a windowed agg "
+        "(join state + window state in one append query); window emits "
+        "iff window_end + horizon < raw watermark, strict at ms "
+        "resolution (the join delays the downstream watermark by its "
+        "buffered-side bound)",
+    )
+)
+
+
 def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-user running profiles (event count, value sum, last-seen ts)

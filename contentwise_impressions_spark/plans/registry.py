@@ -142,9 +142,10 @@ DRIVER_PRIORITY: list[str] = [
     # weekly_cohort_retention — after those the r9 block (47 rows)
     # rotates.  Any spec registered during round 12 AFTER this front
     # filled lands at position 51+ and leads the r13 front.  Round-12
-    # registered exactly three such specs, all with DuckDB twins and
-    # zero driver evidence yet — they MUST open the r13 front:
-    # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk.)
+    # registered such specs, all with DuckDB twins and zero driver
+    # evidence yet — they MUST open the r13 front:
+    # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk /
+    # nation_profit_rollup / stream_join_hourly_conversions.)
 ]
 
 

@@ -532,3 +532,57 @@ def chained_window_rollup(
             "n_windows",
         )
     )
+
+
+def joined_conversion_counts(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join CHAINED into a windowed aggregation in
+    ONE query — the other multiple-stateful-operator combination (Spark
+    ≥3.4) next to agg→agg (`chained_window_rollup`): hourly conversion
+    counts and total view→click delay, computed from the join output
+    without landing it.
+
+    Watermark propagation (pinned empirically in
+    tests/test_streaming.py::test_availablenow_join_agg_watermark_boundary,
+    derived from SPARK-40925's simulated propagation): the join DELAYS
+    the downstream watermark by its state bound on the buffered side —
+    an emitted row's view_ts can be as old as `wm − horizon` (a view
+    stays joinable until the watermark passes view_ts + horizon), so the
+    agg's effective watermark is `raw_wm − horizon` and a window is
+    emitted iff `window_end + horizon < raw_wm` — STRICT at millisecond
+    resolution, unlike the single-operator tumbling agg's inclusive
+    boundary (raw_wm = ms-floored min of both sides' max event time,
+    minus the watermark delay).
+
+    The delay sum is exact epoch-micros integer arithmetic (bigint), so
+    the emission is engine-portable; `countDistinct` is deliberately NOT
+    used (unsupported on streaming aggregations).
+
+    Why one query matters at 100 TB/day: the join's output never hits
+    storage — matched pairs flow straight into window state (bounded by
+    open windows), so the attribution dashboard costs one pass over each
+    input stream; the two-job alternative lands |pairs| rows and rescans
+    them per rollup.
+    """
+    joined = stream_view_click_join(
+        views, clicks, horizon=horizon, watermark=watermark, how="inner"
+    )
+    return (
+        joined.groupBy(F.window("view_ts", window_duration).alias("w"))
+        .agg(
+            F.count("*").alias("conversions"),
+            F.sum(
+                F.unix_micros("click_ts") - F.unix_micros("view_ts")
+            ).alias("sum_delay_us"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "conversions",
+            "sum_delay_us",
+        )
+    )

@@ -769,3 +769,69 @@ def test_availablenow_chained_rollup_watermark_boundary(spark):
         }, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_availablenow_join_agg_watermark_boundary(spark):
+    """Watermark PROPAGATION through a join→agg chain: the join delays
+    the downstream watermark by its buffered-side state bound (horizon),
+    and the agg's emission is STRICT at millisecond resolution —
+    window emitted iff `window_end + horizon < raw_wm`.  Probed around
+    the exact boundary: with watermark 2 h and horizon 1 h, the
+    [00:00, 01:00) window needs raw max-ts strictly past 04:00.000
+    (04:00.001 emits; 04:00.000 and 03:59:59.999 do not).  Contrast:
+    the single-operator tumbling agg is INCLUSIVE at equality
+    (test_availablenow_tumbling_watermark_boundary)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        joined_conversion_counts,
+        run_stream_once,
+        stream_events,
+    )
+
+    def run_case(final_ts: str) -> list[str]:
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [1, 1, 2, 2, 9, 9],
+                "event_type": ["view", "click"] * 3,
+                "value": [1.0] * 6,
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:10:00", "2024-01-01 00:20:00",
+                        "2024-01-01 01:10:00", "2024-01-01 01:15:00",
+                        final_ts, final_ts,
+                    ],
+                    format="ISO8601",
+                ),
+            }
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="cwi_jb_"))
+        try:
+            spark.createDataFrame(rows).coalesce(1).write.parquet(
+                str(tmp / "in")
+            )
+            src = stream_events(
+                spark,
+                str(tmp / "in"),
+                schema=spark.read.parquet(str(tmp / "in")).schema,
+            )
+            out = run_stream_once(
+                joined_conversion_counts(
+                    src.filter(F.col("event_type") == "view"),
+                    src.filter(F.col("event_type") == "click"),
+                    horizon="1 hour",
+                    watermark="2 hours",
+                ),
+                "join_boundary",
+            ).toPandas()
+            return sorted(str(x) for x in out["window_start"])
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # raw_wm = floor_ms(final) - 2h; window [00:00,01:00) emits iff
+    # 01:00 + 1h < raw_wm  <=>  final > 04:00.000 at ms resolution
+    assert run_case("2024-01-01 04:00:00.001") == ["2024-01-01 00:00:00"]
+    assert run_case("2024-01-01 04:00:00") == []
+    assert run_case("2024-01-01 03:59:59.999") == []
