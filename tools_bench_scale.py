@@ -219,6 +219,31 @@ def _stream_chained_stats(spark, sf_dir, src_dir):
     )
 
 
+def _stream_join_agg_stats(spark, sf_dir, src_dir):
+    """join→agg chain (round-12): join state dominates (bounded by the
+    delivery window + horizon); the downstream window state adds only
+    open-windows rows — the chain's state ceiling is the join's."""
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.streaming.ingest import (
+        joined_conversion_counts,
+        stream_events,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    src = stream_events(spark, src_dir, schema=schema)
+    return _run_stream_with_stats(
+        spark,
+        joined_conversion_counts(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+            horizon="1 hour",
+            watermark="2 hours",
+        ),
+        "scale_joinagg",
+    )
+
+
 STREAM_MEASURES = [
     ("streaming", "stream_view_click_inner", _stream_join_stats("inner")),
     (
@@ -228,6 +253,7 @@ STREAM_MEASURES = [
     ),
     ("streaming", "stream_sessionization", _stream_session_stats),
     ("streaming", "stream_chained_rollup", _stream_chained_stats),
+    ("streaming", "stream_join_hourly_conversions", _stream_join_agg_stats),
 ]
 
 
