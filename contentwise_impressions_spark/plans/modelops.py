@@ -1310,6 +1310,54 @@ register(
 )
 
 
+def q_stream_synthetic_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM Python streaming DataSource through the LIVE engine
+    (sources/pyds.SyntheticEventsDataSource, the Spark 4 V2 extension
+    API): a partition-planned deterministic event feed — offsets are row
+    counts, each micro-batch advances by 2,500 rows to 10,000, every
+    batch fans out over 4 executor-side InputPartitions — aggregated in
+    complete mode and drained through the real offset/commit protocol
+    (4 micro-batches; processAllAvailable, see run_synthetic_counts for
+    why not availableNow).
+
+    Every generated field is a pure function of the row id under the
+    house portable-hash primes, so the DuckDB twin regenerates the
+    entire feed from range() — the oracle covers source, offsets, and
+    aggregation end to end.  ``sf_dir`` is unused by construction (the
+    source IS the data); the spec exists to put the source-extension
+    API under the driver's correctness gate.
+    """
+    utc(spark)
+    from ..sources.pyds import run_synthetic_counts
+
+    return run_synthetic_counts(
+        spark, max_rows=10_000, rows_per_batch=2_500, num_partitions=4
+    )
+
+
+register(
+    QuerySpec(
+        "stream_synthetic_counts",
+        q_stream_synthetic_counts,
+        """
+        SELECT CASE (i * 1000003) % 5
+                   WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                   WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                   ELSE 'error' END AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(FLOOR(((i * 7919) % 1000) / 100.0 * 100)) AS BIGINT)
+                   AS sum_cents
+        FROM range(0, 10000) t(i)
+        GROUP BY 1
+        """,
+        doc="custom Python streaming DataSource (Spark 4 V2 API) through "
+        "the live engine: row-count offsets, 4 micro-batches x 4 "
+        "executor partitions, complete-mode agg; the twin regenerates "
+        "the deterministic feed from range()",
+    )
+)
+
+
 def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-user running profiles (event count, value sum, last-seen ts)

@@ -145,7 +145,8 @@ DRIVER_PRIORITY: list[str] = [
     # registered such specs, all with DuckDB twins and zero driver
     # evidence yet — they MUST open the r13 front:
     # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk /
-    # nation_profit_rollup / stream_join_hourly_conversions.)
+    # nation_profit_rollup / stream_join_hourly_conversions /
+    # stream_synthetic_counts.)
 ]
 
 

@@ -39,9 +39,12 @@ pushdown path by ::test_python_datasource_pushdown_prunes_rows.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -50,6 +53,17 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
 )
+
+try:  # by-value pickling: the registered DataSource class ships to the
+    # planning worker and executors by cloudpickle, which serializes it
+    # BY REFERENCE unless the module is registered by value — from a
+    # foreign CWD (the driver contract) the workers cannot import this
+    # package (same note as recommenders/slim.py)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 RATINGS_SCHEMA = (
     "user_token string, item_token string, rating double, ts bigint"
@@ -151,3 +165,147 @@ class RatingsDataSource(DataSource):
 
     def reader(self, schema) -> RatingsReader:
         return RatingsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# streaming Python DataSource: deterministic synthetic event feed
+# ---------------------------------------------------------------------------
+#: the house portable-hash primes (functions/hashing.P1/P2): every field
+#: is a pure function of the row id under SMALL final moduli, so any
+#: engine regenerates the same rows (the DuckDB twin of
+#: `stream_synthetic_counts` does exactly that from range()).  Each
+#: field uses a modulus coprime to its multiplier so no residue class
+#: degenerates (the first cut used one big-prime hash whose %5 was
+#: constant for i < M/30 — multiplicative hashes only mix AFTER the
+#: first wrap).
+_P1 = 1_000_003
+_P2 = 7_919
+
+SYNTH_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def synth_row(i: int) -> tuple:
+    """Row i of the synthetic feed — pure function of the row id (the
+    engine-portability contract: any engine regenerates the same row)."""
+    return (
+        i,
+        (i * _P2) % 97,
+        _TYPES[(i * _P1) % 5],
+        float((i * _P2) % 1000) / 100.0,
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Partition-planned streaming reader (the scale-path API — unlike
+    SimpleDataSourceStreamReader, rows are generated on EXECUTORS):
+    offsets are row counts, each micro-batch advances by `rows_per_batch`
+    up to `max_rows`, and every batch's row range splits into
+    `num_partitions` tasks.  Drive it with processAllAvailable (see
+    :func:`run_synthetic_counts`) — availableNow snapshots latestOffset
+    ONCE at query start, which collapses the offset progression to a
+    single rows_per_batch batch."""
+
+    def __init__(self, options) -> None:
+        self.max_rows = int(options.get("max_rows", "10000"))
+        self.rows_per_batch = int(options.get("rows_per_batch", "2500"))
+        self.num_partitions = int(options.get("num_partitions", "4"))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        # called per micro-batch; advance one batch quantum, capped
+        self._latest = getattr(self, "_latest", 0)
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        n = max(1, self.num_partitions)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    """format 'synthetic_events' — registered streaming source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:  # noqa: N802
+        return SyntheticEventsStreamReader(self.options)
+
+
+def run_synthetic_counts(spark, max_rows: int = 10_000,
+                         rows_per_batch: int = 2_500,
+                         num_partitions: int = 4):
+    """Drive the synthetic stream to completion and return per-type
+    (cnt, sum_cents) as a batch DataFrame — the driver-evidence bridge
+    for the custom STREAMING source (same role run_stream_once plays for
+    the file source).
+
+    Trigger choice: availableNow snapshots latestOffset ONCE at start,
+    which would collapse the offset progression this source exists to
+    demonstrate — so the runner uses processAllAvailable(): each
+    micro-batch planning call advances latestOffset by one quantum until
+    max_rows, the commit log catches up, latestOffset stops moving, and
+    the no-new-data latch releases — ceil(max_rows / rows_per_batch)
+    micro-batches through the REAL offset/commit protocol.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    src = (
+        spark.readStream.format("synthetic_events")
+        .option("max_rows", str(max_rows))
+        .option("rows_per_batch", str(rows_per_batch))
+        .option("num_partitions", str(num_partitions))
+        .load()
+    )
+    # sum in integer cents (value is cents/100 by construction), so the
+    # aggregate is an exact bigint in any engine
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.floor(F.col("value") * 100))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    name = f"synth_{uuid.uuid4().hex}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
