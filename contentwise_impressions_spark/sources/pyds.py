@@ -35,6 +35,12 @@ Engine mechanics worth knowing at scale:
 Parity with the production loader is pinned by
 tests/test_sources.py::test_python_datasource_matches_csv_loader; the
 pushdown path by ::test_python_datasource_pushdown_prunes_rows.
+
+The module also carries the other two V2 surfaces: a partition-planned
+STREAMING reader (`SyntheticEventsDataSource`, under the driver hash
+gate via `stream_synthetic_counts`) and a transactional batch WRITER
+(`JsonlDataSource` — task-temp files promoted only by the driver-side
+commit; ::test_python_datasource_jsonl_writer_commit_protocol).
 """
 
 from __future__ import annotations
@@ -45,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -52,6 +59,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 try:  # by-value pickling: the registered DataSource class ships to the
@@ -309,3 +317,81 @@ def run_synthetic_counts(spark, max_rows: int = 10_000,
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# batch Python DataSourceWriter: transactional JSONL sink
+# ---------------------------------------------------------------------------
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path, self.rows = path, rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Per-task writer with the V2 COMMIT PROTOCOL — the part a naive
+    foreachPartition sink gets wrong: each task writes to a hidden
+    ``_tmp_<uuid>`` file and returns a :class:`WriterCommitMessage`; the
+    DRIVER then either ``commit()``s (atomically renames every temp file
+    into place and stamps ``_SUCCESS``) or ``abort()``s (deletes the
+    temps).  A failed/speculatively-retried task therefore never leaves
+    a partial file visible — the same task-commit contract the JVM
+    FileFormatWriter implements, here in ~40 lines of Python for sinks
+    Spark lacks a native writer for."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFile:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_SUCCESS":
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            # keep the task uuid in the committed name so append jobs
+            # never collide with an earlier commit's part files
+            uid = os.path.basename(m.path)[len("_tmp_"):-len(".jsonl")]
+            os.replace(
+                m.path,
+                os.path.join(self.path, f"part-{i:05d}-{uid}.jsonl"),
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDataSource(DataSource):
+    """format 'jsonl_sink' — registered batch writer (local/NFS paths;
+    a real deployment points it at a fuse mount or swaps the file ops
+    for an object-store client — the commit protocol is the point)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlWriter:
+        return JsonlWriter(self.options, overwrite)

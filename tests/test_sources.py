@@ -197,3 +197,41 @@ def test_python_datasource_pushdown_prunes_rows(spark, tmpdir):
         (F.col("user_token") == "u2") & (F.col("ts") % 2 == 0)
     ).collect()
     assert [r["item_token"] for r in got2] == ["i1"]
+
+
+def test_python_datasource_jsonl_writer_commit_protocol(spark, tmpdir):
+    """The V2 batch writer: task temps become visible ONLY via the
+    driver-side commit (rename + _SUCCESS), round-trips the rows, and
+    mode('append') accumulates while mode('overwrite') replaces."""
+    import json
+    import os
+
+    from contentwise_impressions_spark.sources.pyds import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmpdir / "sink")
+    df = spark.range(0, 100, numPartitions=3).withColumnRenamed("id", "k")
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.startswith("_tmp_")], files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 3  # one committed file per task
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            rows += [json.loads(ln)["k"] for ln in fh]
+    assert sorted(rows) == list(range(100))
+    # append accumulates...
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) >= 4
+    # ...overwrite replaces
+    spark.range(0, 7).withColumnRenamed("id", "k").coalesce(1).write.format(
+        "jsonl_sink"
+    ).option("path", out).mode("overwrite").save()
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    total = 0
+    for p in parts:
+        with open(os.path.join(out, p)) as fh:
+            total += sum(1 for _ in fh)
+    assert total == 7
