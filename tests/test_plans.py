@@ -572,3 +572,18 @@ def test_q2_min_cost_semi_filters_broadcast_before_agg(spark, sf_dir):
     # column pruning: the part scan must not read p_name/p_retailprice
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert not any("p_retailprice" in r or "p_name" in r for r in reads), plan
+
+
+def test_q9_profit_both_fact_passes_semi_filtered(spark, sf_dir):
+    """nation_profit_rollup: the self-derived cost catalog forces two
+    lineitem passes — BOTH must carry the broadcast left-semi part
+    filter (the 'red' slice is what's scanned twice, never the full
+    fact), the catalog join-back must stay an equi hash join, and no
+    nested loop may appear."""
+    import re
+
+    plan = _formatted_plan(QUERIES["nation_profit_rollup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    semis = re.findall(r"BroadcastHashJoin LeftSemi", plan)
+    assert len(semis) >= 2, plan  # one per fact pass
