@@ -146,7 +146,7 @@ DRIVER_PRIORITY: list[str] = [
     # evidence yet — they MUST open the r13 front:
     # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk /
     # nation_profit_rollup / stream_join_hourly_conversions /
-    # stream_synthetic_counts.)
+    # stream_synthetic_counts / top_returning_customers.)
 ]
 
 

@@ -4376,6 +4376,86 @@ register(
 )
 
 
+def q_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue in 1996-Q1 — the TPC-H
+    Q10 shape.  What distinguishes it from the Q15 global-argmax: the
+    group key (custkey) SCALES with SF, and the enrichment dimension
+    (customer) scales too — so the plan must group first (one fact-fact
+    shuffle keyed custkey after the orderkey join), take the distributed
+    top-20, and only THEN attach customer attributes by broadcasting the
+    20-ROW top side INTO the customer scan (never customer into the
+    agg): at sf100 customer is 15M rows and must not cross the wire for
+    the sake of 20 output rows.  Nation attaches last, dimension-sized.
+    Ranking is deterministic via round(revenue, 6) + custkey tiebreak.
+    """
+    utc(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        customer.join(F.broadcast(top), customer.c_custkey == top.o_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    )
+
+
+register(
+    QuerySpec(
+        "top_returning_customers",
+        q_top_returning_customers,
+        """
+        WITH top AS (
+            SELECT o_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+            GROUP BY 1
+            ORDER BY revenue DESC, o_custkey ASC
+            LIMIT 20
+        )
+        SELECT c_custkey, revenue, c_acctbal, n_name
+        FROM top
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey ASC
+        """,
+        doc="TPC-H Q10-shaped top returned-revenue customers: scaling "
+        "group key, distributed top-20, 20-row side broadcast INTO the "
+        "scaling customer dimension post-top-k",
+    )
+)
+
+
 def q_nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit on 'red' product lines by supplier nation and order year —
     the TPC-H Q9 shape: line profit = revenue − supplycost·quantity,

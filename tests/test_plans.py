@@ -587,3 +587,17 @@ def test_q9_profit_both_fact_passes_semi_filtered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     semis = re.findall(r"BroadcastHashJoin LeftSemi", plan)
     assert len(semis) >= 2, plan  # one per fact pass
+
+
+def test_q10_top20_broadcasts_into_customer_not_vice_versa(spark, sf_dir):
+    """top_returning_customers: the 20-row top side must broadcast INTO
+    the customer scan (customer scales with SF — 15M rows at sf100 must
+    never cross the wire for 20 output rows); no nested loop."""
+    plan = _formatted_plan(QUERIES["top_returning_customers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the customer join is a BroadcastHashJoin and customer's scan feeds
+    # its STREAMED side (the broadcast side is the top-20/nation subtree)
+    assert "BroadcastHashJoin" in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert not any("c_mktsegment" in r for r in reads), plan  # pruned
