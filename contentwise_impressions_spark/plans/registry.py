@@ -65,88 +65,84 @@ def _load_all_modules() -> None:
 #: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
 #: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-12 front (driver verifies in order, budget 50/round) ---
-    # Ledger entering round 12 (from the CORRECTNESS_r* key sets): r11
-    # evidence for 50 queries, r10 for 50, r9 for 47, r7 for 46, r5 for
-    # 23, and 6 round-11-late specs with none.  Front order: (1) queries
-    # NEW or output-CHANGED this round (custom_w_serving_topk is new;
-    # random_recommendations converted to a portable-hash draw with its
-    # first SQL twin; the three PQ queries switched to sample-trained
-    # codebooks, so their r9 hashes no longer describe HEAD), (2) the six
-    # zero-evidence round-11-late specs, (3) the remaining twenty-two
-    # r5-vintage rows (7 rounds stale), (4) the alphabetically-first
-    # seventeen r7-vintage rows, filling the 50 budget.
-    "custom_w_serving_topk",
-    "random_recommendations",
-    "ann_pq_codes",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # round-11-late specs with ZERO driver evidence
-    "priority_late_orders",
-    "nation_market_share",
-    "top_revenue_suppliers",
-    "stream_view_click_outer",
-    "ann_ivf_sampled_topk",
-    "multires_event_rollup",
-    # r5-vintage evidence (7 rounds stale) -- all remaining twenty-two
-    "embedding_outlier_flags",
-    "hard_negative_pairs",
-    "incremental_dedup_flags",
-    "jpeg_decode_stats",
-    "lang_temperature_sampling",
-    "lsh_recall_stats",
-    "minhash_jaccard_estimates",
-    "multimodal_decode_stats",
-    "passage_chunks",
-    "png_decode_stats",
-    "quality_classifier_scores",
-    "semantic_dedup_flags",
-    "sketch_summary",
-    "slim_bpr_weights",
-    "source_quality_rollup",
-    "span_scrubbed_docs",
-    "tag_tokens_porter",
-    "token_budget_mixture",
-    "training_shard_manifest",
-    "unigram_ppl_buckets",
-    "user_cosine_topk",
-    "userknn_recommendations",
-    # r7-vintage (5 rounds stale) -- alphabetically-first seventeen
-    "active_users",
-    "bpr_triplets_outside",
-    "cfcbf_hybrid_topk",
-    "clickers_never_purchased",
-    "cold_start_split_sizes",
-    "corpus_cardinalities",
-    "event_type_entropy",
-    "event_type_herfindahl",
-    "events_of_known_customers",
-    "fd_violations",
-    "filter_project",
-    "hourly_event_type_pivot",
-    "item_pmi_topk",
-    "item_similarity_family",
-    "itemcbf_cosine_topk",
-    "january_traffic",
-    "kcore_filter",
-    # (the remaining twenty-nine r7-vintage rows roll to the r13 front:
-    # latest_event_per_user / leave_last_out_sizes / negative_sample_eval /
-    # negative_samples / nmf_user_factors / part_name_tokens /
-    # popularity_bias_stats / pricing_summary / pure_svd_factors /
-    # region_customer_rollup / revenue_rollup / salted_user_nation_counts /
-    # slim_elasticnet_weights / split_invariants / split_sizes /
-    # sql_shipping_priority / token_position / top_events_per_type /
-    # top_orders_by_revenue / toppop / urm_density / user_activity_deciles /
-    # user_activity_gini / users_covering_traffic / value_histogram /
-    # value_outliers / value_quantiles / weekday_hour_traffic /
-    # weekly_cohort_retention — after those the r9 block (47 rows)
-    # rotates.  Any spec registered during round 12 AFTER this front
-    # filled lands at position 51+ and leads the r13 front.  Round-12
-    # registered such specs, all with DuckDB twins and zero driver
-    # evidence yet — they MUST open the r13 front:
-    # stream_chained_rollup / min_cost_part_supplier / ann_refined_topk /
-    # nation_profit_rollup / stream_join_hourly_conversions /
-    # stream_synthetic_counts / top_returning_customers.)
+    # --- round-13 front (driver verifies in order, budget 50/round) ---
+    # Ledger entering round 13 (from the CORRECTNESS_r* key sets): r12
+    # evidence for 50 queries, r11 for 50, r10 for 50, r9 for 44, r7 for
+    # 29, and 7 round-12-late specs with none.  Front order: (1) the
+    # seven zero-evidence round-12-late specs (TPC-H Q2/Q9/Q10 shapes,
+    # the chained stream rollup, the stream-join->agg conversions, the
+    # ANN exact-refine stage, and the first custom-Python-DataSource
+    # streaming query ever driver-gated), (2) ALL twenty-nine r7-vintage
+    # rows (6 rounds stale), (3) the alphabetically-first fourteen
+    # r9-vintage rows, filling the 50 budget.
+    # round-12-late specs with ZERO driver evidence
+    "stream_chained_rollup",
+    "min_cost_part_supplier",
+    "ann_refined_topk",
+    "nation_profit_rollup",
+    "stream_join_hourly_conversions",
+    "stream_synthetic_counts",
+    "top_returning_customers",
+    # r7-vintage evidence (6 rounds stale) -- all remaining twenty-nine
+    "latest_event_per_user",
+    "leave_last_out_sizes",
+    "negative_sample_eval",
+    "negative_samples",
+    "nmf_user_factors",
+    "part_name_tokens",
+    "popularity_bias_stats",
+    "pricing_summary",
+    "pure_svd_factors",
+    "region_customer_rollup",
+    "revenue_rollup",
+    "salted_user_nation_counts",
+    "slim_elasticnet_weights",
+    "split_invariants",
+    "split_sizes",
+    "sql_shipping_priority",
+    "token_position",
+    "top_events_per_type",
+    "top_orders_by_revenue",
+    "toppop",
+    "urm_density",
+    "user_activity_deciles",
+    "user_activity_gini",
+    "users_covering_traffic",
+    "value_histogram",
+    "value_outliers",
+    "value_quantiles",
+    "weekday_hour_traffic",
+    "weekly_cohort_retention",
+    # r9-vintage (4 rounds stale) -- alphabetically-first fourteen
+    "ann_ivf_assignments",
+    "ann_lsh_buckets",
+    "asy_svd_recommendations",
+    "bloom_prejoin_stats",
+    "bm25_weights",
+    "bpr_mf_recommendations",
+    "cdc_final_state",
+    "cluster_prototype_sample",
+    "countmin_heavy_hitters",
+    "customer_order_distribution",
+    "daily_value_gapfill",
+    "dedup_survivors",
+    "doc_quality",
+    "doc_token_stats",
+    # (the remaining thirty r9-vintage rows roll to the r14 front:
+    # dormant_rich_customers / ease_r_cg_weights / ease_r_weights /
+    # exact_dedup_docs / funk_svd_epoch0_stream / funk_svd_recommendations /
+    # hll_distinct_sketch / ials_recommendations / image_ahash_dedup /
+    # item_cosine_topk / langid / large_volume_orders /
+    # local_supplier_volume / media_embedding_histogram / mf_serving_topk /
+    # mf_serving_topk_blocked / model_quality_gates /
+    # nation_weighted_median_price / order_priority_rollup /
+    # rating_model_quality_gates / rolling_7d_revenue /
+    # small_quantity_revenue / stream_dedup_events /
+    # stream_sessionization_counts / stream_view_click_pairs / tag_tokens /
+    # token_chi2_topk / user_state_history / video_frame_stats /
+    # weighted_sample_topk — after those the r10 block (50 rows) rotates.
+    # Any spec registered during round 13 AFTER this front filled lands
+    # at position 51+ and MUST open the r14 front.)
 ]
 
 
