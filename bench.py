@@ -418,6 +418,40 @@ def main() -> None:
                 extras["eval_users_per_sec_in_suite"] = round(
                     n_users / in_suite, 1
                 )
+            # eval-probe self-adjudication (round-12 verdict task 2): the
+            # slow-query recheck above never watched the eval best-of-3
+            # itself, and that is exactly where r12's one anomaly landed
+            # (official 923 u/s vs 1321.7 quiet on identical code).  Same
+            # rule at a tighter ratio — the eval line is the baseline
+            # comparable, so a best-of-3 landing >1.2x the prior official
+            # artifact's eval_sec_best_of_3 gets ONE end-of-suite re-queue
+            # (payloads released, two more warm runs); if the ratio
+            # persists, the entry is machine-stamped `contended` and the
+            # headline's contended list carries it — no prose adjudication.
+            prior_eval = (prior or {}).get("eval_sec_best_of_3")
+            if prior_eval and eval_sec > 1.2 * prior_eval:
+                release_session_payloads(spark)
+                rbest: float | None = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries["toppop_eval_metrics"](spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    rbest = dt if rbest is None else min(rbest, dt)
+                entry = {
+                    "prior_best": prior_eval,
+                    "suite_best": round(eval_sec, 4),
+                    "requeued_best": round(rbest, 4),
+                    "gemm_probe": _gemm_probe(),
+                    "executor_probe": _executor_probe(spark),
+                }
+                if rbest < eval_sec:
+                    eval_sec = rbest
+                    extras["eval_users_per_sec"] = round(n_users / eval_sec, 1)
+                    extras["eval_sec_best_of_3"] = round(eval_sec, 4)
+                entry["contended"] = bool(eval_sec > 1.2 * prior_eval)
+                extras["eval_recheck"] = entry
         except Exception as exc:
             errors["eval_users_per_sec"] = f"{type(exc).__name__}: {exc}"[:500]
             extras["errors"] = errors
@@ -437,15 +471,18 @@ def main() -> None:
     # `tail` parsed to null), so the first printed line AND the final key
     # of the big JSON line each carry total/n/eval-throughput/validity —
     # whichever window the capture keeps, the headline survives.
+    contended_names = sorted(
+        n for n, e in recheck.items() if e.get("contended")
+    )
+    if extras.get("eval_recheck", {}).get("contended"):
+        contended_names.append("eval_sec_best_of_3")
     headline = {
         "total_sec": total if valid else round(sum(timings.values()), 4),
         "n_queries": len(timings),
         "sf": sf,
         "valid": valid,
         "eval_users_per_sec": extras.get("eval_users_per_sec"),
-        "contended": sorted(
-            n for n, e in recheck.items() if e.get("contended")
-        ),
+        "contended": contended_names,
         "n_errors": len(errors),
     }
     print(json.dumps({"metric": "headline_summary", **headline}))

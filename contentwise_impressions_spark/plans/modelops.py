@@ -1358,6 +1358,98 @@ register(
 )
 
 
+def q_ratings_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python BATCH DataSource under the driver gate, WITH
+    source-side filter pushdown live (sources/pyds.RatingsDataSource;
+    reference format: Data_manager/DataReader_utils.py:96-170's
+    ``user::item::rating[::ts]`` text files).
+
+    The purchase slice of the event log is spooled to a 4-shard
+    ``::``-separated text file (derived data — the deterministic bridge
+    that lets the DuckDB twin recompute the same rows straight from the
+    events parquet), then scanned back through ``format("ratings")``
+    with ``spark.sql.python.filterPushdown.enabled`` on: the
+    ``rating >= 5`` bound is CONSUMED by the reader (rows drop before
+    Arrow serialization — the only saving a full-scan text source can
+    offer; tests/test_sources.py pins the plan split), and the scan
+    fans out one Python task per shard file exactly like a native
+    source.  The aggregate is integer-cents so the twin is exact.
+    """
+    import glob
+    import os
+    import tempfile
+
+    from ..sources.pyds import RatingsDataSource
+
+    utc(spark)
+    work = tempfile.mkdtemp(prefix="cwi_ratings_src_")
+    out = os.path.join(work, "spool")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat_ws(
+                "::",
+                F.concat(F.lit("u"), F.col("user_id")),
+                F.concat(
+                    F.lit("i"),
+                    F.get_json_object(F.col("props"), "$.k"),
+                ),
+                F.col("value"),
+                F.col("event_id"),
+            ).alias("line")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    for i, pf in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+        os.link(pf, os.path.join(src, f"shard{i}.dat"))
+    spark.dataSource.register(RatingsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ratings = (
+        spark.read.format("ratings")
+        .option("sep", "::")
+        .option("path", src)
+        .load()
+    )
+    return (
+        ratings.filter(F.col("rating") >= 5.0)
+        .groupBy("user_token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ratings"),
+            F.sum(F.floor(F.col("rating") * 100))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("user_token")
+    )
+
+
+register(
+    QuerySpec(
+        "ratings_source_scan",
+        q_ratings_source_scan,
+        """
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS user_token,
+               CAST(COUNT(*) AS BIGINT) AS n_ratings,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        WHERE event_type = 'purchase' AND value >= 5.0
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        doc="custom Python BATCH DataSource (Spark 4 V2 API) with live "
+        "pushFilters: purchase events spooled to ::-separated shards, "
+        "scanned back via format('ratings') with the rating bound "
+        "consumed source-side; integer-cents agg == parquet-direct twin",
+    )
+)
+
+
 def q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator through the driver gate:
     per-user running profiles (event count, value sum, last-seen ts)

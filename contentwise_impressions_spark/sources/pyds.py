@@ -129,6 +129,11 @@ class RatingsReader(DataSourceReader):
         vals = dict(zip(_COLS, row))
         for f in self.pushed:
             col, v = f.attribute[0], vals[f.attribute[0]]
+            if v is None:
+                # SQL comparison semantics: NULL <op> literal is unknown —
+                # the post-scan Filter would drop the row, so the pushed
+                # evaluation must too
+                return False
             if isinstance(f, EqualTo) and v != f.value:
                 return False
             if isinstance(f, GreaterThan) and not v > f.value:
@@ -141,6 +146,30 @@ class RatingsReader(DataSourceReader):
                 return False
         return True
 
+    @staticmethod
+    def _parse(parts: list[str]) -> tuple:
+        """Permissive row parse, matching the JVM CSV loader's tolerance
+        (sources/ratings_csv.py reads with no schema and CASTS): a short
+        line pads missing fields with NULL, an empty field is NULL (the
+        csv reader's default nullValue), and an unparsable numeric casts
+        to NULL instead of raising — malformed input must not kill the
+        scan task.  ts keeps the loader's absent-column convention
+        (lit(0) when the file carries no 4th column)."""
+
+        def tok(i: int) -> str | None:
+            return parts[i] if i < len(parts) and parts[i] != "" else None
+
+        def num(i: int, cast):
+            if i >= len(parts) or parts[i] == "":
+                return None
+            try:
+                return cast(parts[i])
+            except ValueError:
+                return None
+
+        ts = 0 if len(parts) <= 3 else num(3, int)
+        return (tok(0), tok(1), num(2, float), ts)
+
     def read(self, partition: _FilePartition):
         first = True
         with open(partition.path, encoding="utf-8") as fh:
@@ -152,13 +181,7 @@ class RatingsReader(DataSourceReader):
                 line = line.rstrip("\n")
                 if not line:
                     continue
-                parts = line.split(self.sep)
-                row = (
-                    parts[0],
-                    parts[1],
-                    float(parts[2]),
-                    int(parts[3]) if len(parts) > 3 else 0,
-                )
+                row = self._parse(line.split(self.sep))
                 if self._keep(row):
                     yield row
 
@@ -223,18 +246,37 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self.max_rows = int(options.get("max_rows", "10000"))
         self.rows_per_batch = int(options.get("rows_per_batch", "2500"))
         self.num_partitions = int(options.get("num_partitions", "4"))
+        self._committed = 0
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"row": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
-        # called per micro-batch; advance one batch quantum, capped
-        self._latest = getattr(self, "_latest", 0)
+        # advances one quantum per planning probe, floored at the
+        # committed high-water mark.  An extra probe only WIDENS the next
+        # batch (partitions() always covers the full start..end range, so
+        # no row is ever skipped); flooring at _committed plus the
+        # partitions() clamp below makes reader re-instantiation
+        # (checkpoint restart) well-defined — the fresh counter walks
+        # forward in empty batches until it passes the checkpointed
+        # start, then emission resumes.  NOTE: commit() arrives only
+        # after the NEXT batch is planned (engine order), so _latest must
+        # advance on its own — deriving latestOffset purely from
+        # _committed deadlocks processAllAvailable after one batch
+        # (measured, r13).
+        self._latest = max(
+            getattr(self, "_latest", 0), self._committed
+        )
         self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
         return {"row": self._latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
+        if hi <= lo:
+            # end can trail start right after a checkpoint restart (fresh
+            # reader, committed=0, while the offset log is further along);
+            # an empty batch is the correct answer, never a negative range
+            return []
         n = max(1, self.num_partitions)
         step = max(1, (hi - lo + n - 1) // n)
         return [
@@ -247,7 +289,9 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             yield synth_row(i)
 
     def commit(self, end: dict) -> None:
-        pass
+        # monotone high-water mark: a replayed/duplicate commit after
+        # restart must never rewind the progression
+        self._committed = max(self._committed, int(end["row"]))
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -373,15 +417,35 @@ class JsonlWriter(DataSourceWriter):
                 m.path,
                 os.path.join(self.path, f"part-{i:05d}-{uid}.jsonl"),
             )
+        self._sweep_stale_tmps(exclude=set())
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("")
 
     def abort(self, messages) -> None:
         import os
 
+        keep: set[str] = set()
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        self._sweep_stale_tmps(exclude=keep)
+
+    def _sweep_stale_tmps(self, exclude: set[str]) -> None:
+        """Remove orphaned ``_tmp_*`` files (tasks that died mid-write
+        return no commit message, so their temps are named in neither
+        commit() nor abort() and would otherwise accumulate forever).
+        The sink contract is ONE job per directory at a time — the same
+        contract the JVM FileFormatWriter's staging dir assumes — so any
+        temp left at job end that this job did not promote is stale."""
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+            if os.path.basename(f) not in exclude:
+                try:
+                    os.remove(f)
+                except OSError:  # pragma: no cover - concurrent cleanup
+                    pass
 
 
 class JsonlDataSource(DataSource):

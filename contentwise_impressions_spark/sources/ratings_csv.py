@@ -39,12 +39,15 @@ def load_ratings_csv(
     """
     df = spark.read.csv(path, sep=sep, header=header, inferSchema=False)
     cols = df.columns
+    # try_cast, not cast: classic CSV-loader tolerance (malformed numerics
+    # null-fill instead of failing the scan) — under Spark 4's default
+    # ANSI mode a plain cast would abort the job on the first bad field
     out = df.select(
         F.col(cols[user_col]).alias("user_token"),
         F.col(cols[item_col]).alias("item_token"),
-        F.col(cols[rating_col]).cast("double").alias("rating"),
+        F.col(cols[rating_col]).try_cast("double").alias("rating"),
         *(
-            [F.col(cols[ts_col]).cast("bigint").alias("ts")]
+            [F.col(cols[ts_col]).try_cast("bigint").alias("ts")]
             if ts_col is not None and ts_col < len(cols)
             else [F.lit(0).cast("bigint").alias("ts")]
         ),

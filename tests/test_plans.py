@@ -589,15 +589,56 @@ def test_q9_profit_both_fact_passes_semi_filtered(spark, sf_dir):
     assert len(semis) >= 2, plan  # one per fact pass
 
 
+def _broadcast_exchange_subtrees(plan: str) -> list[str]:
+    """Operator-tree text under each BroadcastExchange node of a
+    formatted explain (the first section is the indented tree; a node's
+    subtree is the run of lines with a strictly longer tree prefix)."""
+    import re
+
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def prefix(ln: str) -> int:
+        return len(re.match(r"^[\s:+\-*]*", ln).group(0))
+
+    subs = []
+    for i, ln in enumerate(tree):
+        if "BroadcastExchange" in ln:
+            d, j, sub = prefix(ln), i + 1, []
+            while j < len(tree) and prefix(tree[j]) > d:
+                sub.append(tree[j])
+                j += 1
+            subs.append("\n".join(sub))
+    return subs
+
+
 def test_q10_top20_broadcasts_into_customer_not_vice_versa(spark, sf_dir):
     """top_returning_customers: the 20-row top side must broadcast INTO
     the customer scan (customer scales with SF — 15M rows at sf100 must
-    never cross the wire for 20 output rows); no nested loop."""
+    never cross the wire for 20 output rows); no nested loop.
+
+    Structural, not existence-only: the BroadcastExchange subtree must
+    CONTAIN the top-20 (TakeOrderedAndProject) and must NOT contain the
+    customer scan — at test SF, AQE could legally broadcast customer too,
+    which an "any BroadcastHashJoin exists" assertion would miss."""
+    import re
+
     plan = _formatted_plan(QUERIES["top_returning_customers"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the customer join is a BroadcastHashJoin and customer's scan feeds
-    # its STREAMED side (the broadcast side is the top-20/nation subtree)
     assert "BroadcastHashJoin" in plan
+    # operator id of the customer scan, from the details section
+    cust = [
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Scan parquet", plan)
+        if re.search(
+            rf"\({m.group(1)}\) Scan parquet[^\n]*\n(?:[^\n]+\n)*?"
+            rf"[^\n]*Location[^\n]*customer\.parquet",
+            plan,
+        )
+    ]
+    assert cust, plan
+    subs = _broadcast_exchange_subtrees(plan)
+    assert any("TakeOrderedAndProject" in s for s in subs), plan
+    assert not any(f"({cust[0]})" in s for s in subs), plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert not any("c_mktsegment" in r for r in reads), plan  # pruned
