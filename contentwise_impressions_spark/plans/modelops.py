@@ -235,8 +235,96 @@ register(
         q_slim_elasticnet_weights,
         None,
         doc="SLIM ElasticNet, parallel per-item fit "
-        "(SLIMElasticNetRecommender.py:41-149)",
+        "(SLIMElasticNetRecommender.py:41-149); the deterministic "
+        "predictor-selection/Gram stage is oracled separately as "
+        "slim_en_support — only the iterative CD solve is rows-only "
+        "(exact-equivalence twin vs the dense broadcast fit in "
+        "tests/test_models.py)",
         bench=False,
+    )
+)
+
+
+def q_slim_en_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stages of the SLIM-EN fit under the hash gate
+    (r12 verdict task: oracle what is exact, leave only the CD solve
+    rows-only): per target item, the fsSLIM top-10 co-occurrence
+    predictor neighborhood (Ning & Karypis 2011 §3.3 — the
+    ``max_predictors`` selection of
+    recommenders/slim.slim_elasticnet_distributed) together with its
+    Gram-matrix inputs.  With the implicit value=1 URM the off-diagonal
+    Gram entry g_ij IS the co-occurrence count and the diagonal g_ii is
+    item popularity, so the whole input side of the solver is exact
+    relational algebra.
+
+    Scale: the user-keyed self-join is the similarity family's standard
+    Σ_u deg(u)² budget (hub users are what k-core prunes); top-10 per
+    target via window over the aggregated PAIR table (never the raw
+    pairs), popularity joined un-hinted — Catalyst broadcasts the
+    |items|-row side while it fits and falls back to shuffle when it
+    doesn't (the nation_market_share rule).
+    """
+    from pyspark.sql import Window
+
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    a, b = urm.alias("a"), urm.alias("b")
+    pairs = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.item_id") != F.col("b.item_id"))
+        .groupBy(
+            F.col("b.item_id").alias("item_j"),
+            F.col("a.item_id").alias("item_i"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cooc"))
+    )
+    wnd = Window.partitionBy("item_j").orderBy(
+        F.col("cooc").desc(), F.col("item_i").asc()
+    )
+    top = pairs.withColumn(
+        "rnk", F.row_number().over(wnd).cast("bigint")
+    ).filter(F.col("rnk") <= 10)
+    pop = urm.groupBy(F.col("item_id").alias("item_i")).agg(
+        F.count("*").cast("bigint").alias("pop_i")
+    )
+    return top.join(pop, "item_i").select(
+        "item_j", "item_i", "cooc", "pop_i", "rnk"
+    ).orderBy("item_j", "rnk")
+
+
+register(
+    QuerySpec(
+        "slim_en_support",
+        q_slim_en_support,
+        f"""
+        WITH {URM_CTE},
+        pairs AS (
+            SELECT b.item_id AS item_j, a.item_id AS item_i,
+                   CAST(COUNT(*) AS BIGINT) AS cooc
+            FROM urm a
+            JOIN urm b ON a.user_id = b.user_id
+                      AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT item_j, item_i, cooc,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY item_j
+                       ORDER BY cooc DESC, item_i ASC
+                   ) AS BIGINT) AS rnk
+            FROM pairs
+        ),
+        pop AS (
+            SELECT item_id AS item_i, CAST(COUNT(*) AS BIGINT) AS pop_i
+            FROM urm GROUP BY 1
+        )
+        SELECT r.item_j, r.item_i, r.cooc, p.pop_i, r.rnk
+        FROM ranked r JOIN pop p USING (item_i)
+        WHERE r.rnk <= 10
+        ORDER BY item_j, rnk
+        """,
+        doc="deterministic SLIM-EN stages oracled: fsSLIM top-10 "
+        "co-occurrence predictor selection + Gram inputs (g_ij = cooc, "
+        "g_ii = popularity under the implicit URM)",
     )
 )
 

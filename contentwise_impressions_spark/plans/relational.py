@@ -1126,8 +1126,157 @@ register(
         q_sketch_summary,
         None,
         doc="HLL++ + t-digest sketches (one-pass mergeable aggregates; "
-        "estimates bounded vs exact in tests/test_properties.py)",
+        "estimates bounded vs exact in tests/test_properties.py). "
+        "Rows-only is STRUCTURAL, not deferred work: the registers live "
+        "inside Spark's HyperLogLogPlusPlus/ApproximatePercentile "
+        "aggregation buffers (xxhash64-based, interpolation-order "
+        "dependent) and no other engine reproduces them — the oracled "
+        "twins of this family are the portable register-level sketches "
+        "hll_distinct_sketch / hll_register_rollup / "
+        "countmin_heavy_hitters / logbin_value_quantiles",
         bench=True,
+    )
+)
+
+
+def q_logbin_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable QUANTILE sketch — the engine-reproducible counterpart of
+    ``sketch_summary``'s t-digest, completing the oracled sketch family
+    (portable HLL and Count-Min already exist).
+
+    Design: integer log-boundary histogram, the DDSketch idea (Masson et
+    al., VLDB'19) with EXACT integer bucketing instead of float
+    ``log_gamma`` (whose last-ulp differences would flip boundary rows
+    between engines): value → integer cents, bucket = the leading FOUR
+    bits of cents (shift = max(bitlength−4, 0), lo = (cents>>s)<<s,
+    width = 1<<s) — 8 sub-ranges per octave, relative error ≤ 1/8, and
+    every boundary an exact int64 in any engine.  Quantile estimate =
+    linear interpolation inside the bracketing bucket from the
+    cumulative counts, at target rank q·N (the inverse-CDF convention:
+    the rank-⌈q·N⌉ order statistic provably shares the estimate's
+    bucket, which is what the ≤1/8 bound is stated against — see
+    tests/test_properties.py).
+
+    100 TB shape: the state is ≤ 16·8 buckets per octave per group —
+    constant-size, partial-aggregable map-side, mergeable across any
+    partitioning (counts add), no sort of the data ever happens; the
+    window runs over the tiny bucket table.  Reference analog:
+    Base/Evaluation metrics' percentile reporting; the sketch is the
+    scale path the exact ``value_quantiles`` (sort-based) cannot be.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # the python shiftleft/shiftright wrappers take only literal shift
+    # amounts — the SQL forms accept a column
+    sb = ev.withColumn(
+        "s",
+        F.greatest(
+            F.length(F.bin(F.col("cents"))) - F.lit(4), F.lit(0)
+        ).cast("int"),
+    )
+    lo = F.expr("shiftleft(shiftright(cents, s), s)")
+    hi = F.expr(
+        "shiftleft(shiftright(cents, s), s)"
+        " + shiftleft(cast(1 as bigint), s)"
+    )
+    bk = sb.groupBy(
+        "event_type", lo.alias("lo"), hi.alias("hi")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wnd = Window.partitionBy("event_type").orderBy("lo")
+    cum = bk.withColumn("cum", F.sum("cnt").over(wnd))
+    tot = bk.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_events")
+    )
+    # attach the 3 probe quantiles by per-row explode — cheaper than any
+    # join form and keeps the registry's cartesian-free lint trivially
+    j = cum.join(tot, "event_type").withColumn(
+        "q",
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))),
+    )
+    target = F.col("q") * F.col("n_events")
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) * (
+        target - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    picked = j.filter(
+        (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+    )
+    return (
+        picked.groupBy("event_type", "n_events")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("q") == 0.5, est)) / 100.0, 6
+            ).alias("p50_est"),
+            F.round(
+                F.max(F.when(F.col("q") == 0.95, est)) / 100.0, 6
+            ).alias("p95_est"),
+            F.round(
+                F.max(F.when(F.col("q") == 0.99, est)) / 100.0, 6
+            ).alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "logbin_value_quantiles",
+        q_logbin_value_quantiles,
+        """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        sb AS (
+            SELECT event_type, cents,
+                   GREATEST(LENGTH(BIN(cents)) - 4, 0) AS s
+            FROM c
+        ),
+        bk AS (
+            SELECT event_type,
+                   (cents >> s) << s AS lo,
+                   ((cents >> s) << s) + (CAST(1 AS BIGINT) << s) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sb GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT *,
+                   SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY lo
+                   ) AS cum
+            FROM bk
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events
+            FROM bk GROUP BY 1
+        ),
+        qs AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS q),
+        picked AS (
+            SELECT c.event_type, t.n_events, q.q,
+                   c.lo + (c.hi - c.lo)
+                       * (q.q * t.n_events - (c.cum - c.cnt)) / c.cnt
+                       AS est
+            FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+            WHERE c.cum >= q.q * t.n_events
+              AND (c.cum - c.cnt) < q.q * t.n_events
+        )
+        SELECT event_type, n_events,
+               ROUND(MAX(CASE WHEN q = 0.5 THEN est END) / 100.0, 6)
+                   AS p50_est,
+               ROUND(MAX(CASE WHEN q = 0.95 THEN est END) / 100.0, 6)
+                   AS p95_est,
+               ROUND(MAX(CASE WHEN q = 0.99 THEN est END) / 100.0, 6)
+                   AS p99_est
+        FROM picked GROUP BY 1, 2 ORDER BY 1
+        """,
+        doc="portable integer-log-bucket quantile sketch (DDSketch idea "
+        "with exact int64 boundaries): p50/p95/p99 estimates "
+        "reproducible bit-for-bit cross-engine; constant mergeable "
+        "state, no data sort — the oracled t-digest counterpart",
     )
 )
 

@@ -453,3 +453,49 @@ def test_bloom_prejoin_guarantees(spark, sf_dir):
         # p ≈ (1-e^(-3n/4096))^3 ≈ 1e-5; allow two orders of slack for
         # hash-family imperfection and tiny-n variance
         assert fp_rate < 0.05, row
+
+
+def test_logbin_quantile_sketch_within_relative_error_bound(spark, sf_dir):
+    """The portable log-bucket quantile sketch (logbin_value_quantiles)
+    must land within its design bound of the EXACT percentiles: bucket
+    relative width is 1/8 of the value (4 leading bits kept), so each
+    estimate may deviate from the true quantile by at most 12.5% plus
+    one cent of integer truncation."""
+    from contentwise_impressions_spark.plans import all_queries
+
+    import math
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["logbin_value_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    # the sketch targets rank q*N (inverse-CDF convention), whose order
+    # statistic is GUARANTEED to share the estimate's bucket — compare
+    # against that, not percentile()'s 1+(N-1)q interpolation, which on a
+    # sparse tail can land one bucket lower by construction
+    vals = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+        .groupby("event_type")["value"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    assert set(rows) == set(vals)
+    for et, r in rows.items():
+        xs = vals[et]
+        for est_col, q in (
+            ("p50_est", 0.5),
+            ("p95_est", 0.95),
+            ("p99_est", 0.99),
+        ):
+            est = r[est_col]
+            os_ = xs[max(math.ceil(q * len(xs)) - 1, 0)]
+            assert abs(est - os_) <= 0.125 * max(os_, 1.0) + 0.011, (
+                et,
+                est_col,
+                est,
+                os_,
+            )
