@@ -533,11 +533,26 @@ def blocked_cosine_topk(
                     dots += np.bincount(
                         flat_ij, minlength=n_p * n_i
                     ).reshape(n_p, n_i)
-        sims = dots / (np.outer(p_norm, i_norm) + e)
+        # in-place from here: every n_p×n_i float temporary is ~100 MB
+        # at default blocking, and on this host a freshly-mapped page
+        # faults at ~50× its re-touch cost (guest-memory provisioning —
+        # the r13 root cause of the first-task-per-worker tax: 3.5 s vs
+        # 0.2 s on identical data).  Two buffers (the outer-product and
+        # the abs copy) replace the expression form's seven temporaries;
+        # the arithmetic is the identical IEEE op sequence per element,
+        # so emitted values are bit-unchanged.
+        sims = np.outer(p_norm, i_norm)
+        sims += e
+        np.divide(dots, sims, out=sims)
         # half-up (away from zero), matching F.round / DuckDB round — and
         # the merge window ranks on THIS emitted value, so partial top-K
         # is a superset of the global contribution by construction
-        rounded = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+        rounded = np.abs(sims)
+        rounded *= scale
+        rounded += 0.5
+        np.floor(rounded, out=rounded)
+        rounded /= scale
+        np.copysign(rounded, sims, out=rounded)
 
         def emit(rnd, sms, row_ids, col_ids):
             # fully vectorized top-K emission (no per-row Python loop,
@@ -552,8 +567,14 @@ def blocked_cosine_topk(
             n_r, n_c = rnd.shape
             m = min(n_c, kk + 1)
             if n_c > m:
+                # ascending argpartition at kth = n_c-m: columns [n_c-m:]
+                # hold the m largest (unordered) — same boundary value as
+                # the former argpartition(-rnd, m-1)[:, :m] without
+                # materializing the negated copy of the full matrix
                 pvals = np.take_along_axis(
-                    rnd, np.argpartition(-rnd, m - 1, axis=1)[:, :m], axis=1
+                    rnd,
+                    np.argpartition(rnd, n_c - m, axis=1)[:, n_c - m:],
+                    axis=1,
                 )
                 cand = rnd >= pvals.min(axis=1)[:, None]
             else:
@@ -593,6 +614,12 @@ def blocked_cosine_topk(
         return pd.concat(parts, ignore_index=True)
 
     def split_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # cap BLAS here too: the broadcast-features fast path never
+        # reaches _densify's cap, so its first suite run let OpenBLAS
+        # spin up its own pool under every concurrent worker — measured
+        # as task() tottime 148 s vs 20.5 s on the identical second run
+        # (the r12 in-suite-vs-best-of-3 divergence, root-caused r13)
+        limit_blas_threads()
         pblk, iblk = int(key[0]), int(key[1])
         probes = pdf[pdf["_side"] == 1]
         if pblk == iblk:
