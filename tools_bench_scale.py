@@ -99,6 +99,84 @@ def _pq_adc(keep: int | None):
 N_STREAM_SLICES = 12
 
 
+def _refine_split(spark, sf_dir: str) -> dict:
+    """Stage-split + recall instrumentation for the exact-refine pipeline
+    (round-12 verdict task 5: BENCH_sf1's refine row bundled shortlist
+    build + rescore; report them separately WITH the recall recovery the
+    gate promises).
+
+    - shortlist_sec: IVF-PQ ADC top-C build (shares the session payloads
+      the registered queries use);
+    - rescore_first/warm: refine_exact_topk over the PERSISTED shortlist
+      only — the true incremental cost of the third stage (C·d per probe,
+      linear in N);
+    - recall_adc_at3 / recall_refined_at3: against the same-list exact
+      ground truth (full-precision IVF top-3 — the candidate set both
+      share), computed with distributed joins, no driver collect.
+    """
+    from pyspark.sql import functions as F
+
+    from contentwise_impressions_spark.operators.ann import ivf_topk
+    from contentwise_impressions_spark.operators.pq import (
+        ivfpq_topk,
+        refine_exact_topk,
+    )
+    from contentwise_impressions_spark.plans.dedupops import (
+        _PQ_DSUB,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _REFINE_K,
+        _REFINE_SHORT,
+        _ivf_distances,
+        _pq_codebooks_df,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out: dict = {}
+    t0 = time.perf_counter()
+    short = ivfpq_topk(
+        emb,
+        k=_REFINE_SHORT,
+        n_list=8,
+        ivf_iters=2,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+        ivf_distances=_ivf_distances(spark, sf_dir),
+    ).persist()
+    short.count()
+    out["shortlist_sec"] = round(time.perf_counter() - t0, 3)
+    for attempt in ("first", "warm"):
+        t0 = time.perf_counter()
+        refine_exact_topk(emb, short, k=_REFINE_K).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"rescore_{attempt}"] = round(time.perf_counter() - t0, 3)
+    exact = (
+        ivf_topk(emb, k=3, n_list=8, n_iters=2)
+        .select("vec_id", "neighbor_id")
+        .persist()
+    )
+    n_exact = exact.count()
+    adc3 = short.filter(F.col("rank") <= 3).select("vec_id", "neighbor_id")
+    ref3 = refine_exact_topk(emb, short, k=3).select(
+        "vec_id", "neighbor_id"
+    )
+    if n_exact:
+        out["recall_adc_at3"] = round(
+            adc3.join(exact, ["vec_id", "neighbor_id"]).count() / n_exact, 4
+        )
+        out["recall_refined_at3"] = round(
+            ref3.join(exact, ["vec_id", "neighbor_id"]).count() / n_exact, 4
+        )
+    exact.unpersist()
+    short.unpersist()
+    return out
+
+
 def _sliced_events_dir(spark, sf_dir: str) -> str:
     """Time-ordered delivery for the streaming scale rows: the events table
     split into N_STREAM_SLICES parquet files by ts rank, written with
@@ -339,6 +417,14 @@ def main() -> None:
                     )
                     break
             ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
+        # refine stage split + recall columns (r12 verdict task 5)
+        ent = rows.setdefault("ann_refine_split", {"family": "ann"})
+        try:
+            for k2, v in _refine_split(spark, sf_dir).items():
+                ent[f"{sf_label}_{k2}"] = v
+        except Exception as exc:
+            ent[f"{sf_label}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
         if sf_label == "sf0.1":
             n01 = (
                 load_table(spark, sf_dir, "events")
@@ -388,6 +474,10 @@ def main() -> None:
         a, b = ent.get("sf0.1_warm"), ent.get("sf1_warm")
         if isinstance(a, float) and isinstance(b, float) and a > 0:
             ent["warm_ratio_10x"] = round(b / a, 2)
+        for stage in ("shortlist_sec", "rescore_warm"):
+            a, b = ent.get(f"sf0.1_{stage}"), ent.get(f"sf1_{stage}")
+            if isinstance(a, float) and isinstance(b, float) and a > 0:
+                ent[f"{stage}_ratio_10x"] = round(b / a, 2)
 
     ev = rows.get("toppop_eval_metrics", {})
     if isinstance(ev.get("sf0.1_warm"), float):
