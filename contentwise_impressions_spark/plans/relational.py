@@ -4605,6 +4605,179 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# single-scan scalar forecast (TPC-H Q6 shape): revenue delta from a
+# hypothetical discount change — the pushdown-purity benchmark
+# ---------------------------------------------------------------------------
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase if 1998's 5-7% discounts on small-quantity lines
+    had been eliminated — the TPC-H Q6 shape: ONE scan, every predicate
+    a scan-pushable range, one scalar aggregate.  This is the purest
+    pushdown benchmark in the suite: at 100 TB the plan must read only
+    the (shipdate, discount, quantity, extendedprice) columns and prune
+    row groups on all three ranges — tests/test_plans.py pins
+    PushedFilters carrying every bound.  Completes the Q1-Q22 shape
+    sweep together with the Q11/Q12 shapes below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_delta"
+        ),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+register(
+    QuerySpec(
+        "forecast_revenue_change",
+        q_forecast_revenue_change,
+        """
+        SELECT SUM(l_extendedprice * l_discount) AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        doc="TPC-H Q6-shaped single-scan scalar forecast: all predicates "
+        "scan-pushable ranges, 4-column ReadSchema (plan-pinned)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# grouped value vs global-fraction threshold (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from nation-7 suppliers exceeds 0.1% of
+    that nation's total — the TPC-H Q11 shape: grouped aggregate HAVING
+    a scalar-subquery fraction of the SAME aggregate.
+
+    Scale shape: the nation's supplier set semi-filters the fact (joined
+    un-hinted — Catalyst broadcasts the 1/25th supplier slice while it
+    fits); the grouped part values reduce to |parts| rows; the global
+    total is a 1-row aggregate attached by broadcast (the lint's scalar
+    allowance) — never a second fact scan and never a window over an
+    unpartitioned data-scale frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = sup.filter(F.col("s_nationkey") == 7).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    vals = (
+        li.join(nat, "l_suppkey")
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("stock_value")
+        )
+    )
+    tot = vals.agg(F.sum("stock_value").alias("_tot"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("stock_value") > 0.001 * F.col("_tot"))
+        .select("part_key", "stock_value")
+        .orderBy(F.col("stock_value").desc(), "part_key")
+    )
+
+
+register(
+    QuerySpec(
+        "important_part_stock",
+        q_important_part_stock,
+        """
+        WITH vals AS (
+            SELECT l_partkey AS part_key,
+                   SUM(l_extendedprice * (1 - l_discount)) AS stock_value
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey = 7
+            GROUP BY 1
+        )
+        SELECT part_key, stock_value
+        FROM vals
+        WHERE stock_value > 0.001 * (SELECT SUM(stock_value) FROM vals)
+        ORDER BY stock_value DESC, part_key
+        """,
+        doc="TPC-H Q11-shaped grouped value vs global-fraction threshold "
+        "(HAVING over a scalar subquery of the same aggregate)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# late-shipment priority split (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1998 shipments more than 90 days after their order, split into
+    high/low order priority per return flag — the TPC-H Q12 shape: a
+    fact-fact equi join whose FILTER mixes both sides (shipdate vs
+    orderdate + interval) and a CASE-conditional aggregate.
+
+    Scale shape: one orderkey shuffle (both facts already filtered by
+    their pushable date ranges), the cross-side date comparison runs
+    post-join inside codegen, and the output is |return flags| rows —
+    counts only, so the twin is integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_priority_lates"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_priority_lates"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    QuerySpec(
+        "late_shipment_priorities",
+        q_late_shipment_priorities,
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_priority_lates,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_priority_lates
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        doc="TPC-H Q12-shaped late-shipment priority split: fact-fact "
+        "equi join, mixed-side date predicate, CASE-conditional counts",
+    )
+)
+
+
 def q_nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit on 'red' product lines by supplier nation and order year —
     the TPC-H Q9 shape: line profit = revenue − supplycost·quantity,

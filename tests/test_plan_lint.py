@@ -52,6 +52,8 @@ ALLOWED_BNLJ: dict[str, int] = {
     "global_effects_item_bias": 1,
     "global_effects_user_bias": 2,
     "impression_list_invariants": 1,
+    # the Q11 global-total scalar attached to the |parts|-row aggregate
+    "important_part_stock": 1,
     # 3 scalar sites; a 4th distinct id appears when the session has
     # already materialized the persisted edges subtree (the cut attach is
     # then printed both inside the InMemoryRelation and as a fresh

@@ -642,3 +642,39 @@ def test_q10_top20_broadcasts_into_customer_not_vice_versa(spark, sf_dir):
     assert not any(f"({cust[0]})" in s for s in subs), plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert not any("c_mktsegment" in r for r in reads), plan  # pruned
+
+
+def test_q6_all_predicates_pushed_and_pruned(spark, sf_dir):
+    """forecast_revenue_change: every range bound must reach the parquet
+    scan as a PushedFilter (shipdate window, discount band, quantity
+    cap) and the ReadSchema must carry only the four needed columns —
+    the Q6 shape IS the pushdown-purity benchmark."""
+    plan = _formatted_plan(QUERIES["forecast_revenue_change"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    joined = " ".join(pushed)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in joined, (frag, joined)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and not any(
+        c in reads[0] for c in ("l_tax", "l_returnflag", "l_orderkey")
+    ), reads
+
+
+def test_q12_single_orderkey_shuffle_no_nested_loop(spark, sf_dir):
+    """late_shipment_priorities: the mixed-side date predicate must stay
+    a post-join Filter/join-condition on an EQUI join (never a nested
+    loop), and the lineitem date window must push to the scan."""
+    plan = _formatted_plan(QUERIES["late_shipment_priorities"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "l_shipdate" in pushed, plan
