@@ -124,15 +124,24 @@ def _topk_task(probes: pd.DataFrame, index: pd.DataFrame, k: int) -> pd.DataFram
     pq, iq = _quant_matrix(probes), _quant_matrix(index)
     p_norm = np.sqrt((pq * pq).sum(axis=1))
     i_norm = np.sqrt((iq * iq).sum(axis=1))
-    cos = (pq @ iq.T) / np.outer(p_norm, i_norm)
+    # in-place block math (same rationale as blocked_topk: fresh big
+    # temporaries fault at ~50x re-touch cost on this host, and the
+    # expression form made three n_p×n_i copies).  Masking cos itself is
+    # safe: the emission loop skips self-pairs before reading values.
+    cos = pq @ iq.T
+    denom = np.outer(p_norm, i_norm)
+    np.divide(cos, denom, out=cos)
     n_p, n_i = len(p_ids), len(i_ids)
-    masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
+    cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
+    masked = cos
     m = min(n_i, k + 1)  # +1 allows dropping a self-pair
     # vectorized selection (axis-1 argpartition); only the m-element final
     # sort stays per-row.  Boundary ties fall back to the full row so the
     # id tiebreak is applied over every tied candidate.
     if n_i > m:
-        part = np.argpartition(-masked, m - 1, axis=1)[:, :m]
+        # ascending argpartition: columns [n_i-m:] are the m largest —
+        # no negated full-matrix copy
+        part = np.argpartition(masked, n_i - m, axis=1)[:, n_i - m:]
         pvals = np.take_along_axis(masked, part, axis=1)
         bnd = pvals.min(axis=1)
         need_full = (masked == bnd[:, None]).sum(axis=1) > (
@@ -694,12 +703,17 @@ def cosine_pairs_above(
         p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
         i_ids = index["vec_id"].to_numpy(dtype=np.int64)
         pq, iq = _quant_matrix(probes), _quant_matrix(index)
-        cos = (pq @ iq.T) / np.outer(
+        # in-place divide: one fresh block temporary instead of two
+        # (first-touch provisioning, see _topk_task)
+        cos = pq @ iq.T
+        denom = np.outer(
             np.sqrt((pq * pq).sum(axis=1)), np.sqrt((iq * iq).sum(axis=1))
         )
+        np.divide(cos, denom, out=cos)
         # the quantized cosine is bit-identical across engines, so the
         # threshold needs no rounding guard
-        mask = (cos >= thr) & (p_ids[:, None] < i_ids[None, :])
+        mask = cos >= thr
+        mask &= p_ids[:, None] < i_ids[None, :]
         r, c = np.nonzero(mask)
         return pd.DataFrame(
             {
@@ -840,15 +854,15 @@ def semantic_dedup(
         i_nrm = np.sqrt((iq * iq).sum(axis=1))
         # zero-norm guard: divide by a dummy 1.0 and mask validity so a
         # degenerate vector produces no NaN and no prune in either role
-        cos = (pq @ iq.T) / np.outer(
+        cos = pq @ iq.T
+        denom = np.outer(
             np.where(p_nrm > 0, p_nrm, 1.0), np.where(i_nrm > 0, i_nrm, 1.0)
         )
-        dup = (
-            (cos >= thr)
-            & (i_ids[None, :] < p_ids[:, None])
-            & (p_nrm > 0)[:, None]
-            & (i_nrm > 0)[None, :]
-        )
+        np.divide(cos, denom, out=cos)
+        dup = cos >= thr
+        dup &= i_ids[None, :] < p_ids[:, None]
+        dup &= (p_nrm > 0)[:, None]
+        dup &= (i_nrm > 0)[None, :]
         return pd.DataFrame(
             {
                 "vec_id": p_ids,
@@ -943,9 +957,11 @@ def hard_pairs_cross(
         # its whole block via NaN propagation through max(); divide by a
         # dummy 1.0 and mask validity instead (the SQL twin guards on
         # nrm > 0 too, where NaN ordering would otherwise diverge)
-        cos = (pq @ iq.T) / np.outer(
+        cos = pq @ iq.T
+        denom = np.outer(
             np.where(p_nrm > 0, p_nrm, 1.0), np.where(i_nrm > 0, i_nrm, 1.0)
         )
+        np.divide(cos, denom, out=cos)
         self_mask = i_ids[None, :] == p_ids[:, None]
         valid = (p_nrm > 0)[:, None] & (i_nrm > 0)[None, :]
         rows = []
