@@ -136,8 +136,11 @@ def _emit_topm(
     if n_c > mmax:
         # boundary = each row's m-th largest rounded value; >= keeps all
         # boundary ties, trimmed to exactly m below in total order
+        # (ascending argpartition — no negated full-matrix copy)
         pvals = np.take_along_axis(
-            rnd, np.argpartition(-rnd, mmax - 1, axis=1)[:, :mmax], axis=1
+            rnd,
+            np.argpartition(rnd, n_c - mmax, axis=1)[:, n_c - mmax:],
+            axis=1,
         )
         pv_sorted = -np.sort(-pvals, axis=1)
         kth = pv_sorted[np.arange(n_r), m_eff - 1]
@@ -163,9 +166,18 @@ def _emit_topm(
 
 
 def _round_half_up(s: np.ndarray, scale: float | None) -> np.ndarray:
+    # one temporary instead of five, identical IEEE op sequence per
+    # element (first-touch provisioning rationale, see blocked_topk);
+    # `s` itself is left untouched — callers emit its raw values
     if scale is None:
         return s
-    return np.sign(s) * np.floor(np.abs(s) * scale + 0.5) / scale
+    out = np.abs(s)
+    out *= scale
+    out += 0.5
+    np.floor(out, out=out)
+    out /= scale
+    np.copysign(out, s, out=out)
+    return out
 
 
 def _user_side(
