@@ -200,6 +200,66 @@ def pq_codes(
     )
 
 
+def _adc_task_body(
+    probes: pd.DataFrame, index: pd.DataFrame, cbv: np.ndarray, kk: int
+) -> pd.DataFrame:
+    """Shared ADC block kernel: per-probe LUT (exact integer sums), code
+    gather through one reused buffer, in-place cosine, and the
+    vectorized (value desc, id asc) top-k emission — used by both the
+    all-pairs ADC task and the IVF-routed task.  The former per-probe
+    full-row lexsort loop was the ADC bottleneck (n_p row sorts of n_i
+    entries each)."""
+    p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+    i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+    pmat = np.floor(
+        np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+    )
+    psub = pmat.reshape(len(p_ids), cbv.shape[0], cbv.shape[2])
+    lut = np.einsum("pmd,mkd->pmk", psub, cbv)  # exact integer sums
+    codes = np.array(list(index["_codes"]), dtype=np.int64)
+    n_p, n_i = len(p_ids), len(i_ids)
+    scores = np.zeros((n_p, n_i))
+    buf = np.empty_like(scores)
+    for s in range(cbv.shape[0]):
+        np.take(lut[:, s, :], codes[:, s], axis=1, out=buf)
+        scores += buf
+    p_norm = np.sqrt((pmat * pmat).sum(axis=1))
+    cbn2 = (cbv * cbv).sum(axis=2)  # (m, kcent)
+    recon2 = np.zeros(n_i)
+    for s in range(cbv.shape[0]):
+        recon2 += cbn2[s, codes[:, s]]
+    cos = scores
+    np.divide(scores, np.outer(p_norm, np.sqrt(recon2)), out=cos)
+    # self pairs mask to -inf (sort last); they are filtered from the
+    # emission below, so kept values are the unmasked cosines
+    cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
+    m_sel = min(n_i, kk + 1)  # +1 allows dropping a self-pair
+    if n_i > m_sel:
+        part = np.argpartition(cos, n_i - m_sel, axis=1)[:, n_i - m_sel:]
+        pvals = np.take_along_axis(cos, part, axis=1)
+        cand = cos >= pvals.min(axis=1)[:, None]
+    else:
+        cand = np.ones((n_p, n_i), dtype=bool)
+    r_idx, c_idx = np.nonzero(cand)
+    rvals = cos[r_idx, c_idx]
+    order = np.lexsort((i_ids[c_idx], -rvals, r_idx))
+    r_s, c_s = r_idx[order], c_idx[order]
+    starts = np.searchsorted(r_s, np.arange(n_p))
+    pos = np.arange(len(r_s)) - starts[r_s]
+    keep = pos < kk
+    r_k, c_k = r_s[keep], c_s[keep]
+    ok = i_ids[c_k] != p_ids[r_k]  # self sorts last; drop if kept
+    r_k, c_k = r_k[ok], c_k[ok]
+    return pd.DataFrame(
+        {
+            "vec_id": p_ids[r_k],
+            "neighbor_id": i_ids[c_k],
+            "cosine": cos[r_k, c_k].astype(np.float64),
+        }
+    )
+
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -274,46 +334,7 @@ def pq_adc_topk(
         index = pdf[pdf["_side"] == 0]
         if len(probes) == 0 or len(index) == 0:
             return empty
-        cbv = bc.value  # (m, kcent, dsub) integer-valued doubles
-        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
-        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
-        pmat = np.floor(
-            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
-        )
-        psub = pmat.reshape(len(p_ids), cbv.shape[0], cbv.shape[2])
-        lut = np.einsum("pmd,mkd->pmk", psub, cbv)  # exact integer sums
-        codes = np.array(list(index["_codes"]), dtype=np.int64)
-        scores = np.zeros((len(p_ids), len(i_ids)))
-        for s in range(cbv.shape[0]):
-            scores += lut[:, s, :][:, codes[:, s]]
-        p_norm = np.sqrt((pmat * pmat).sum(axis=1))
-        cbn2 = (cbv * cbv).sum(axis=2)  # (m, kcent)
-        recon2 = np.zeros(len(i_ids))
-        for s in range(cbv.shape[0]):
-            recon2 += cbn2[s, codes[:, s]]
-        cos = scores / np.outer(p_norm, np.sqrt(recon2))
-        masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
-        out_p, out_n, out_c = [], [], []
-        full = np.arange(len(i_ids))
-        for r in range(len(p_ids)):
-            order = np.lexsort((i_ids, -masked[r]))
-            taken = 0
-            for j in full[order]:
-                if i_ids[j] == p_ids[r]:
-                    continue
-                out_p.append(p_ids[r])
-                out_n.append(i_ids[j])
-                out_c.append(cos[r][j])
-                taken += 1
-                if taken >= kk:
-                    break
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(out_p, dtype=np.int64),
-                "neighbor_id": np.array(out_n, dtype=np.int64),
-                "cosine": np.array(out_c, dtype=np.float64),
-            }
-        )
+        return _adc_task_body(probes, index, bc.value, kk)
 
     partials = both.repartition(n_blk * n_blk, "pblk", "iblk").groupby(
         "pblk", "iblk"
@@ -422,46 +443,7 @@ def ivfpq_topk(
         index = pdf[pdf["_side"] == 0]
         if len(probes) == 0 or len(index) == 0:
             return empty
-        cbv = bc.value
-        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
-        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
-        pmat = np.floor(
-            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
-        )
-        psub = pmat.reshape(len(p_ids), cbv.shape[0], cbv.shape[2])
-        lut = np.einsum("pmd,mkd->pmk", psub, cbv)
-        codes = np.array(list(index["_codes"]), dtype=np.int64)
-        scores = np.zeros((len(p_ids), len(i_ids)))
-        for s in range(cbv.shape[0]):
-            scores += lut[:, s, :][:, codes[:, s]]
-        p_norm = np.sqrt((pmat * pmat).sum(axis=1))
-        cbn2 = (cbv * cbv).sum(axis=2)
-        recon2 = np.zeros(len(i_ids))
-        for s in range(cbv.shape[0]):
-            recon2 += cbn2[s, codes[:, s]]
-        cos = scores / np.outer(p_norm, np.sqrt(recon2))
-        masked = np.where(i_ids[None, :] == p_ids[:, None], -np.inf, cos)
-        out_p, out_n, out_c = [], [], []
-        full = np.arange(len(i_ids))
-        for r in range(len(p_ids)):
-            order = np.lexsort((i_ids, -masked[r]))
-            taken = 0
-            for j in full[order]:
-                if i_ids[j] == p_ids[r]:
-                    continue
-                out_p.append(p_ids[r])
-                out_n.append(i_ids[j])
-                out_c.append(cos[r][j])
-                taken += 1
-                if taken >= kk:
-                    break
-        return pd.DataFrame(
-            {
-                "vec_id": np.array(out_p, dtype=np.int64),
-                "neighbor_id": np.array(out_n, dtype=np.int64),
-                "cosine": np.array(out_c, dtype=np.float64),
-            }
-        )
+        return _adc_task_body(probes, index, bc.value, kk)
 
     partials = both.repartition(
         max(n_list * n_sub, 32), "list_id", "sub_b"
