@@ -1,0 +1,197 @@
+"""SQ8 scalar quantization ANN — the FAISS ``ScalarQuantizer`` (QT_8bit)
+analog, completing the quantization family next to PQ/IVF-PQ.
+
+Reference context: the reference serves similarity from float matrices
+(Compute_Similarity_Python.py); SQ8 is the standard 4× compression step a
+production vector store applies before them (one byte per dimension,
+per-dimension affine codec).  Unlike PQ there is no codebook training —
+the "model" is the per-dimension (min, max) bounds, one tiny aggregate.
+
+Engine-exactness by integer design (same philosophy as operators/ann.py's
+QUANT): every quantity that crosses an engine boundary is an integer on a
+fixed grid, so sums are order-independent and bit-identical anywhere:
+
+- bounds grid: ``xg = floor(x·2^10 + 0.5)`` → per-dim ``imn/imx`` ints;
+- code = clamp(floor((xg−imn)·255 / max(imx−imn, 1) + 0.5), 0, 255);
+- decoded value (scaled by 255 to stay integral):
+  ``X = 255·imn + code·(imx−imn)`` — |X| ≲ 2^20;
+- probes quantize on the usual 2^22 grid → |pq| ≲ 2^23;
+- ADC dot = Σ_d pq·X ≤ 64·2^43 < 2^53 → EXACT in float64 GEMM; the
+  norms (Σ pq², Σ X²) stay under 2^53 too, and IEEE sqrt/divide are
+  correctly rounded — the cosine is bit-identical cross-engine.
+
+Scale shape: bounds are a d-row aggregate (broadcast as literals); codes
+are pure codegen column expressions (no UDF); the flat search is the
+blocked all-pairs GEMM (`ann._hash_blocks` — bounded task memory, no
+driver collect).  At 100 TB the same codes feed the IVF-routed kernel
+instead; the flat path here is the exact-baseline index.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # by-value pickling (see recommenders/slim.py note)
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+from .ann import (  # noqa: E402
+    QUANT,
+    _TOPK_PARTIAL,
+    _as_double,
+    _hash_blocks,
+    _merge_topk,
+)
+from ..functions.blasctl import limit_blas_threads  # noqa: E402
+
+#: bounds grid 2^10: coarse enough that 255·imn + code·(imx−imn) and all
+#: its sums stay exact (see module docstring), fine enough that the grid
+#: error (≤ 2^-11) is far below the codec's own 1/255 step.
+GRID = 1024.0
+
+
+def sq8_bounds(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[int, int]]:
+    """Per-dimension (imn, imx) integer bounds on the GRID — the SQ8
+    "model".  A d-row aggregate: collect is bounded by the embedding
+    dimensionality, never the corpus."""
+    rows = (
+        embeddings.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(
+            F.min(
+                F.floor(F.col("x") * GRID + F.lit(0.5)).cast("bigint")
+            ).alias("imn"),
+            F.max(
+                F.floor(F.col("x") * GRID + F.lit(0.5)).cast("bigint")
+            ).alias("imx"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pos"])
+    return [(int(r["imn"]), int(r["imx"])) for r in rows]
+
+
+def sq8_decode_col(vec_col, bounds: list[tuple[int, int]]):
+    """Column expression: embedding array → decoded 255-scaled integer
+    values (as array<double>) through the 8-bit codec — encode + decode
+    fused in pure codegen (no UDF).  ``X = 255·imn + code·(imx−imn)``."""
+    imn = F.array(*[F.lit(int(a)) for a, _ in bounds])
+    rng_raw = F.array(*[F.lit(int(b - a)) for a, b in bounds])
+    rng_div = F.array(*[F.lit(int(max(b - a, 1))) for a, b in bounds])
+
+    def dec(x, i):
+        xg = F.floor(x * F.lit(GRID) + F.lit(0.5)).cast("bigint")
+        mn = F.element_at(imn, i + 1)
+        code = F.least(
+            F.greatest(
+                F.floor(
+                    ((xg - mn) * 255).cast("double")
+                    / F.element_at(rng_div, i + 1)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(255).cast("bigint"),
+        )
+        return (
+            F.lit(255) * mn + code * F.element_at(rng_raw, i + 1)
+        ).cast("double")
+
+    return F.transform(_as_double(vec_col), dec)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    min_blocks: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine, rank): top-k by SQ8 ADC cosine —
+    full-precision probes against 8-bit-compressed index vectors, the
+    asymmetric-distance convention (probe error contributes nothing).
+
+    Blocked all-pairs GEMM (bounded task memory, no driver state); the
+    emitted cosine is exact integer arithmetic end to end, so the DuckDB
+    twin reproduces it bit-for-bit."""
+    bounds = sq8_bounds(embeddings, vec_col)
+    payload = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+        sq8_decode_col(F.col(vec_col), bounds).alias("_x"),
+    )
+    both = _hash_blocks(payload, block_rows, min_blocks, key=cache_key)
+    kk = int(k)
+
+    def task(pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        if len(probes) == 0 or len(index) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "neighbor_id": "int64",
+                    "cosine": "float64",
+                }
+            )
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        pq = np.floor(
+            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+        )
+        xm = np.array(list(index["_x"]), dtype=np.float64)
+        # in-place block math (first-touch provisioning, see blocked_topk)
+        cos = pq @ xm.T
+        denom = np.outer(
+            np.sqrt((pq * pq).sum(axis=1)), np.sqrt((xm * xm).sum(axis=1))
+        )
+        np.divide(cos, denom, out=cos)
+        n_p, n_i = len(p_ids), len(i_ids)
+        cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
+        m_sel = min(n_i, kk + 1)  # +1 allows dropping a self-pair
+        if n_i > m_sel:
+            part = np.argpartition(cos, n_i - m_sel, axis=1)[
+                :, n_i - m_sel:
+            ]
+            pvals = np.take_along_axis(cos, part, axis=1)
+            cand = cos >= pvals.min(axis=1)[:, None]
+        else:
+            cand = np.ones((n_p, n_i), dtype=bool)
+        r_idx, c_idx = np.nonzero(cand)
+        rvals = cos[r_idx, c_idx]
+        order = np.lexsort((i_ids[c_idx], -rvals, r_idx))
+        r_s, c_s = r_idx[order], c_idx[order]
+        starts = np.searchsorted(r_s, np.arange(n_p))
+        pos = np.arange(len(r_s)) - starts[r_s]
+        keep = pos < kk
+        r_k, c_k = r_s[keep], c_s[keep]
+        ok = i_ids[c_k] != p_ids[r_k]  # self sorts last; drop if kept
+        r_k, c_k = r_k[ok], c_k[ok]
+        return pd.DataFrame(
+            {
+                "vec_id": p_ids[r_k],
+                "neighbor_id": i_ids[c_k],
+                "cosine": cos[r_k, c_k].astype(np.float64),
+            }
+        )
+
+    partials = both.groupby("pblk", "iblk").applyInPandas(
+        lambda _k, pdf: task(pdf), _TOPK_PARTIAL
+    )
+    return _merge_topk(partials, k)

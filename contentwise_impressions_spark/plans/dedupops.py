@@ -1326,6 +1326,90 @@ register(
 )
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (operators/sq.py — the FAISS
+    ScalarQuantizer QT_8bit analog): top-3 by asymmetric cosine between
+    full-precision probes and 8-bit-compressed index vectors.  Encode +
+    decode are pure codegen column expressions (no UDF; the "model" is a
+    d-row bounds aggregate shipped as literals), the search is the
+    blocked all-pairs GEMM, and every emitted cosine is exact integer
+    arithmetic on the fixed grids — the twin reproduces it bit-for-bit.
+    Completes the quantization family: PQ (codebooks) / IVF-PQ (routed)
+    / refine (exact rescore) / SQ8 (per-dim affine, training-free)."""
+    from ..operators.sq import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, k=3, cache_key=f"{sf_dir}:sq8")
+
+
+register(
+    QuerySpec(
+        "ann_sq8_topk",
+        q_ann_sq8_topk,
+        """
+        WITH xq AS (
+            SELECT vec_id, i.i - 1 AS pos,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 4194304
+                              + 0.5) AS BIGINT) AS pq,
+                   CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 1024
+                              + 0.5) AS BIGINT) AS xg
+            FROM embeddings, range(1, 65) i(i)
+            WHERE i.i <= len(embedding)
+        ),
+        bounds AS (
+            SELECT pos, MIN(xg) AS imn, MAX(xg) AS imx FROM xq GROUP BY 1
+        ),
+        codes AS (
+            SELECT q.vec_id, q.pos, b.imn, b.imx,
+                   LEAST(GREATEST(CAST(FLOOR(
+                       CAST((q.xg - b.imn) * 255 AS DOUBLE)
+                       / GREATEST(b.imx - b.imn, 1) + 0.5
+                   ) AS BIGINT), 0), 255) AS code
+            FROM xq q JOIN bounds b USING (pos)
+        ),
+        xdec AS (
+            SELECT vec_id, pos,
+                   255 * imn + code * (imx - imn) AS xv
+            FROM codes
+        ),
+        pnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(pq * pq) AS DOUBLE)) AS pn
+            FROM xq GROUP BY 1
+        ),
+        xnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(xv * xv) AS DOUBLE)) AS xn
+            FROM xdec GROUP BY 1
+        ),
+        dots AS (
+            SELECT p.vec_id AS vec_id, x.vec_id AS neighbor_id,
+                   CAST(SUM(p.pq * x.xv) AS DOUBLE) AS dot
+            FROM xq p JOIN xdec x USING (pos)
+            WHERE p.vec_id <> x.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT d.vec_id, d.neighbor_id,
+                   d.dot / (pn.pn * xn.xn) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / (pn.pn * xn.xn) DESC,
+                                d.neighbor_id ASC
+                   ) AS rn
+            FROM dots d
+            JOIN pnorm pn ON pn.vec_id = d.vec_id
+            JOIN xnorm xn ON xn.vec_id = d.neighbor_id
+        )
+        WHERE rn <= 3
+        ORDER BY vec_id, rank
+        """,
+        doc="SQ8 scalar-quantization ANN (FAISS QT_8bit analog): 8-bit "
+        "per-dim affine codec in pure codegen, blocked ADC GEMM, "
+        "bit-exact cross-engine by integer-grid design",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------

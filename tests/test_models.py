@@ -1101,3 +1101,34 @@ def test_refine_recovers_adc_compression_error(spark):
     # at m=8/K=8 on gaussian data is large enough that refine visibly
     # corrects it; fails if the refine stage is wired to ADC scores)
     assert r_ref > r_adc, (r_ref, r_adc)
+
+
+def test_sq8_adc_recall_close_to_exact(spark):
+    """SQ8 quality gate: with an 8-bit per-dim codec the reconstruction
+    error is ~1/255 of each dim's range, so the ADC top-1 neighbor must
+    agree with the exact full-precision top-1 for nearly every probe
+    (FAISS QT_8bit is routinely recall@1 ≈ 1 on raw data); and the ADC
+    cosine must sit within a loose absolute band of the exact cosine on
+    the agreeing pairs."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.sq import sq8_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(emb, k=1)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    sq = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in sq8_topk(emb, k=1).filter(F.col("rank") == 1).collect()
+    }
+    assert set(sq) == set(exact)
+    agree = [v for v in exact if sq[v][0] == exact[v][0]]
+    assert len(agree) / len(exact) >= 0.9, len(agree) / len(exact)
+    for v in agree:
+        assert abs(sq[v][1] - exact[v][1]) < 0.05, (v, sq[v], exact[v])
