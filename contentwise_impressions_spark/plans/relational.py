@@ -1245,9 +1245,9 @@ register(
         ),
         cum AS (
             SELECT *,
-                   SUM(cnt) OVER (
+                   CAST(SUM(cnt) OVER (
                        PARTITION BY event_type ORDER BY lo
-                   ) AS cum
+                   ) AS BIGINT) AS cum
             FROM bk
         ),
         tot AS (
