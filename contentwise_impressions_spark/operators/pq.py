@@ -102,6 +102,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     sample_keep: int | None = None,
     sample_mod: int = 997,
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """(sub, c, pos, y): per-subspace integer-grid centroids after
     ``n_iters - 1`` Lloyd updates (the codebook the final assignment runs
@@ -129,7 +130,9 @@ def pq_codebooks(
     Fails fast when the sample holds fewer than k vectors (seeds would
     silently drop at the cent-seed join — same guard as the IVF
     trainer)."""
-    e = _sub_frame(embeddings, vec_col, dsub)
+    # `frame` overrides the (vec_id, sub, pos, xq) training frame — the
+    # residual IVF-PQ trainer passes coarse-centroid residuals here
+    e = frame if frame is not None else _sub_frame(embeddings, vec_col, dsub)
     seeds = _pq_seeds(embeddings, k)
     if sample_keep is not None and sample_keep < sample_mod:
         from ..functions.hashing import P1
@@ -181,12 +184,13 @@ def pq_codes(
     n_iters: int = 2,
     dsub: int = 8,
     vec_col: str = "embedding",
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, sub, code): the PQ encoding — per-subspace argmin against
     the codebook with the exact (d2 asc, c asc) integer order."""
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, k, n_iters, dsub, vec_col)
-    e = _sub_frame(embeddings, vec_col, dsub)
+    e = frame if frame is not None else _sub_frame(embeddings, vec_col, dsub)
     d = (
         e.join(F.broadcast(codebooks.drop("sub")), "pos")
         .groupBy("vec_id", "sub", "c")
@@ -230,8 +234,18 @@ def _adc_task_body(
         recon2 += cbn2[s, codes[:, s]]
     cos = scores
     np.divide(scores, np.outer(p_norm, np.sqrt(recon2)), out=cos)
-    # self pairs mask to -inf (sort last); they are filtered from the
-    # emission below, so kept values are the unmasked cosines
+    return _emit_block_topk(cos, p_ids, i_ids, kk)
+
+
+def _emit_block_topk(
+    cos: np.ndarray, p_ids: np.ndarray, i_ids: np.ndarray, kk: int
+) -> pd.DataFrame:
+    """Vectorized per-probe top-k of a score block in the (value desc,
+    id asc) total order, self-pairs excluded — shared by the ADC, the
+    residual-ADC, and (structurally) the SQ8 kernels.  Masks ``cos`` in
+    place (-inf on self pairs, which sort last and are dropped after the
+    cut, so kept values are the unmasked scores)."""
+    n_p, n_i = cos.shape
     cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
     m_sel = min(n_i, kk + 1)  # +1 allows dropping a self-pair
     if n_i > m_sel:
@@ -526,3 +540,154 @@ def refine_exact_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_list: int = 8,
+    ivf_iters: int = 2,
+    m: int = 8,
+    kcent: int = 8,
+    pq_iters: int = 2,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+    ivf_distances: DataFrame | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """(vec_id, neighbor_id, adc_cosine, rank): RESIDUAL-encoded IVF-PQ —
+    the FAISS-faithful composition (Jégou et al. 2011 §III: IVFADC
+    encodes x − q_coarse(x), not x).  Residuals concentrate around the
+    origin, so the same m×kcent codebook budget spends its resolution on
+    the within-list structure instead of re-describing the coarse
+    centroid — the reconstruction x̂ = c_list + decode(codes) is strictly
+    more faithful than raw-vector PQ at equal code size.
+
+    Exactness discipline: the coarse centroid is re-rounded to the
+    fixed-point grid from EXACT integer sums (floor(Σxq/n + 0.5) — the
+    float IVF centroid's last-ulp would not replay cross-engine), so
+    residuals, codebooks, reconstructions and every ADC dot product stay
+    exact integer arithmetic (|x̂| ≲ 2^24, products·d < 2^53).  Serving
+    scores by direct reconstruction GEMM (pq @ x̂ᵀ) rather than
+    LUT+correction — with the centroid term the LUT decomposition needs
+    a per-(probe, list) scalar anyway, and at block sizes the GEMM is
+    BLAS-bound either way.
+
+    Scale shape: identical to :func:`ivfpq_topk` — one shuffle on
+    (list_id, sub_block), skewed lists sub-blocked, codebook + n_list×d
+    centroid matrix broadcast (tiny), probes full-precision (asymmetric).
+    """
+    from .ann import ivf_assignments
+
+    spark = embeddings.sparkSession
+    home = ivf_assignments(
+        embeddings,
+        n_list=n_list,
+        n_iters=ivf_iters,
+        vec_col=vec_col,
+        distances=ivf_distances,
+    )
+    e = _sub_frame(embeddings, vec_col, dsub)
+    eh = e.join(home, "vec_id")
+    cent = eh.groupBy("list_id", "sub", "pos").agg(
+        F.floor(F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cq")
+    )
+    res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
+        "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
+    )
+    cbs = pq_codebooks(
+        embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
+    )
+    codes_long = pq_codes(
+        embeddings, cbs, m, kcent, pq_iters, dsub, vec_col, frame=res
+    )
+    cb = np.zeros((m, kcent, dsub))
+    for r in cbs.collect():
+        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
+    centm = np.zeros((n_list, m * dsub))
+    for r in cent.collect():  # n_list × d rows — tiny by construction
+        centm[r["list_id"], r["pos"]] = float(r["cq"])
+    bc = spark.sparkContext.broadcast((cb, centm))
+
+    idx_payload = (
+        codes_long.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("_codes")
+        )
+        .join(home, "vec_id")
+        .select(
+            "vec_id",
+            "list_id",
+            "_codes",
+            F.lit(None).cast("array<double>").alias("_emb"),
+        )
+    )
+    prb_payload = (
+        embeddings.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.lit(None).cast("array<int>").alias("_codes"),
+            _as_double(F.col(vec_col)).alias("_emb"),
+        )
+        .join(home, "vec_id")
+        .select("vec_id", "list_id", "_codes", "_emb")
+    )
+    mx_row = (
+        idx_payload.groupBy("list_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    mx = int(mx_row[0]["m"] or 1)
+    n_sub = max(1, int(math.ceil(mx / float(block_rows))))
+    idx = idx_payload.withColumn("_side", F.lit(0)).withColumn(
+        "sub_b", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+    )
+    prb = prb_payload.withColumn("_side", F.lit(1)).withColumn(
+        "sub_b", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+    )
+    both = idx.unionByName(prb.select(idx.columns))
+    kk, mm = int(k), int(m)
+
+    def task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        limit_blas_threads()  # Spark tasks are the parallel unit
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        probes = pdf[pdf["_side"] == 1]
+        index = pdf[pdf["_side"] == 0]
+        if len(probes) == 0 or len(index) == 0:
+            return empty
+        cbv, cm = bc.value
+        lst = int(key[0])
+        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+        pmat = np.floor(
+            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+        )
+        codes = np.array(list(index["_codes"]), dtype=np.int64)
+        # reconstruction x̂ = c_list + decode(codes): (n_i, d) integers
+        xhat = np.concatenate(
+            [cbv[s][codes[:, s]] for s in range(mm)], axis=1
+        )
+        xhat += cm[lst][None, :]
+        cos = pmat @ xhat.T
+        denom = np.outer(
+            np.sqrt((pmat * pmat).sum(axis=1)),
+            np.sqrt((xhat * xhat).sum(axis=1)),
+        )
+        np.divide(cos, denom, out=cos)
+        return _emit_block_topk(cos, p_ids, i_ids, kk)
+
+    partials = (
+        both.repartition(max(n_list * n_sub, 32), "list_id", "sub_b")
+        .groupby("list_id", "sub_b")
+        .applyInPandas(task, _TOPK_PARTIAL)
+    )
+    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")

@@ -1410,6 +1410,156 @@ register(
 )
 
 
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ (operators/pq.ivfpq_residual_topk) — the
+    FAISS-faithful IVFADC composition (Jégou et al. 2011 §III): PQ
+    codebooks train on x − q_coarse(x) so their resolution covers the
+    within-list structure, and serving scores the reconstruction
+    x̂ = c_list + decode(codes) against full-precision probes.  The
+    coarse centroid is re-rounded to the integer grid from exact sums,
+    so the whole pipeline — residuals, Lloyd, codes, reconstruction,
+    cosine — replays bit-for-bit in the oracle.  Shares the session IVF
+    quantizer payload with the other IVF queries."""
+    from ..operators.pq import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb,
+        k=3,
+        n_list=8,
+        ivf_iters=2,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        ivf_distances=_ivf_distances(spark, sf_dir),
+    )
+
+
+def _residual_pq_sql() -> str:
+    """DuckDB twin of the residual IVF-PQ pipeline — generated from the
+    same constants as the Spark operator (n_list=8, ivf_iters=2, m=8,
+    kcent=8, pq_iters=2, dsub=8, full-corpus training)."""
+    from ..functions.hashing import P1
+
+    return f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        rsub AS (
+            SELECT e.vec_id, CAST((e.pos - 1) // {_PQ_DSUB} AS INT) AS sub,
+                   e.pos - 1 AS pos, e.xq, a.list_id
+            FROM e JOIN a1 a USING (vec_id)
+        ),
+        rcent AS (
+            SELECT list_id, sub, pos,
+                   CAST(FLOOR(SUM(xq) / COUNT(*) + 0.5) AS BIGINT) AS cq
+            FROM rsub GROUP BY 1, 2, 3
+        ),
+        rq AS (
+            SELECT r.vec_id, r.sub, r.pos, r.xq - c.cq AS xq
+            FROM rsub r
+            JOIN rcent c ON r.list_id = c.list_id AND r.pos = c.pos
+        ),
+        rseeds AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (CAST(vec_id AS BIGINT) * {P1}) % 997, vec_id
+                   ) - 1 AS c
+            FROM embeddings
+            QUALIFY c < {_PQ_K}
+        ),
+        rcent0 AS (
+            SELECT s.c, q.sub, q.pos, q.xq AS y
+            FROM rseeds s JOIN rq q USING (vec_id)
+        ),
+        rd0 AS (
+            SELECT q.vec_id, q.sub, c.c,
+                   SUM((q.xq - c.y) * (q.xq - c.y)) AS d2
+            FROM rq q JOIN rcent0 c ON q.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        ra0 AS (
+            SELECT vec_id, sub, c AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+                FROM rd0
+            ) WHERE rn = 1
+        ),
+        rcent1 AS (
+            SELECT a.code AS c, q.sub, q.pos,
+                   CAST(FLOOR(SUM(q.xq) / COUNT(*) + 0.5) AS BIGINT) AS y
+            FROM ra0 a JOIN rq q
+              ON a.vec_id = q.vec_id AND a.sub = q.sub
+            GROUP BY 1, 2, 3
+        ),
+        rdF AS (
+            SELECT q.vec_id, q.sub, c.c,
+                   SUM((q.xq - c.y) * (q.xq - c.y)) AS d2
+            FROM rq q JOIN rcent1 c ON q.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        rcodes AS (
+            SELECT vec_id, sub, c AS code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+                FROM rdF
+            ) WHERE rn = 1
+        ),
+        xdec AS (
+            SELECT co.vec_id, a.list_id, cb.pos, cc.cq + cb.y AS xv
+            FROM rcodes co
+            JOIN a1 a ON a.vec_id = co.vec_id
+            JOIN rcent1 cb ON cb.sub = co.sub AND cb.c = co.code
+            JOIN rcent cc ON cc.list_id = a.list_id AND cc.pos = cb.pos
+        ),
+        xn AS (
+            SELECT vec_id, SQRT(CAST(SUM(xv * xv) AS DOUBLE)) AS xn
+            FROM xdec GROUP BY 1
+        ),
+        pq2 AS (SELECT vec_id, pos - 1 AS pos, xq FROM e),
+        pn AS (
+            SELECT vec_id, SQRT(CAST(SUM(xq * xq) AS DOUBLE)) AS pn
+            FROM pq2 GROUP BY 1
+        ),
+        dots AS (
+            SELECT p.vec_id AS vec_id, x.vec_id AS neighbor_id,
+                   CAST(SUM(p.xq * x.xv) AS DOUBLE) AS dot
+            FROM pq2 p
+            JOIN a1 pa ON pa.vec_id = p.vec_id
+            JOIN xdec x ON x.pos = p.pos AND x.list_id = pa.list_id
+                       AND x.vec_id <> p.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, neighbor_id, adc_cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT d.vec_id, d.neighbor_id,
+                   d.dot / (pn.pn * xn.xn) AS adc_cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / (pn.pn * xn.xn) DESC,
+                                d.neighbor_id ASC
+                   ) AS rn
+            FROM dots d
+            JOIN pn ON pn.vec_id = d.vec_id
+            JOIN xn ON xn.vec_id = d.neighbor_id
+        )
+        WHERE rn <= 3
+        ORDER BY vec_id, rank
+        """
+
+
+register(
+    QuerySpec(
+        "ann_ivfpq_residual_topk",
+        q_ann_ivfpq_residual_topk,
+        _residual_pq_sql(),
+        doc="residual-encoded IVF-PQ (FAISS IVFADC, Jégou et al. 2011 "
+        "§III): codebooks train on coarse-centroid residuals, serving "
+        "scores x̂ = c_list + decode(codes); integer-grid centroids keep "
+        "the whole pipeline bit-exact cross-engine",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the brief's fifth dedup modality)
 # ---------------------------------------------------------------------------

@@ -1132,3 +1132,66 @@ def test_sq8_adc_recall_close_to_exact(spark):
     assert len(agree) / len(exact) >= 0.9, len(agree) / len(exact)
     for v in agree:
         assert abs(sq[v][1] - exact[v][1]) < 0.05, (v, sq[v], exact[v])
+
+
+def test_residual_pq_reconstruction_beats_raw(spark):
+    """IVFADC quality gate (Jégou et al. 2011 §III): at equal code size
+    (same m, kcent), PQ trained on coarse-centroid residuals must
+    reconstruct the corpus with LOWER total squared error than raw-vector
+    PQ — residuals concentrate near the origin, so the codebook budget
+    covers within-list structure instead of re-describing centroids."""
+    import numpy as np
+
+    from contentwise_impressions_spark.operators.ann import ivf_assignments
+    from contentwise_impressions_spark.operators.pq import (
+        _sub_frame,
+        pq_codebooks,
+        pq_codes,
+    )
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m, kcent, iters, dsub = 8, 8, 2, 8
+    d = m * dsub
+    frame = _sub_frame(emb, "embedding", dsub)
+    xs = {
+        (r["vec_id"], r["pos"]): r["xq"] for r in frame.collect()
+    }
+    ids = sorted({v for v, _ in xs})
+    xmat = np.array([[xs[(v, p)] for p in range(d)] for v in ids])
+
+    def recon(codebooks_df, codes_df, shift):
+        cb = np.zeros((m, kcent, dsub))
+        for r in codebooks_df.collect():
+            cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = r["y"]
+        cd = {(r["vec_id"], r["sub"]): r["code"] for r in codes_df.collect()}
+        out = np.zeros_like(xmat, dtype=np.float64)
+        for vi, v in enumerate(ids):
+            for s in range(m):
+                out[vi, s * dsub : (s + 1) * dsub] = cb[s, cd[(v, s)]]
+        return out + shift
+
+    # raw PQ
+    cb_raw = pq_codebooks(emb, m, kcent, iters, dsub)
+    codes_raw = pq_codes(emb, cb_raw, m, kcent, iters, dsub)
+    err_raw = ((recon(cb_raw, codes_raw, 0.0) - xmat) ** 2).sum()
+    # residual PQ (same grid-rounded centroids the operator uses)
+    home = ivf_assignments(emb, n_list=8, n_iters=2)
+    eh = frame.join(home, "vec_id")
+    cent = eh.groupBy("list_id", "sub", "pos").agg(
+        F.floor(F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cq")
+    )
+    res = eh.join(cent, ["list_id", "sub", "pos"]).select(
+        "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
+    )
+    cb_res = pq_codebooks(emb, m, kcent, iters, dsub, frame=res)
+    codes_res = pq_codes(emb, cb_res, m, kcent, iters, dsub, frame=res)
+    hm = {r["vec_id"]: r["list_id"] for r in home.collect()}
+    cq = {(r["list_id"], r["pos"]): r["cq"] for r in cent.collect()}
+    shift = np.array(
+        [[cq[(hm[v], p)] for p in range(d)] for v in ids], dtype=np.float64
+    )
+    err_res = ((recon(cb_res, codes_res, shift) - xmat) ** 2).sum()
+    assert err_res < err_raw, (err_res, err_raw)
