@@ -1228,6 +1228,88 @@ register(
 )
 
 
+def q_ann_ivfpq_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the RECALL KNOB open: ``n_probe=2`` — each probe
+    searches its two nearest inverted lists instead of the home list
+    only (the standard IVF recall/latency dial; candidates grow
+    monotonically, ~2× here).  Merge exactness holds because a
+    candidate's home list is unique and a probe's probe lists are
+    distinct, so each (probe, candidate) pair scores in exactly one
+    list-task.  Shares every session payload with ``ann_ivfpq_topk`` —
+    the only difference IS the knob."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        k=3,
+        n_list=8,
+        ivf_iters=2,
+        m=_PQ_M,
+        kcent=_PQ_K,
+        pq_iters=_PQ_ITERS,
+        dsub=_PQ_DSUB,
+        codebooks=_pq_codebooks_df(spark, sf_dir),
+        ivf_distances=_ivf_distances(spark, sf_dir),
+        n_probe=2,
+    )
+
+
+register(
+    QuerySpec(
+        "ann_ivfpq_multiprobe_topk",
+        q_ann_ivfpq_multiprobe_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        {_PQ_CTES},
+        pl AS (
+            SELECT vec_id, c AS list_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                FROM d1
+            ) WHERE rn <= 2
+        ),
+        plut AS (
+            SELECT p.vec_id, c.sub, c.c, SUM(p.xq * c.y) AS ip
+            FROM pe p JOIN {_PQ_CENT_F} c ON p.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        pcbn AS (SELECT sub, c, SUM(y * y) AS n2 FROM {_PQ_CENT_F} GROUP BY 1, 2),
+        precon AS (
+            SELECT s.vec_id, SUM(n.n2) AS r2
+            FROM pcodes s JOIN pcbn n ON s.sub = n.sub AND s.code = n.c
+            GROUP BY 1
+        ),
+        ppn AS (SELECT vec_id, SUM(xq * xq) AS p2 FROM pe GROUP BY 1),
+        pscore AS (
+            SELECT pb.vec_id, s.vec_id AS neighbor_id, SUM(l.ip) AS dot
+            FROM pcodes s
+            JOIN a1 ai ON ai.vec_id = s.vec_id
+            JOIN pl pb ON pb.vec_id <> s.vec_id AND pb.list_id = ai.list_id
+            JOIN plut l ON l.vec_id = pb.vec_id AND l.sub = s.sub
+                       AND l.c = s.code
+            GROUP BY 1, 2
+        )
+        SELECT sc.vec_id, sc.neighbor_id,
+               CAST(sc.dot AS DOUBLE)
+                   / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE)))
+                   AS adc_cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sc.vec_id
+                    ORDER BY CAST(sc.dot AS DOUBLE)
+                        / (sqrt(CAST(p.p2 AS DOUBLE)) * sqrt(CAST(r.r2 AS DOUBLE))) DESC,
+                             sc.neighbor_id ASC) AS INT) AS rank
+        FROM pscore sc
+        JOIN ppn p ON sc.vec_id = p.vec_id
+        JOIN precon r ON sc.neighbor_id = r.vec_id
+        QUALIFY rank <= 3
+        """,
+        doc="IVF-PQ with n_probe=2 (the standard recall/latency knob): "
+        "each probe searches its two nearest lists; per-pair scoring "
+        "stays exactly-once by home-list uniqueness",
+    )
+)
+
+
 _REFINE_SHORT, _REFINE_K = 10, 3
 
 

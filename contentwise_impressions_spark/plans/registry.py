@@ -143,7 +143,7 @@ DRIVER_PRIORITY: list[str] = [
     # weighted_sample_topk — after those the r10 block (50 rows) rotates.
     # Any spec registered during round 13 AFTER this front filled lands
     # at position 51+ and MUST open the r14 front.  Round-13 registered
-    # EIGHT such specs, all with DuckDB twins and zero driver evidence
+    # NINE such specs, all with DuckDB twins and zero driver evidence
     # yet — they MUST open the r14 front, then the thirty rolled
     # r9-vintage rows above:
     # ratings_source_scan (pushFilters through the Python DataSource) /
@@ -151,7 +151,8 @@ DRIVER_PRIORITY: list[str] = [
     # slim_en_support (SLIM-EN deterministic stages) /
     # forecast_revenue_change (Q6) / important_part_stock (Q11) /
     # late_shipment_priorities (Q12) / ann_sq8_topk (SQ8 codec) /
-    # ann_ivfpq_residual_topk (FAISS IVFADC residual encoding).)
+    # ann_ivfpq_residual_topk (FAISS IVFADC residual encoding) /
+    # ann_ivfpq_multiprobe_topk (the n_probe=2 recall knob).)
 ]
 
 

@@ -1195,3 +1195,35 @@ def test_residual_pq_reconstruction_beats_raw(spark):
     )
     err_res = ((recon(cb_res, codes_res, shift) - xmat) ** 2).sum()
     assert err_res < err_raw, (err_res, err_raw)
+
+
+def test_multiprobe_recall_monotone(spark):
+    """The n_probe knob must be monotone: searching two lists can only
+    GROW the candidate set, so recall@3 against the exact brute-force
+    ground truth must be >= the single-probe run's (and candidate pairs
+    a strict superset on this corpus, where list boundaries split true
+    neighbor pairs)."""
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.pq import ivfpq_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    got = {}
+    for np_ in (1, 2):
+        got[np_] = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, k=3, n_list=8, ivf_iters=2, m=8, kcent=8,
+                pq_iters=2, dsub=8, n_probe=np_,
+            ).collect()
+        }
+    r1 = len(got[1] & exact) / len(exact)
+    r2 = len(got[2] & exact) / len(exact)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > r1  # on this corpus the second list visibly buys recall
