@@ -485,7 +485,6 @@ def main() -> None:
         "contended": contended_names,
         "n_errors": len(errors),
     }
-    print(json.dumps({"metric": "headline_summary", **headline}))
     result = {
         "metric": "headline_query_suite_wall_clock",
         "value": total if valid else round(sum(timings.values()), 4),
@@ -496,16 +495,19 @@ def main() -> None:
         **extras,
         "headline": headline,
     }
-    print(json.dumps(result))
     # durability: the driver keeps only a window of the stdout line, so
     # rounds 1-2 lost most per-query history — persist the full dict
     # in-repo too (round + prior inferred once in _round_and_prior,
-    # overridable via SPARK_GRAFT_ROUND)
+    # overridable via SPARK_GRAFT_ROUND).  Persist BEFORE printing: a
+    # consumer that closes the pipe after the first line (head -1)
+    # SIGPIPEs the process mid-print, and the artifact must survive that.
     try:
         out = here / f"BENCH_full_r{int(rnd):02d}.json"
         out.write_text(json.dumps(result, indent=1) + "\n")
     except Exception:
         pass  # never let bookkeeping invalidate the bench line
+    print(json.dumps({"metric": "headline_summary", **headline}))
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -542,6 +542,23 @@ def refine_exact_topk(
     )
 
 
+def residual_centroids(
+    embeddings: DataFrame,
+    home: DataFrame,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(list_id, sub, pos, cq): the coarse centroid re-rounded to the
+    fixed-point grid from EXACT integer sums — the residual-PQ anchor
+    (a float IVF centroid's last ulp would not replay cross-engine)."""
+    e = _sub_frame(embeddings, vec_col, dsub)
+    return e.join(home, "vec_id").groupBy("list_id", "sub", "pos").agg(
+        F.floor(F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cq")
+    )
+
+
 def ivfpq_residual_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -554,6 +571,9 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     ivf_distances: DataFrame | None = None,
     block_rows: int = 4096,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, neighbor_id, adc_cosine, rank): RESIDUAL-encoded IVF-PQ —
     the FAISS-faithful composition (Jégou et al. 2011 §III: IVFADC
@@ -587,20 +607,22 @@ def ivfpq_residual_topk(
         vec_col=vec_col,
         distances=ivf_distances,
     )
-    e = _sub_frame(embeddings, vec_col, dsub)
-    eh = e.join(home, "vec_id")
-    cent = eh.groupBy("list_id", "sub", "pos").agg(
-        F.floor(F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cq")
-    )
-    res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
-        "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
-    )
-    cbs = pq_codebooks(
+    # centroids / codebooks / codes are overridable so callers can
+    # session-cache the trained artifacts (a deployment trains offline;
+    # same pattern as ivfpq_topk's codebooks/ivf_distances params)
+    cent = centroids
+    if cent is None or codebooks is None or codes is None:
+        e = _sub_frame(embeddings, vec_col, dsub)
+        eh = e.join(home, "vec_id")
+        if cent is None:
+            cent = residual_centroids(embeddings, home, dsub, vec_col)
+        res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
+            "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
+        )
+    cbs = codebooks if codebooks is not None else pq_codebooks(
         embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
     )
-    codes_long = pq_codes(
+    codes_long = codes if codes is not None else pq_codes(
         embeddings, cbs, m, kcent, pq_iters, dsub, vec_col, frame=res
     )
     cb = np.zeros((m, kcent, dsub))
