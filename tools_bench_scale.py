@@ -353,6 +353,13 @@ def main() -> None:
         # the delta vs ann_ivfpq_topk is the refine overhead (pairs =
         # probes x C, strictly linear in N)
         ("ann", "ann_refined_topk", qs["ann_refined_topk"]),
+        # round-13 quantization variants: SQ8 (training-free codec —
+        # blocked all-pairs, the n² exact-ADC baseline), residual IVF-PQ
+        # (artifacts session-cached; warm = serving cost), multiprobe
+        # (2x candidate growth, same payloads)
+        ("ann", "ann_sq8_topk", qs["ann_sq8_topk"]),
+        ("ann", "ann_ivfpq_residual_topk", qs["ann_ivfpq_residual_topk"]),
+        ("ann", "ann_ivfpq_multiprobe_topk", qs["ann_ivfpq_multiprobe_topk"]),
         # scale-path knob: bucket size held at ~250 vectors at BOTH scales
         # (n_list grown 10x with N) -> bucket count linear, per-bucket work
         # constant; centroid training is the documented offline/sampled
