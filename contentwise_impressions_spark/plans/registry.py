@@ -65,94 +65,94 @@ def _load_all_modules() -> None:
 #: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
 #: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-13 front (driver verifies in order, budget 50/round) ---
-    # Ledger entering round 13 (from the CORRECTNESS_r* key sets): r12
-    # evidence for 50 queries, r11 for 50, r10 for 50, r9 for 44, r7 for
-    # 29, and 7 round-12-late specs with none.  Front order: (1) the
-    # seven zero-evidence round-12-late specs (TPC-H Q2/Q9/Q10 shapes,
-    # the chained stream rollup, the stream-join->agg conversions, the
-    # ANN exact-refine stage, and the first custom-Python-DataSource
-    # streaming query ever driver-gated), (2) ALL twenty-nine r7-vintage
-    # rows (6 rounds stale), (3) the alphabetically-first fourteen
-    # r9-vintage rows, filling the 50 budget.
-    # round-12-late specs with ZERO driver evidence
-    "stream_chained_rollup",
-    "min_cost_part_supplier",
-    "ann_refined_topk",
-    "nation_profit_rollup",
-    "stream_join_hourly_conversions",
-    "stream_synthetic_counts",
-    "top_returning_customers",
-    # r7-vintage evidence (6 rounds stale) -- all remaining twenty-nine
-    "latest_event_per_user",
-    "leave_last_out_sizes",
-    "negative_sample_eval",
-    "negative_samples",
-    "nmf_user_factors",
-    "part_name_tokens",
-    "popularity_bias_stats",
-    "pricing_summary",
-    "pure_svd_factors",
-    "region_customer_rollup",
-    "revenue_rollup",
-    "salted_user_nation_counts",
-    "slim_elasticnet_weights",
-    "split_invariants",
-    "split_sizes",
-    "sql_shipping_priority",
-    "token_position",
-    "top_events_per_type",
-    "top_orders_by_revenue",
-    "toppop",
-    "urm_density",
-    "user_activity_deciles",
-    "user_activity_gini",
-    "users_covering_traffic",
-    "value_histogram",
-    "value_outliers",
-    "value_quantiles",
-    "weekday_hour_traffic",
-    "weekly_cohort_retention",
-    # r9-vintage (4 rounds stale) -- alphabetically-first fourteen
-    "ann_ivf_assignments",
-    "ann_lsh_buckets",
-    "asy_svd_recommendations",
-    "bloom_prejoin_stats",
-    "bm25_weights",
-    "bpr_mf_recommendations",
-    "cdc_final_state",
-    "cluster_prototype_sample",
-    "countmin_heavy_hitters",
-    "customer_order_distribution",
-    "daily_value_gapfill",
-    "dedup_survivors",
-    "doc_quality",
-    "doc_token_stats",
-    # (the remaining thirty r9-vintage rows roll to the r14 front:
-    # dormant_rich_customers / ease_r_cg_weights / ease_r_weights /
-    # exact_dedup_docs / funk_svd_epoch0_stream / funk_svd_recommendations /
-    # hll_distinct_sketch / ials_recommendations / image_ahash_dedup /
-    # item_cosine_topk / langid / large_volume_orders /
-    # local_supplier_volume / media_embedding_histogram / mf_serving_topk /
-    # mf_serving_topk_blocked / model_quality_gates /
-    # nation_weighted_median_price / order_priority_rollup /
-    # rating_model_quality_gates / rolling_7d_revenue /
-    # small_quantity_revenue / stream_dedup_events /
-    # stream_sessionization_counts / stream_view_click_pairs / tag_tokens /
-    # token_chi2_topk / user_state_history / video_frame_stats /
-    # weighted_sample_topk — after those the r10 block (50 rows) rotates.
-    # Any spec registered during round 13 AFTER this front filled lands
-    # at position 51+ and MUST open the r14 front.  Round-13 registered
-    # NINE such specs, all with DuckDB twins and zero driver evidence
-    # yet — they MUST open the r14 front, then the thirty rolled
-    # r9-vintage rows above:
-    # ratings_source_scan (pushFilters through the Python DataSource) /
-    # logbin_value_quantiles (portable quantile sketch) /
-    # slim_en_support (SLIM-EN deterministic stages) /
-    # forecast_revenue_change (Q6) / important_part_stock (Q11) /
-    # late_shipment_priorities (Q12) / ann_sq8_topk (SQ8 codec) /
-    # ann_ivfpq_residual_topk (FAISS IVFADC residual encoding) /
-    # ann_ivfpq_multiprobe_topk (the n_probe=2 recall knob).)
+    # --- round-14 front (driver verifies in order, budget 50/round) ---
+    # Ledger entering round 14 (from the CORRECTNESS_r* key sets): r13
+    # evidence for 50 queries, r12 for 50, r11 for 50, r10 for 50, r9
+    # for 30, and NINE round-13-late specs with none.  Front order:
+    # (1) the nine zero-evidence round-13-late specs (the pushFilters
+    # DataSource scan, the DDSketch-style logbin quantiles, the SLIM-EN
+    # deterministic stages, TPC-H Q6/Q11/Q12, and the three round-13
+    # quantization codecs), (2) ALL thirty remaining r9-vintage rows
+    # (5 rounds stale), (3) the alphabetically-first eleven r10-vintage
+    # rows, filling the 50 budget.
+    # round-13-late specs with ZERO driver evidence
+    "ratings_source_scan",
+    "logbin_value_quantiles",
+    "slim_en_support",
+    "forecast_revenue_change",
+    "important_part_stock",
+    "late_shipment_priorities",
+    "ann_sq8_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_multiprobe_topk",
+    # r9-vintage evidence (5 rounds stale) -- all remaining thirty
+    "dormant_rich_customers",
+    "ease_r_cg_weights",
+    "ease_r_weights",
+    "exact_dedup_docs",
+    "funk_svd_epoch0_stream",
+    "funk_svd_recommendations",
+    "hll_distinct_sketch",
+    "ials_recommendations",
+    "image_ahash_dedup",
+    "item_cosine_topk",
+    "langid",
+    "large_volume_orders",
+    "local_supplier_volume",
+    "media_embedding_histogram",
+    "mf_serving_topk",
+    "mf_serving_topk_blocked",
+    "model_quality_gates",
+    "nation_weighted_median_price",
+    "order_priority_rollup",
+    "rating_model_quality_gates",
+    "rolling_7d_revenue",
+    "small_quantity_revenue",
+    "stream_dedup_events",
+    "stream_sessionization_counts",
+    "stream_view_click_pairs",
+    "tag_tokens",
+    "token_chi2_topk",
+    "user_state_history",
+    "video_frame_stats",
+    "weighted_sample_topk",
+    # r10-vintage (4 rounds stale) -- alphabetically-first eleven
+    "click_attribution",
+    "click_position_heatmap",
+    "cold_entities",
+    "corpus_cleaning_funnel",
+    "decayed_toppop",
+    "disjunctive_brand_revenue",
+    "doc_bpe_token_stats",
+    "doc_fingerprints",
+    "doc_packing_stats",
+    "doc_repetition_stats",
+    "eval_contamination",
+    # (the remaining thirty-nine r10-vintage rows roll to the r15 front:
+    # event_cube_stats / event_transition_matrix / excess_stock_suppliers /
+    # feature_pruning / global_effects_item_bias / global_effects_user_bias /
+    # hash_split_sizes / hll_register_rollup / hopping_window_counts /
+    # impression_list_invariants / impression_urm / item_pagerank /
+    # item_triangle_stats / itemknn_recommendations /
+    # lone_returner_suppliers / minhash_dedup_clusters /
+    # minhash_lsh_candidates / minhash_signatures / mmr_diversified_topk /
+    # multi_touch_attribution / ngram_jaccard_topn /
+    # order_association_rules / part_adamic_adar / part_bfs_hops /
+    # part_label_propagation / part_name_linkage / part_supplier_counts /
+    # purchase_state_pit_join / simhash_neardup_pairs /
+    # snapshot_diff_parts / stream_enriched_counts /
+    # stream_popularity_store / stream_tumbling_counts /
+    # stream_user_profiles / tuning_end_to_end / user_journey_patterns /
+    # user_retention_cohorts / user_rfm_segments /
+    # view_to_click_conversions — then the r11 block (50 rows) rotates.
+    # Any spec registered during round 14 AFTER this front filled lands
+    # at position 51+ and MUST open the r15 front; record each here as
+    # it registers.  Round-14 late specs so far:
+    # ann_ivf_sq8_topk (IVF-routed SQ8, the FAISS
+    # IndexIVFScalarQuantizer analog — the scale path for the flat
+    # ann_sq8_topk baseline) /
+    # ease_r_gram (EASE-R Gram stage G = X^T X with diagonal
+    # popularity, oracled exactly like slim_en_support).)
 ]
 
 
