@@ -206,6 +206,66 @@ BENCH_WARMUPS = {
     "ann_index": _warmup_ann_index,
 }
 
+#: bench sub-family assignment (consumed by registry.bench_query_families).
+#: This module holds THREE disjoint payload groups — the text-dedup
+#: payloads (shingles/signatures/candidate pairs, built by _warmup_lsh),
+#: the ANN index artifacts (IVF quantizer distances, PQ codebooks, the
+#: residual-PQ centroid/codebook/code tables, built by _warmup_ann_index),
+#: and the per-query blocked-GEMM corpus payloads (operators.blocked_topk
+#: cache, built on first touch).  Running all 39 queries as ONE bench
+#: family kept every group resident simultaneously: the round-13 verdict
+#: measured the session-cached residual-PQ artifacts inflating five LSH
+#: queries 2-4x in-suite while their warm best-of-3 sat at round-12 levels
+#: (incremental_dedup_flags 1.15->4.58 s, hard_negative_pairs 1.33->3.26,
+#: minhash_dedup_clusters 1.37->3.11, lsh_recall_stats 0.56->2.38,
+#: eval_contamination 0.79->2.05).  Three sub-families make bench.py
+#: release each group's payloads before the next group runs; each
+#: sub-family matches exactly its own BENCH_WARMUPS line.
+BENCH_QUERY_FAMILIES = {
+    # ANN index serving (IVF / PQ / residual-PQ artifacts)
+    "ann_ivf_assignments": "dedupops/ann_index",
+    "ann_ivf_topk": "dedupops/ann_index",
+    "ann_ivf_topk_nprobe2": "dedupops/ann_index",
+    "ann_ivf_sampled_topk": "dedupops/ann_index",
+    "cluster_prototype_sample": "dedupops/ann_index",
+    "ann_pq_codes": "dedupops/ann_index",
+    "ann_pq_adc_topk": "dedupops/ann_index",
+    "ann_ivfpq_topk": "dedupops/ann_index",
+    "ann_ivfpq_multiprobe_topk": "dedupops/ann_index",
+    "ann_refined_topk": "dedupops/ann_index",
+    "ann_ivfpq_residual_topk": "dedupops/ann_index",
+    "semantic_dedup_flags": "dedupops/ann_index",
+    # blocked-GEMM embedding kernels (per-query corpus payloads, no index)
+    "ann_cosine_topk": "dedupops/embed",
+    "ann_lsh_buckets": "dedupops/embed",
+    "ann_retrieval_topk": "dedupops/embed",
+    "ann_sq8_topk": "dedupops/embed",
+    "embedding_neardup_pairs": "dedupops/embed",
+    "embedding_outlier_flags": "dedupops/embed",
+    "hard_negative_pairs": "dedupops/embed",
+    "mmr_diversified_topk": "dedupops/embed",
+    # text-dedup / lexical-retrieval (shingle & signature payloads)
+    "ngram_jaccard_topn": "dedupops/lsh",
+    "minhash_signatures": "dedupops/lsh",
+    "minhash_lsh_candidates": "dedupops/lsh",
+    "simhash_fingerprints": "dedupops/lsh",
+    "simhash_neardup_pairs": "dedupops/lsh",
+    "tfidf_weights": "dedupops/lsh",
+    "bm25_weights": "dedupops/lsh",
+    "minhash_dedup_clusters": "dedupops/lsh",
+    "dedup_survivors": "dedupops/lsh",
+    "eval_contamination": "dedupops/lsh",
+    "duplicated_span_stats": "dedupops/lsh",
+    "span_scrubbed_docs": "dedupops/lsh",
+    "incremental_dedup_flags": "dedupops/lsh",
+    "bm25_search_topk": "dedupops/lsh",
+    "doc_novelty_stats": "dedupops/lsh",
+    "lsh_recall_stats": "dedupops/lsh",
+    "minhash_jaccard_estimates": "dedupops/lsh",
+    "doc_top_terms": "dedupops/lsh",
+    "token_top_docs": "dedupops/lsh",
+}
+
 
 def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     """Single-call convenience twin of ``BENCH_WARMUPS`` (tests)."""

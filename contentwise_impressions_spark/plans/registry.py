@@ -180,20 +180,34 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def bench_query_families() -> dict[str, str]:
-    """Query name → payload-sharing family (the registering plan module).
+    """Query name → payload-sharing family (the registering plan module by
+    default; a module may re-assign its queries to labeled sub-families
+    via a ``BENCH_QUERY_FAMILIES`` dict when its payloads split into
+    disjoint groups).
 
     bench.py runs queries grouped by family and releases the session
-    payload caches between families: queries inside one module share
+    payload caches between families: queries inside one family share
     materialized payloads (the ANN embedding payload across ann_*, the ICM
     payload across itemcbf/cfcbf, the URM across mlops), while blocks
     cached for a FINISHED family only crowd executor memory and inflate
-    later, unrelated queries (round-4 verdict measured up to 6x)."""
+    later, unrelated queries (round-4 verdict measured up to 6x; the
+    round-13 verdict measured 2-4x on five LSH queries crowded by the
+    session-cached residual-PQ artifacts — the dedupops sub-family split
+    releases the ANN index payloads before the text-dedup queries run)."""
+    import importlib
+
     _load_all_modules()
-    return {
-        n: s.fn.__module__.rsplit(".", 1)[-1]
-        for n, s in _ordered().items()
-        if s.bench
-    }
+    out: dict[str, str] = {}
+    overrides: dict[str, dict[str, str]] = {}
+    for n, s in _ordered().items():
+        if not s.bench:
+            continue
+        modname = s.fn.__module__.rsplit(".", 1)[-1]
+        if modname not in overrides:
+            mod = importlib.import_module(s.fn.__module__)
+            overrides[modname] = getattr(mod, "BENCH_QUERY_FAMILIES", {})
+        out[n] = overrides[modname].get(n, modname)
+    return out
 
 
 def bench_warmups() -> dict[str, Callable[[SparkSession, str], None]]:
