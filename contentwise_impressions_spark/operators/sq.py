@@ -29,6 +29,7 @@ instead; the flat path here is the exact-baseline index.
 
 from __future__ import annotations
 
+import math
 import sys
 
 import numpy as np
@@ -112,6 +113,90 @@ def sq8_decode_col(vec_col, bounds: list[tuple[int, int]]):
     return F.transform(_as_double(vec_col), dec)
 
 
+def _sq8_task(pdf: pd.DataFrame, kk: int) -> pd.DataFrame:
+    """Per-block SQ8 ADC top-k: full-precision probe rows (_side=1)
+    against decoded 8-bit index rows (_side=0).  Shared by the flat
+    all-pairs path (`sq8_topk`) and the IVF-routed path
+    (`sq8_ivf_topk`) — only the block decomposition differs."""
+    limit_blas_threads()  # Spark tasks are the parallel unit
+    probes = pdf[pdf["_side"] == 1]
+    index = pdf[pdf["_side"] == 0]
+    if len(probes) == 0 or len(index) == 0:
+        return pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {
+                "vec_id": "int64",
+                "neighbor_id": "int64",
+                "cosine": "float64",
+            }
+        )
+    p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
+    i_ids = index["vec_id"].to_numpy(dtype=np.int64)
+    pq = np.floor(
+        np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
+    )
+    xm = np.array(list(index["_x"]), dtype=np.float64)
+    # in-place block math (first-touch provisioning, see blocked_topk)
+    cos = pq @ xm.T
+    denom = np.outer(
+        np.sqrt((pq * pq).sum(axis=1)), np.sqrt((xm * xm).sum(axis=1))
+    )
+    np.divide(cos, denom, out=cos)
+    n_p, n_i = len(p_ids), len(i_ids)
+    cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
+    m_sel = min(n_i, kk + 1)  # +1 allows dropping a self-pair
+    if n_i > m_sel:
+        part = np.argpartition(cos, n_i - m_sel, axis=1)[
+            :, n_i - m_sel:
+        ]
+        pvals = np.take_along_axis(cos, part, axis=1)
+        cand = cos >= pvals.min(axis=1)[:, None]
+    else:
+        cand = np.ones((n_p, n_i), dtype=bool)
+    r_idx, c_idx = np.nonzero(cand)
+    rvals = cos[r_idx, c_idx]
+    order = np.lexsort((i_ids[c_idx], -rvals, r_idx))
+    r_s, c_s = r_idx[order], c_idx[order]
+    starts = np.searchsorted(r_s, np.arange(n_p))
+    pos = np.arange(len(r_s)) - starts[r_s]
+    keep = pos < kk
+    r_k, c_k = r_s[keep], c_s[keep]
+    ok = i_ids[c_k] != p_ids[r_k]  # self sorts last; drop if kept
+    r_k, c_k = r_k[ok], c_k[ok]
+    return pd.DataFrame(
+        {
+            "vec_id": p_ids[r_k],
+            "neighbor_id": i_ids[c_k],
+            "cosine": cos[r_k, c_k].astype(np.float64),
+        }
+    )
+
+
+def _sq8_task_fn(kk: int):
+    """Bare two-arg (key, pdf) closure for applyInPandas — extra default
+    args would be mis-read as UDF arity (see verify notes)."""
+
+    def run(_key, pdf):
+        return _sq8_task(pdf, kk)
+
+    return run
+
+
+def _sq8_payload(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, _emb, _x): full-precision probe array next to the decoded
+    SQ8 index array — both sides of the asymmetric-distance convention in
+    one row, so either search path needs only ONE corpus scan."""
+    bounds = sq8_bounds(embeddings, vec_col)
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+        sq8_decode_col(F.col(vec_col), bounds).alias("_x"),
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     k: int = 3,
@@ -127,71 +212,70 @@ def sq8_topk(
     Blocked all-pairs GEMM (bounded task memory, no driver state); the
     emitted cosine is exact integer arithmetic end to end, so the DuckDB
     twin reproduces it bit-for-bit."""
-    bounds = sq8_bounds(embeddings, vec_col)
-    payload = embeddings.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("_emb"),
-        sq8_decode_col(F.col(vec_col), bounds).alias("_x"),
-    )
+    payload = _sq8_payload(embeddings, vec_col)
     both = _hash_blocks(payload, block_rows, min_blocks, key=cache_key)
     kk = int(k)
 
-    def task(pdf: pd.DataFrame) -> pd.DataFrame:
-        limit_blas_threads()  # Spark tasks are the parallel unit
-        probes = pdf[pdf["_side"] == 1]
-        index = pdf[pdf["_side"] == 0]
-        if len(probes) == 0 or len(index) == 0:
-            return pd.DataFrame(
-                {"vec_id": [], "neighbor_id": [], "cosine": []}
-            ).astype(
-                {
-                    "vec_id": "int64",
-                    "neighbor_id": "int64",
-                    "cosine": "float64",
-                }
-            )
-        p_ids = probes["vec_id"].to_numpy(dtype=np.int64)
-        i_ids = index["vec_id"].to_numpy(dtype=np.int64)
-        pq = np.floor(
-            np.array(list(probes["_emb"]), dtype=np.float64) * QUANT + 0.5
-        )
-        xm = np.array(list(index["_x"]), dtype=np.float64)
-        # in-place block math (first-touch provisioning, see blocked_topk)
-        cos = pq @ xm.T
-        denom = np.outer(
-            np.sqrt((pq * pq).sum(axis=1)), np.sqrt((xm * xm).sum(axis=1))
-        )
-        np.divide(cos, denom, out=cos)
-        n_p, n_i = len(p_ids), len(i_ids)
-        cos[i_ids[None, :] == p_ids[:, None]] = -np.inf
-        m_sel = min(n_i, kk + 1)  # +1 allows dropping a self-pair
-        if n_i > m_sel:
-            part = np.argpartition(cos, n_i - m_sel, axis=1)[
-                :, n_i - m_sel:
-            ]
-            pvals = np.take_along_axis(cos, part, axis=1)
-            cand = cos >= pvals.min(axis=1)[:, None]
-        else:
-            cand = np.ones((n_p, n_i), dtype=bool)
-        r_idx, c_idx = np.nonzero(cand)
-        rvals = cos[r_idx, c_idx]
-        order = np.lexsort((i_ids[c_idx], -rvals, r_idx))
-        r_s, c_s = r_idx[order], c_idx[order]
-        starts = np.searchsorted(r_s, np.arange(n_p))
-        pos = np.arange(len(r_s)) - starts[r_s]
-        keep = pos < kk
-        r_k, c_k = r_s[keep], c_s[keep]
-        ok = i_ids[c_k] != p_ids[r_k]  # self sorts last; drop if kept
-        r_k, c_k = r_k[ok], c_k[ok]
-        return pd.DataFrame(
-            {
-                "vec_id": p_ids[r_k],
-                "neighbor_id": i_ids[c_k],
-                "cosine": cos[r_k, c_k].astype(np.float64),
-            }
-        )
-
     partials = both.groupby("pblk", "iblk").applyInPandas(
-        lambda _k, pdf: task(pdf), _TOPK_PARTIAL
+        _sq8_task_fn(kk), _TOPK_PARTIAL
+    )
+    return _merge_topk(partials, k)
+
+
+def sq8_ivf_topk(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """IVF-routed SQ8 search — the FAISS ``IndexIVFScalarQuantizer``
+    analog, and the scale path for the flat ``sq8_topk`` baseline
+    (exactly the composition step PQ took to IVF-PQ).
+
+    (vec_id, neighbor_id, cosine, rank): each probe scores ONLY the
+    vectors sharing its IVF home list (`assignments` = (vec_id, list_id)
+    from operators/ann.ivf_assignments, n_probe=1), by the same SQ8 ADC
+    cosine as the flat path — full-precision probe against the 8-bit
+    decoded index vector, global per-dimension bounds (FAISS trains the
+    scalar quantizer once over the corpus; the inverted lists only route).
+
+    Scale shape: support drops from n² to Σ_l n_l² — with √N-scaled
+    n_list the per-list slab stays bounded, and a skewed list is
+    sub-blocked (probes replicate across a list's sub-blocks, index
+    vectors hash into them) so a hot cluster can never pin one unbounded
+    task.  Exactness of the merge: a candidate's home list is unique, so
+    each (probe, candidate) pair is scored in exactly ONE task and the
+    per-task partial top-k + global window merge equals the one-shot
+    ranking over the list-restricted candidate set.  Every emitted cosine
+    is exact integer arithmetic on the fixed grids (module header), so
+    the DuckDB twin replays the whole route-encode-score pipeline
+    bit-for-bit."""
+    payload = _sq8_payload(embeddings, vec_col)
+    home = assignments.select("vec_id", "list_id")
+    kk = int(k)
+    mx_row = (
+        home.groupBy("list_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    mx = int(mx_row[0]["m"] or 1)
+    n_sub = max(1, int(math.ceil(mx / float(block_rows))))
+    idx = (
+        payload.join(home, "vec_id")
+        .withColumn("_side", F.lit(0))
+        .withColumn(
+            "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+        )
+    )
+    prb = (
+        payload.join(home, "vec_id")
+        .withColumn("_side", F.lit(1))
+        .withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+    )
+    both = idx.unionByName(prb.select(idx.columns))
+    partials = both.groupby("list_id", "sub").applyInPandas(
+        _sq8_task_fn(kk), _TOPK_PARTIAL
     )
     return _merge_topk(partials, k)

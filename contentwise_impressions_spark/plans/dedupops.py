@@ -234,6 +234,7 @@ BENCH_QUERY_FAMILIES = {
     "ann_ivfpq_multiprobe_topk": "dedupops/ann_index",
     "ann_refined_topk": "dedupops/ann_index",
     "ann_ivfpq_residual_topk": "dedupops/ann_index",
+    "ann_ivf_sq8_topk": "dedupops/ann_index",
     "semantic_dedup_flags": "dedupops/ann_index",
     # blocked-GEMM embedding kernels (per-query corpus payloads, no index)
     "ann_cosine_topk": "dedupops/embed",
@@ -1552,6 +1553,91 @@ register(
         doc="SQ8 scalar-quantization ANN (FAISS QT_8bit analog): 8-bit "
         "per-dim affine codec in pure codegen, blocked ADC GEMM, "
         "bit-exact cross-engine by integer-grid design",
+    )
+)
+
+
+def q_ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed SQ8 ANN (operators/sq.sq8_ivf_topk — the FAISS
+    IndexIVFScalarQuantizer analog): each probe scores only its IVF home
+    list's vectors by SQ8 ADC cosine.  The scale path for the flat
+    ``ann_sq8_topk`` baseline, exactly the composition step PQ took to
+    IVF-PQ: the flat path is the documented n² exact baseline
+    (operators/sq.py header), this one drops support to Σ_l n_l² with the
+    same codec, same global per-dimension bounds, and the session-shared
+    coarse quantizer (`_ivf_distances`).  Every stage is integer-grid
+    exact, so the DuckDB twin replays route + encode + score
+    bit-for-bit."""
+    from ..operators.ann import ivf_assignments
+    from ..operators.sq import sq8_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    home = ivf_assignments(
+        emb, n_list=8, n_iters=2, distances=_ivf_distances(spark, sf_dir)
+    )
+    return sq8_ivf_topk(emb, home, k=3)
+
+
+register(
+    QuerySpec(
+        "ann_ivf_sq8_topk",
+        q_ann_ivf_sq8_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        g AS (
+            SELECT vec_id, pos, xq AS pq,
+                   CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) AS xg
+            FROM e
+        ),
+        bounds AS (
+            SELECT pos, MIN(xg) AS imn, MAX(xg) AS imx FROM g GROUP BY 1
+        ),
+        xdec AS (
+            SELECT q.vec_id, q.pos,
+                   255 * b.imn
+                   + LEAST(GREATEST(CAST(FLOOR(
+                         CAST((q.xg - b.imn) * 255 AS DOUBLE)
+                         / GREATEST(b.imx - b.imn, 1) + 0.5
+                     ) AS BIGINT), 0), 255) * (b.imx - b.imn) AS xv
+            FROM g q JOIN bounds b USING (pos)
+        ),
+        pnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(pq * pq) AS DOUBLE)) AS pn
+            FROM g GROUP BY 1
+        ),
+        xnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(xv * xv) AS DOUBLE)) AS xn
+            FROM xdec GROUP BY 1
+        ),
+        dots AS (
+            SELECT p.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(p.pq * c.xv) AS DOUBLE) AS dot
+            FROM (SELECT g.*, a.list_id FROM g JOIN a1 a USING (vec_id)) p
+            JOIN (SELECT x.*, a.list_id
+                  FROM xdec x JOIN a1 a USING (vec_id)) c
+              ON p.pos = c.pos AND p.list_id = c.list_id
+             AND p.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT d.vec_id, d.neighbor_id,
+                   d.dot / (pn.pn * xn.xn) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / (pn.pn * xn.xn) DESC,
+                                d.neighbor_id ASC
+                   ) AS rn
+            FROM dots d
+            JOIN pnorm pn ON pn.vec_id = d.vec_id
+            JOIN xnorm xn ON xn.vec_id = d.neighbor_id
+        )
+        WHERE rn <= 3
+        ORDER BY vec_id, rank
+        """,
+        doc="IVF-routed SQ8 ANN (FAISS IndexIVFScalarQuantizer analog): "
+        "home-list candidates scored by the 8-bit ADC cosine — the scale "
+        "path for the flat ann_sq8_topk n-squared baseline",
     )
 )
 

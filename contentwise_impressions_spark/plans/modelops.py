@@ -341,8 +341,72 @@ register(
         q_ease_r_weights,
         None,
         doc="EASE_R: distributed Gram + driver inverse "
-        "(EASE_R_Recommender.py:40-79)",
+        "(EASE_R_Recommender.py:40-79); the deterministic Gram stage is "
+        "oracled separately as ease_r_gram — only the inverse is "
+        "rows-only (exact-equivalence twins in tests/test_models.py)",
         bench=False,
+    )
+)
+
+
+def q_ease_r_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of the EASE_R fit under the hash gate
+    (same argument as slim_en_support): the regularized Gram matrix
+    G = XᵀX + λI the closed-form inverse consumes
+    (EASE_R_Recommender.py:55-64, recommenders/slim.ease_r).  Under the
+    implicit value=1 URM the off-diagonal entry g_ij IS the co-occurrence
+    count and the diagonal is item popularity + λ — exact relational
+    algebra end to end; only the O(n³) inverse stays rows-only.
+
+    Scale: the user-keyed self-join is the similarity family's Σ_u
+    deg(u)² budget; the diagonal is a |items|-row aggregate unioned in —
+    no driver state, no collect."""
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    a, b = urm.alias("a"), urm.alias("b")
+    off = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.item_id") != F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_i"),
+            F.col("b.item_id").alias("item_j"),
+        )
+        .agg(F.count("*").cast("bigint").alias("gram"))
+    )
+    diag = urm.groupBy(F.col("item_id").alias("item_i")).agg(
+        (F.count("*") + F.lit(10)).cast("bigint").alias("gram")
+    )
+    diag = diag.select("item_i", F.col("item_i").alias("item_j"), "gram")
+    return off.unionByName(diag).orderBy("item_i", "item_j")
+
+
+register(
+    QuerySpec(
+        "ease_r_gram",
+        q_ease_r_gram,
+        f"""
+        WITH {URM_CTE},
+        goff AS (
+            SELECT a.item_id AS item_i, b.item_id AS item_j,
+                   CAST(COUNT(*) AS BIGINT) AS gram
+            FROM urm a
+            JOIN urm b ON a.user_id = b.user_id
+                      AND a.item_id <> b.item_id
+            GROUP BY 1, 2
+        ),
+        gdiag AS (
+            SELECT item_id AS item_i, item_id AS item_j,
+                   CAST(COUNT(*) + 10 AS BIGINT) AS gram
+            FROM urm GROUP BY item_id
+        )
+        SELECT item_i, item_j, gram FROM goff
+        UNION ALL
+        SELECT item_i, item_j, gram FROM gdiag
+        ORDER BY item_i, item_j
+        """,
+        doc="EASE_R deterministic Gram stage oracled: G = X^T X + 10*I "
+        "under the implicit URM (off-diag = co-occurrence, diag = "
+        "popularity + lambda) — the exact input the driver inverse of "
+        "ease_r_weights consumes",
     )
 )
 

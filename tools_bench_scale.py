@@ -73,6 +73,72 @@ def _ann_sampled(n_list: int, keep: int):
     return q
 
 
+def _ann_ivf_sq8(n_list: int):
+    """IVF-routed SQ8 (operators/sq.sq8_ivf_topk) at an explicit n_list —
+    the scale path for the flat ann_sq8_topk n² baseline; with n_list
+    grown 10x alongside N the per-list slab stays constant."""
+
+    def q(spark, sf_dir):
+        from contentwise_impressions_spark.operators.ann import (
+            ivf_assignments,
+        )
+        from contentwise_impressions_spark.operators.sq import sq8_ivf_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return sq8_ivf_topk(
+            emb, ivf_assignments(emb, n_list=n_list, n_iters=2), k=3
+        )
+
+    return q
+
+
+def _multiprobe_scaled_split(spark, sf_dir: str, n_list: int) -> dict:
+    """The multiprobe recall knob at the RIGHT operating point (round-13
+    verdict task 5): n_list grown with N (constant per-list slab), knob
+    open to n_probe=2, WITH recall columns against the exact brute-force
+    ground truth so the artifact shows what the 2x candidate cost buys.
+
+    - first/warm: ivfpq_topk(n_probe=2) wall time at the scaled n_list;
+    - recall_p1_at3 / recall_p2_at3: recall@3 of n_probe=1 vs n_probe=2
+      against cosine_topk_bruteforce (distributed joins, no collect);
+    - exact_build_sec: the ground-truth build cost, reported so the n²
+      baseline's scale behavior stays visible in the same row.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from contentwise_impressions_spark.operators.ann import (
+        cosine_topk_bruteforce,
+    )
+    from contentwise_impressions_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out: dict = {}
+    for attempt in ("first", "warm"):
+        t0 = time.perf_counter()
+        ivfpq_topk(
+            emb, k=3, n_list=n_list, ivf_iters=2, n_probe=2
+        ).write.format("noop").mode("overwrite").save()
+        out[attempt] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    exact = cosine_topk_bruteforce(emb, k=3).select(
+        "vec_id", "neighbor_id"
+    ).persist()
+    n_exact = exact.count()
+    out["exact_build_sec"] = round(time.perf_counter() - t0, 3)
+    if n_exact:
+        for np_, col in ((1, "recall_p1_at3"), (2, "recall_p2_at3")):
+            approx = ivfpq_topk(
+                emb, k=3, n_list=n_list, ivf_iters=2, n_probe=np_
+            ).select("vec_id", "neighbor_id")
+            out[col] = round(
+                approx.join(exact, ["vec_id", "neighbor_id"]).count()
+                / n_exact,
+                4,
+            )
+    exact.unpersist()
+    return out
+
+
 def _pq_adc(keep: int | None):
     """Registered-shape ADC top-k with an explicit codebook training mode:
     keep=None -> full-corpus Lloyd (the round-11 superlinear finding),
@@ -358,6 +424,11 @@ def main() -> None:
         # (artifacts session-cached; warm = serving cost), multiprobe
         # (2x candidate growth, same payloads)
         ("ann", "ann_sq8_topk", qs["ann_sq8_topk"]),
+        # round-14: the IVF-routed SQ8 (FAISS IndexIVFScalarQuantizer
+        # analog) at the registered fixed n_list=8 — the scale path the
+        # flat row above exists to motivate; the nlist-scaled variant is
+        # appended per-scale below
+        ("ann", "ann_ivf_sq8_topk", qs["ann_ivf_sq8_topk"]),
         ("ann", "ann_ivfpq_residual_topk", qs["ann_ivfpq_residual_topk"]),
         ("ann", "ann_ivfpq_multiprobe_topk", qs["ann_ivfpq_multiprobe_topk"]),
         # scale-path knob: bucket size held at ~250 vectors at BOTH scales
@@ -392,6 +463,11 @@ def main() -> None:
                 f"ann_ivf_sampled_nlist{ann_scaled_nlist}",
                 _ann_sampled(ann_scaled_nlist, ann_sample_keep),
             ),
+            (
+                "ann",
+                f"ann_ivf_sq8_nlist{ann_scaled_nlist}",
+                _ann_ivf_sq8(ann_scaled_nlist),
+            ),
             # PQ codebook training modes (round-12: the sampled trainer
             # extended to PQ — the one family BENCH_sf1 measured
             # superlinear-ish in round 11, 7.3-9.4x at 10x data):
@@ -424,6 +500,19 @@ def main() -> None:
                     )
                     break
             ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
+        # multiprobe at the scaled operating point + recall columns
+        # (r13 verdict task 5)
+        ent = rows.setdefault(
+            "ann_ivfpq_multiprobe_nlist_scaled", {"family": "ann"}
+        )
+        try:
+            for k2, v in _multiprobe_scaled_split(
+                spark, sf_dir, ann_scaled_nlist
+            ).items():
+                ent[f"{sf_label}_{k2}"] = v
+        except Exception as exc:
+            ent[f"{sf_label}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
         # refine stage split + recall columns (r12 verdict task 5)
         ent = rows.setdefault("ann_refine_split", {"family": "ann"})
         try:
