@@ -222,6 +222,124 @@ def sq8_topk(
     return _merge_topk(partials, k)
 
 
+def sq8_residual_payload(
+    embeddings: DataFrame,
+    home: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, _emb, _x): the RESIDUAL SQ8 codec — encode
+    r = x − c_home on the bounds grid, reconstruct x̂ = c_home + dec(r)
+    (the FAISS ``IndexIVFScalarQuantizer`` with ``by_residual=True``,
+    mirroring what operators/pq.ivfpq_residual_topk does for PQ).
+
+    Residuals concentrate around the origin, so the per-dimension
+    (imn, imx) bounds span the WITHIN-list spread instead of the global
+    coordinate range — the same 8-bit budget buys a finer step.
+
+    Exactness discipline (the residual-PQ argument on the SQ8 grid): the
+    coarse centroid is re-rounded to the bounds grid from EXACT integer
+    sums (floor(Σxg/n + 0.5) — a float centroid's last ulp would not
+    replay cross-engine), so residuals, bounds, codes and the 255-scaled
+    reconstruction x̂₂₅₅ = 255·cg + 255·imn + code·(imx−imn) are all
+    integers: |x̂₂₅₅| ≲ 2^20, probe entries ≲ 2^23, dots ≤ 64·2^43 < 2^53
+    — exact in float64, bit-identical in any engine.
+
+    Scale shape: the centroid table is n_list × d rows (broadcast), the
+    bounds a d-row aggregate (broadcast), and the codec one map-side
+    pass over the exploded corpus — no driver state, no collect."""
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x") * GRID + F.lit(0.5)).cast("bigint").alias("xg"),
+    )
+    hm = home.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "list_id"
+    )
+    eh = e.join(hm, "vec_id")
+    cg = eh.groupBy("list_id", "pos").agg(
+        F.floor(F.sum("xg") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cg")
+    )
+    r = eh.join(F.broadcast(cg), ["list_id", "pos"]).withColumn(
+        "rg", F.col("xg") - F.col("cg")
+    )
+    bounds = r.groupBy("pos").agg(
+        F.min("rg").alias("imn"), F.max("rg").alias("imx")
+    )
+    code = F.least(
+        F.greatest(
+            F.floor(
+                ((F.col("rg") - F.col("imn")) * 255).cast("double")
+                / F.greatest(F.col("imx") - F.col("imn"), F.lit(1))
+                + F.lit(0.5)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(255).cast("bigint"),
+    )
+    xv = r.join(F.broadcast(bounds), "pos").select(
+        "vec_id",
+        "list_id",
+        "pos",
+        (
+            F.lit(255) * F.col("cg")
+            + F.lit(255) * F.col("imn")
+            + code * (F.col("imx") - F.col("imn"))
+        )
+        .cast("double")
+        .alias("xv"),
+    )
+    dec = xv.groupBy("vec_id", "list_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "xv"))),
+            lambda s: s["xv"],
+        ).alias("_x")
+    )
+    prb = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    )
+    return dec.join(prb, "vec_id").select("vec_id", "list_id", "_emb", "_x")
+
+
+def sq8_ivf_residual_topk(
+    embeddings: DataFrame,
+    assignments: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Residual-encoded IVF-SQ8 — ``sq8_ivf_topk`` with the
+    ``by_residual=True`` codec of :func:`sq8_residual_payload`; same
+    routing (home list only), same sub-blocked (list_id, sub) shuffle,
+    same exact-merge argument, same `_sq8_task` ADC kernel."""
+    payload = sq8_residual_payload(embeddings, assignments, vec_col)
+    kk = int(k)
+    mx_row = (
+        payload.groupBy("list_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    mx = int(mx_row[0]["m"] or 1)
+    n_sub = max(1, int(math.ceil(mx / float(block_rows))))
+    idx = payload.withColumn("_side", F.lit(0)).withColumn(
+        "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
+    )
+    prb = payload.withColumn("_side", F.lit(1)).withColumn(
+        "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
+    )
+    both = idx.unionByName(prb.select(idx.columns))
+    partials = both.groupby("list_id", "sub").applyInPandas(
+        _sq8_task_fn(kk), _TOPK_PARTIAL
+    )
+    return _merge_topk(partials, k)
+
+
 def sq8_ivf_topk(
     embeddings: DataFrame,
     assignments: DataFrame,

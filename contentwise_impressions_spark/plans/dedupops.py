@@ -235,6 +235,7 @@ BENCH_QUERY_FAMILIES = {
     "ann_refined_topk": "dedupops/ann_index",
     "ann_ivfpq_residual_topk": "dedupops/ann_index",
     "ann_ivf_sq8_topk": "dedupops/ann_index",
+    "ann_ivf_sq8_residual_topk": "dedupops/ann_index",
     "semantic_dedup_flags": "dedupops/ann_index",
     # blocked-GEMM embedding kernels (per-query corpus payloads, no index)
     "ann_cosine_topk": "dedupops/embed",
@@ -1638,6 +1639,101 @@ register(
         doc="IVF-routed SQ8 ANN (FAISS IndexIVFScalarQuantizer analog): "
         "home-list candidates scored by the 8-bit ADC cosine — the scale "
         "path for the flat ann_sq8_topk n-squared baseline",
+    )
+)
+
+
+def q_ann_ivf_sq8_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-SQ8 (operators/sq.sq8_ivf_residual_topk —
+    FAISS IndexIVFScalarQuantizer with by_residual=True): encode
+    r = x − c_home on the bounds grid, score probes against the
+    reconstruction x̂ = c_home + dec(r).  Completes the quantization
+    matrix next to ann_ivfpq_residual_topk: {flat, IVF, IVF-residual} ×
+    {SQ8, PQ} all oracled.  The coarse centroid is re-rounded to the
+    bounds grid from exact integer sums, so the DuckDB twin replays
+    route + centroid + encode + reconstruct + score bit-for-bit."""
+    from ..operators.ann import ivf_assignments
+    from ..operators.sq import sq8_ivf_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    home = ivf_assignments(
+        emb, n_list=8, n_iters=2, distances=_ivf_distances(spark, sf_dir)
+    )
+    return sq8_ivf_residual_topk(emb, home, k=3)
+
+
+register(
+    QuerySpec(
+        "ann_ivf_sq8_residual_topk",
+        q_ann_ivf_sq8_residual_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        g AS (
+            SELECT vec_id, pos, xq AS pq,
+                   CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) AS xg
+            FROM e
+        ),
+        ga AS (SELECT g.*, a.list_id FROM g JOIN a1 a USING (vec_id)),
+        cgrid AS (
+            SELECT list_id, pos,
+                   CAST(FLOOR(SUM(xg) / COUNT(*) + 0.5) AS BIGINT) AS cg
+            FROM ga GROUP BY 1, 2
+        ),
+        res AS (
+            SELECT ga.vec_id, ga.list_id, ga.pos, ga.xg - c.cg AS rg, c.cg
+            FROM ga JOIN cgrid c
+              ON ga.list_id = c.list_id AND ga.pos = c.pos
+        ),
+        bounds AS (
+            SELECT pos, MIN(rg) AS imn, MAX(rg) AS imx FROM res GROUP BY 1
+        ),
+        xdec AS (
+            SELECT r.vec_id, r.list_id, r.pos,
+                   255 * r.cg + 255 * b.imn
+                   + LEAST(GREATEST(CAST(FLOOR(
+                         CAST((r.rg - b.imn) * 255 AS DOUBLE)
+                         / GREATEST(b.imx - b.imn, 1) + 0.5
+                     ) AS BIGINT), 0), 255) * (b.imx - b.imn) AS xv
+            FROM res r JOIN bounds b USING (pos)
+        ),
+        pnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(pq * pq) AS DOUBLE)) AS pn
+            FROM g GROUP BY 1
+        ),
+        xnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(xv * xv) AS DOUBLE)) AS xn
+            FROM xdec GROUP BY 1
+        ),
+        dots AS (
+            SELECT p.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(p.pq * c.xv) AS DOUBLE) AS dot
+            FROM ga p
+            JOIN xdec c
+              ON p.pos = c.pos AND p.list_id = c.list_id
+             AND p.vec_id <> c.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT d.vec_id, d.neighbor_id,
+                   d.dot / (pn.pn * xn.xn) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / (pn.pn * xn.xn) DESC,
+                                d.neighbor_id ASC
+                   ) AS rn
+            FROM dots d
+            JOIN pnorm pn ON pn.vec_id = d.vec_id
+            JOIN xnorm xn ON xn.vec_id = d.neighbor_id
+        )
+        WHERE rn <= 3
+        ORDER BY vec_id, rank
+        """,
+        doc="residual-encoded IVF-SQ8 (FAISS IndexIVFScalarQuantizer "
+        "by_residual=True analog): grid-rounded coarse centroids, 8-bit "
+        "residual codec, home-list ADC — bit-exact full-pipeline replay",
     )
 )
 

@@ -151,6 +151,8 @@ DRIVER_PRIORITY: list[str] = [
     # ann_ivf_sq8_topk (IVF-routed SQ8, the FAISS
     # IndexIVFScalarQuantizer analog — the scale path for the flat
     # ann_sq8_topk baseline) /
+    # ann_ivf_sq8_residual_topk (by_residual=True variant — grid-rounded
+    # coarse centroids, 8-bit residual codec, full-pipeline SQL replay) /
     # ease_r_gram (EASE-R Gram stage G = X^T X with diagonal
     # popularity, oracled exactly like slim_en_support).)
 ]

@@ -429,6 +429,11 @@ def main() -> None:
         # flat row above exists to motivate; the nlist-scaled variant is
         # appended per-scale below
         ("ann", "ann_ivf_sq8_topk", qs["ann_ivf_sq8_topk"]),
+        (
+            "ann",
+            "ann_ivf_sq8_residual_topk",
+            qs["ann_ivf_sq8_residual_topk"],
+        ),
         ("ann", "ann_ivfpq_residual_topk", qs["ann_ivfpq_residual_topk"]),
         ("ann", "ann_ivfpq_multiprobe_topk", qs["ann_ivfpq_multiprobe_topk"]),
         # scale-path knob: bucket size held at ~250 vectors at BOTH scales
