@@ -103,6 +103,14 @@ def _multiprobe_scaled_split(spark, sf_dir: str, n_list: int) -> dict:
       against cosine_topk_bruteforce (distributed joins, no collect);
     - exact_build_sec: the ground-truth build cost, reported so the n²
       baseline's scale behavior stays visible in the same row.
+
+    Dataset-shape caveat, stamped into the row as `recall_note`: /tmp/sf1
+    is 10 VERBATIM copies of each sf0.1 vector (tools_gen_sf1.py), so at
+    sf1 every vector's exact top-3 are its duplicate twins — identical
+    coordinates land in the same IVF list and score identically, so ANY
+    routed quantizer recovers them (recall 1.0 by construction, not by
+    merit).  The sf0.1 columns are the informative recall reading; the
+    sf1 columns pin only that routing never SPLITS duplicate points.
     """
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -508,7 +516,14 @@ def main() -> None:
         # multiprobe at the scaled operating point + recall columns
         # (r13 verdict task 5)
         ent = rows.setdefault(
-            "ann_ivfpq_multiprobe_nlist_scaled", {"family": "ann"}
+            "ann_ivfpq_multiprobe_nlist_scaled",
+            {
+                "family": "ann",
+                "recall_note": "sf1 = 10 verbatim copies per vector: "
+                "exact top-3 are duplicate twins, same-list by "
+                "construction -> recall 1.0 is the dataset shape, not "
+                "the knob; read recall from the sf0.1 columns",
+            },
         )
         try:
             for k2, v in _multiprobe_scaled_split(
