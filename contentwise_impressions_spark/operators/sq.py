@@ -361,6 +361,7 @@ def sq8_ivf_topk(
     k: int = 3,
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-routed SQ8 search — the FAISS ``IndexIVFScalarQuantizer``
     analog, and the scale path for the flat ``sq8_topk`` baseline
@@ -400,6 +401,19 @@ def sq8_ivf_topk(
     home = assignments.select("vec_id", "list_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # multiprobe: `probes` = (vec_id, list_id) pairs for each probe's
+    # n_probe nearest lists (ann.ivf_probe_lists) — the standard IVF
+    # recall knob.  Exactly-once scoring holds: the index side stays
+    # home-list-only (unique per candidate) and a probe's lists are
+    # distinct, so each (probe, candidate) pair meets in at most one
+    # (list_id, sub) task.
+    prb_lists = (
+        home
+        if probes is None
+        else probes.select("vec_id", "list_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     kk = int(k)
     mx_row = (
         home.groupBy("list_id")
@@ -417,7 +431,7 @@ def sq8_ivf_topk(
         )
     )
     prb = (
-        payload.join(home, "vec_id")
+        payload.join(prb_lists, "vec_id")
         .withColumn("_side", F.lit(1))
         .withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
     )

@@ -236,6 +236,7 @@ BENCH_QUERY_FAMILIES = {
     "ann_ivfpq_residual_topk": "dedupops/ann_index",
     "ann_ivf_sq8_topk": "dedupops/ann_index",
     "ann_ivf_sq8_residual_topk": "dedupops/ann_index",
+    "ann_ivf_sq8_multiprobe_topk": "dedupops/ann_index",
     "semantic_dedup_flags": "dedupops/ann_index",
     # blocked-GEMM embedding kernels (per-query corpus payloads, no index)
     "ann_cosine_topk": "dedupops/embed",
@@ -1734,6 +1735,99 @@ register(
         doc="residual-encoded IVF-SQ8 (FAISS IndexIVFScalarQuantizer "
         "by_residual=True analog): grid-rounded coarse centroids, 8-bit "
         "residual codec, home-list ADC — bit-exact full-pipeline replay",
+    )
+)
+
+
+def q_ann_ivf_sq8_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-SQ8 with the RECALL KNOB open (n_probe=2): each probe scores
+    its TWO nearest inverted lists' SQ8-compressed vectors — the same
+    knob ann_ivf_topk_nprobe2 and ann_ivfpq_multiprobe_topk open for
+    their codecs, so every routed index in the quantization family now
+    exposes it.  Exactly-once scoring holds (index side stays home-list
+    unique, a probe's two lists are distinct); shares the session coarse
+    quantizer and differs from ann_ivf_sq8_topk only by the knob."""
+    from ..operators.ann import ivf_assignments, ivf_probe_lists
+    from ..operators.sq import sq8_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _ivf_distances(spark, sf_dir)
+    home = ivf_assignments(emb, n_list=8, n_iters=2, distances=d)
+    probes = ivf_probe_lists(
+        emb, n_list=8, n_iters=2, n_probe=2, distances=d
+    ).select("vec_id", "list_id")
+    return sq8_ivf_topk(emb, home, k=3, probes=probes)
+
+
+register(
+    QuerySpec(
+        "ann_ivf_sq8_multiprobe_topk",
+        q_ann_ivf_sq8_multiprobe_topk,
+        f"""
+        WITH {_ivf_sql_ctes(8, 2)},
+        pl AS (
+            SELECT vec_id, c AS list_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY round(d2, 9), c) AS rn
+                FROM d1
+            ) WHERE rn <= 2
+        ),
+        g AS (
+            SELECT vec_id, pos, xq AS pq,
+                   CAST(FLOOR(x * 1024 + 0.5) AS BIGINT) AS xg
+            FROM e
+        ),
+        bounds AS (
+            SELECT pos, MIN(xg) AS imn, MAX(xg) AS imx FROM g GROUP BY 1
+        ),
+        xdec AS (
+            SELECT q.vec_id, q.pos,
+                   255 * b.imn
+                   + LEAST(GREATEST(CAST(FLOOR(
+                         CAST((q.xg - b.imn) * 255 AS DOUBLE)
+                         / GREATEST(b.imx - b.imn, 1) + 0.5
+                     ) AS BIGINT), 0), 255) * (b.imx - b.imn) AS xv
+            FROM g q JOIN bounds b USING (pos)
+        ),
+        pnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(pq * pq) AS DOUBLE)) AS pn
+            FROM g GROUP BY 1
+        ),
+        xnorm AS (
+            SELECT vec_id, SQRT(CAST(SUM(xv * xv) AS DOUBLE)) AS xn
+            FROM xdec GROUP BY 1
+        ),
+        dots AS (
+            SELECT p.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(q.pq * c.xv) AS DOUBLE) AS dot
+            FROM pl p
+            JOIN (SELECT x.*, a.list_id
+                  FROM xdec x JOIN a1 a USING (vec_id)) c
+              ON c.list_id = p.list_id AND c.vec_id <> p.vec_id
+            JOIN g q ON q.vec_id = p.vec_id AND q.pos = c.pos
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT d.vec_id, d.neighbor_id,
+                   d.dot / (pn.pn * xn.xn) AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / (pn.pn * xn.xn) DESC,
+                                d.neighbor_id ASC
+                   ) AS rn
+            FROM dots d
+            JOIN pnorm pn ON pn.vec_id = d.vec_id
+            JOIN xnorm xn ON xn.vec_id = d.neighbor_id
+        )
+        WHERE rn <= 3
+        ORDER BY vec_id, rank
+        """,
+        doc="IVF-SQ8 with n_probe=2: candidate union of the two nearest "
+        "inverted lists scored by the 8-bit ADC cosine — the recall knob "
+        "opened for the SQ8 codec",
     )
 )
 

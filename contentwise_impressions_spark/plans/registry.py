@@ -153,6 +153,8 @@ DRIVER_PRIORITY: list[str] = [
     # ann_sq8_topk baseline) /
     # ann_ivf_sq8_residual_topk (by_residual=True variant — grid-rounded
     # coarse centroids, 8-bit residual codec, full-pipeline SQL replay) /
+    # ann_ivf_sq8_multiprobe_topk (the n_probe=2 recall knob opened for
+    # the SQ8 codec — every routed index in the family now exposes it) /
     # ease_r_gram (EASE-R Gram stage G = X^T X with diagonal
     # popularity, oracled exactly like slim_en_support).)
 ]

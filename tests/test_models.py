@@ -559,6 +559,7 @@ def test_ivf_sq8_recall_gate(spark):
         ivf_assignments,
         ivf_topk,
     )
+    from contentwise_impressions_spark.operators.ann import ivf_probe_lists
     from contentwise_impressions_spark.operators.sq import (
         sq8_ivf_residual_topk,
         sq8_ivf_topk,
@@ -587,6 +588,10 @@ def test_ivf_sq8_recall_gate(spark):
 
     sq8 = gated(sq8_ivf_topk(emb, home, k=3))
     res = gated(sq8_ivf_residual_topk(emb, home, k=3))
+    probes2 = ivf_probe_lists(emb, n_list=8, n_iters=2, n_probe=2).select(
+        "vec_id", "list_id"
+    )
+    mp = topk_sets(sq8_ivf_topk(emb, home, k=3, probes=probes2))
 
     def recall(approx):
         hits = sum(len(approx.get(v, set()) & e) for v, e in exact.items())
@@ -596,6 +601,9 @@ def test_ivf_sq8_recall_gate(spark):
     assert set(sq8) == set(exact)  # every vector got candidates
     assert set(res) == set(exact)
     assert r_sq8 >= r_ivf - 0.1, (r_sq8, r_ivf)
+    # opening the knob (n_probe=2) must not lose recall: the candidate
+    # set is a superset of the home-list one
+    assert recall(mp) >= r_sq8, (recall(mp), r_sq8)
     # the residual codec spends its 8 bits on the within-list spread —
     # it may not lose recall vs the raw-coordinate codec beyond noise
     assert r_res >= r_sq8 - 0.05, (r_res, r_sq8)
