@@ -625,8 +625,17 @@ def ivf_topk(
     (round(cos,9) desc, id asc) + a global window merge equals the one-shot
     ranking over the full candidate union.
     """
+    from pyspark import StorageLevel
+
     n_probe = max(1, n_probe)
     kk = int(k)
+    # persist-before-fanout (round-14 sq.py finding, ported r15): the
+    # probe table has THREE consumers (sizing count via home, index
+    # branch via home, probe branch) — uncached, each re-executes the
+    # coarse k-means distance subtree (measured 6.5x warm at 10x data on
+    # the sampled-Lloyd variant before this pin).  Not unpersisted: the
+    # returned plan reads through the cache lazily; bench.py's
+    # between-family release sweeps the blocks.
     pl = ivf_probe_lists(
         embeddings,
         n_list=n_list,
@@ -634,7 +643,7 @@ def ivf_topk(
         n_probe=n_probe,
         vec_col=vec_col,
         distances=distances,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     payload = _norm_payload(embeddings, vec_col)
     home = pl.filter(F.col("probe_rank") == 1).select("vec_id", "list_id")
     # sub-block the largest list so a hot cluster cannot make one task

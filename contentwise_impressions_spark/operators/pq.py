@@ -298,9 +298,21 @@ def pq_adc_topk(
     LUT-dot / (‖probe‖ · ‖reconstruction‖) — every term an exact integer
     sum (see module docstring), so the ranking is engine-portable with
     the plain (score desc, id asc) total order."""
+    from pyspark import StorageLevel
+
     spark = embeddings.sparkSession
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, kcent, n_iters, dsub, vec_col)
+    # persist-before-fanout (round-14 sq.py finding, ported r15): the
+    # codebook plan has TWO consumers — this collect and the pq_codes
+    # encode inside the serving job.  Uncached, each re-executes the
+    # whole Lloyd subtree (the dominant training cost at scale).  Same
+    # level as plans/shared.materialized, so re-persisting a
+    # session-cached codebook is a no-op.  Not unpersisted: the returned
+    # plan reads through the cache lazily; bench.py's between-family
+    # release (catalog cache sweep) reclaims the blocks — library
+    # callers doing many invocations in one session should sweep too.
+    codebooks = codebooks.persist(StorageLevel.MEMORY_AND_DISK)
     cb_rows = codebooks.collect()  # tiny by construction: m·kcent·dsub ints
     cb = np.zeros((m, kcent, dsub))
     for r in cb_rows:
@@ -389,25 +401,40 @@ def ivfpq_topk(
     per-task partial top-k + window merge equals one-shot ranking over
     the candidate union.
     """
-    from .ann import ivf_assignments, ivf_probe_lists
+    from pyspark import StorageLevel
+
+    from .ann import ivf_probe_lists
 
     spark = embeddings.sparkSession
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, kcent, pq_iters, dsub, vec_col)
+    # persist-before-fanout (round-14 sq.py finding, ported r15 — it was
+    # measured 24.5x->1.6x warm at 10x data there, and BENCH_sf1 read
+    # this family at 5.2-7.1x before the same pin): every expensive
+    # trained artifact below has 2+ consumers, and uncached each consumer
+    # re-executes the whole training subtree.  Persisted at the same
+    # level as plans/shared.materialized (re-persist is a no-op for
+    # session-cached inputs); not unpersisted — the returned plan reads
+    # through the caches lazily, bench.py's between-family release sweeps
+    # the blocks, and library callers should sweep likewise.
+    codebooks = codebooks.persist(StorageLevel.MEMORY_AND_DISK)
     cb_rows = codebooks.collect()
     cb = np.zeros((m, kcent, dsub))
     for r in cb_rows:
         cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
     bc = spark.sparkContext.broadcast(cb)
 
-    home = ivf_assignments(
-        embeddings, n_list=n_list, n_iters=ivf_iters, vec_col=vec_col,
-        distances=ivf_distances,
-    )
-    probe_lists = ivf_probe_lists(
+    # ONE coarse-quantizer plan serves both the home assignment and the
+    # probe routing: probe_rank 1 IS ivf_assignments (same window, same
+    # (round(d2,9), c) tiebreak — ann.ivf_probe_lists docstring), so
+    # deriving home from the persisted probe table halves the k-means
+    # subtrees vs the former separate ivf_assignments call.
+    pl = ivf_probe_lists(
         embeddings, n_list=n_list, n_iters=ivf_iters,
         n_probe=max(1, n_probe), vec_col=vec_col, distances=ivf_distances,
-    ).select("vec_id", "list_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    home = pl.filter(F.col("probe_rank") == 1).select("vec_id", "list_id")
+    probe_lists = pl.select("vec_id", "list_id")
     codes_long = pq_codes(embeddings, codebooks, m, kcent, pq_iters, dsub, vec_col)
     idx_payload = (
         codes_long.groupBy("vec_id")
@@ -422,6 +449,10 @@ def ivfpq_topk(
             "vec_id", "list_id", "_codes",
             F.lit(None).cast("array<double>").alias("_emb"),
         )
+        # two consumers: the sizing count below and the serving union —
+        # uncached, the PQ encode (the O(N·K·d) argmin join) would run
+        # twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prb_payload = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -597,16 +628,22 @@ def ivfpq_residual_topk(
     (list_id, sub_block), skewed lists sub-blocked, codebook + n_list×d
     centroid matrix broadcast (tiny), probes full-precision (asymmetric).
     """
+    from pyspark import StorageLevel
+
     from .ann import ivf_assignments
 
     spark = embeddings.sparkSession
+    # persist-before-fanout (round-14 sq.py finding, ported r15): home
+    # feeds the residual frame, the index payload, the probe payload and
+    # the sizing count — uncached, each consumer re-executes the coarse
+    # k-means subtree.  Same no-unpersist contract as ivfpq_topk.
     home = ivf_assignments(
         embeddings,
         n_list=n_list,
         n_iters=ivf_iters,
         vec_col=vec_col,
         distances=ivf_distances,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # centroids / codebooks / codes are overridable so callers can
     # session-cache the trained artifacts (a deployment trains offline;
     # same pattern as ivfpq_topk's codebooks/ivf_distances params)
@@ -616,12 +653,21 @@ def ivfpq_residual_topk(
         eh = e.join(home, "vec_id")
         if cent is None:
             cent = residual_centroids(embeddings, home, dsub, vec_col)
+        # cent has 2+ consumers (residual frame broadcast + the centm
+        # collect below); the residual frame itself feeds both the
+        # codebook trainer and the encoder
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
         res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
             "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
         )
+    else:
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
     cbs = codebooks if codebooks is not None else pq_codebooks(
         embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
     )
+    # two consumers: the cb collect below and (when trained here) the
+    # encoder's broadcast join
+    cbs = cbs.persist(StorageLevel.MEMORY_AND_DISK)
     codes_long = codes if codes is not None else pq_codes(
         embeddings, cbs, m, kcent, pq_iters, dsub, vec_col, frame=res
     )
@@ -648,6 +694,8 @@ def ivfpq_residual_topk(
             "_codes",
             F.lit(None).cast("array<double>").alias("_emb"),
         )
+        # two consumers: the sizing count and the serving union
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prb_payload = (
         embeddings.select(

@@ -391,8 +391,13 @@ def sq8_ivf_topk(
     quantizer, each reuse would otherwise re-execute the caller's whole
     Lloyd subtree — measured 24.5x warm at 10x data on an 80-list
     quantizer before the pin, ~0.9x after (constant per-list slab).  The SQ8 payload is persisted
-    for the same reason (both union branches read it).  bench.py's
-    between-family release sweeps the blocks."""
+    for the same reason (both union branches read it).  Deliberately NOT
+    unpersisted: the returned plan reads through the caches lazily, so an
+    in-function unpersist would forfeit the reuse.  bench.py's
+    between-family release sweeps the blocks; a library caller issuing
+    many invocations in one session owns the same sweep
+    (``spark.catalog.clearCache()`` or targeted ``unpersist`` once the
+    result is consumed), else each call retains its cached tables."""
     from pyspark import StorageLevel
 
     payload = _sq8_payload(embeddings, vec_col).persist(

@@ -16,7 +16,7 @@ from ..recommenders.factor import (
     ials_recommend,
     pure_svd_item_factors,
 )
-from ..recommenders.slim import ease_r, slim_elasticnet_distributed
+from ..recommenders.slim import EASE_R_L2, ease_r, slim_elasticnet_distributed
 from ..sources.interactions import events_as_interactions, implicit_urm
 from ..sources.tables import load_table
 from ..streaming.ingest import tumbling_event_counts
@@ -376,7 +376,7 @@ def q_ease_r_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("gram"))
     )
     diag = urm.groupBy(F.col("item_id").alias("item_i")).agg(
-        (F.count("*") + F.lit(10)).cast("bigint").alias("gram")
+        (F.count("*") + F.lit(int(EASE_R_L2))).cast("bigint").alias("gram")
     )
     diag = diag.select("item_i", F.col("item_i").alias("item_j"), "gram")
     return off.unionByName(diag).orderBy("item_i", "item_j")
@@ -398,7 +398,7 @@ register(
         ),
         gdiag AS (
             SELECT item_id AS item_i, item_id AS item_j,
-                   CAST(COUNT(*) + 10 AS BIGINT) AS gram
+                   CAST(COUNT(*) + {int(EASE_R_L2)} AS BIGINT) AS gram
             FROM urm GROUP BY item_id
         )
         SELECT item_i, item_j, gram FROM goff
@@ -410,6 +410,172 @@ register(
         "under the implicit URM (off-diag = co-occurrence, diag = "
         "popularity + lambda) — the exact input the driver inverse of "
         "ease_r_weights consumes",
+    )
+)
+
+
+#: IALS normal-equation operating point (all integers so the pipeline is
+#: exact relational algebra end to end): rank, confidence alpha
+#: (IALSRecommender.py:99-123 linear mode over interaction COUNTS — the
+#: canonical Hu/Koren implicit-strength encoding), Tikhonov reg.
+_IALS_NE_RANK = 4
+_IALS_NE_ALPHA = 20
+_IALS_NE_REG = 0.1
+
+
+def q_ials_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of the IALS half-step (same conversion
+    move as ease_r_gram / slim_en_support): given pinned integer-grid
+    item factors Y, emit each user's normal-equation system
+
+        A_u = YᵀY + α·Σ_{i∈obs(u)} n_ui·y_i y_iᵀ + λI
+        b_u = Σ_{i∈obs(u)} (1 + α·n_ui)·y_i
+
+    — exactly the per-user solve input of implicit ALS (Hu, Koren &
+    Volinsky 2008 eq. 4 with C_u = I + α·diag(n_u); the repo's fit is
+    MLlib ``ALS(implicitPrefs=True)``, recommenders/factor.ials_factors,
+    whose user step solves this same system), leaving only the k×k solve
+    rows-only.  Y is pinned on the multiplicative-hash grid
+    y_if = ((item·P1 + (f+1)·P2) mod 7) − 3 ∈ [−3, 3] — deterministic,
+    engine-portable, no RNG stream — and n_ui is the interaction COUNT,
+    so every matrix entry is an exact BIGINT sum; the single λ addition
+    is one IEEE double op, bit-identical cross-engine.
+
+    Scale shape: YᵀY is a 16-row broadcast; the per-user terms are two
+    equi-joins on item_id + one groupBy (user, f, g) — ALS's own cost
+    structure, no driver state, no collect."""
+    from ..functions.hashing import P1, P2
+
+    r, alpha = _IALS_NE_RANK, _IALS_NE_ALPHA
+    inter = events_as_interactions(
+        load_table(spark, sf_dir, "events")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    cnt = inter.groupBy("user_id", "item_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # pinned item factors: explode the factor index (no cross join —
+    # plan-lint forbids cartesian shapes registry-wide)
+    yf = (
+        inter.select("item_id")
+        .distinct()
+        .select(
+            "item_id",
+            F.explode(F.array(*[F.lit(i) for i in range(r)])).alias("f"),
+        )
+        .select("item_id", F.col("f").cast("int").alias("f"))
+        .select(
+            "item_id",
+            "f",
+            (
+                (F.col("item_id") * F.lit(P1) + (F.col("f") + 1) * F.lit(P2))
+                % 7
+                - 3
+            ).cast("bigint").alias("y"),
+        )
+    )
+    g0 = (
+        yf.alias("a")
+        .join(yf.alias("b"), "item_id")
+        .groupBy(F.col("a.f").alias("f"), F.col("b.f").alias("g"))
+        .agg(F.sum(F.col("a.y") * F.col("b.y")).cast("bigint").alias("yy"))
+    )
+    ya = yf.select(
+        "item_id", F.col("f").alias("f"), F.col("y").alias("ya")
+    )
+    yb = yf.select(
+        "item_id", F.col("f").alias("g"), F.col("y").alias("yb")
+    )
+    uterm = (
+        cnt.join(ya, "item_id")
+        .join(yb, "item_id")
+        .groupBy("user_id", "f", "g")
+        .agg(
+            F.sum(F.col("n") * F.col("ya") * F.col("yb"))
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    bvec = (
+        cnt.join(ya, "item_id")
+        .groupBy("user_id", "f")
+        .agg(
+            F.sum((F.lit(1) + F.lit(alpha) * F.col("n")) * F.col("ya"))
+            .cast("bigint")
+            .alias("b_val")
+        )
+    )
+    return (
+        uterm.join(F.broadcast(g0), ["f", "g"])
+        .join(bvec, ["user_id", "f"])
+        .select(
+            "user_id",
+            "f",
+            "g",
+            (
+                (F.col("yy") + F.lit(alpha) * F.col("w")).cast("double")
+                + F.when(F.col("f") == F.col("g"), F.lit(_IALS_NE_REG))
+                .otherwise(F.lit(0.0))
+            ).alias("a_val"),
+            "b_val",
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "ials_normal_eq",
+        q_ials_normal_eq,
+        f"""
+        WITH inter AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+                       AS item_id
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        cnt AS (
+            SELECT user_id, item_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM inter GROUP BY 1, 2
+        ),
+        yf AS (
+            SELECT item_id, CAST(f.f AS INT) AS f,
+                   CAST((item_id * {{p1}} + (f.f + 1) * {{p2}}) % 7 - 3
+                        AS BIGINT) AS y
+            FROM (SELECT DISTINCT item_id FROM inter)
+            CROSS JOIN (SELECT UNNEST(range({_IALS_NE_RANK})) AS f) f
+        ),
+        g0 AS (
+            SELECT a.f AS f, b.f AS g, CAST(SUM(a.y * b.y) AS BIGINT) AS yy
+            FROM yf a JOIN yf b USING (item_id) GROUP BY 1, 2
+        ),
+        uterm AS (
+            SELECT c.user_id, a.f AS f, b.f AS g,
+                   CAST(SUM(c.n * a.y * b.y) AS BIGINT) AS w
+            FROM cnt c
+            JOIN yf a ON c.item_id = a.item_id
+            JOIN yf b ON c.item_id = b.item_id
+            GROUP BY 1, 2, 3
+        ),
+        bvec AS (
+            SELECT c.user_id, a.f,
+                   CAST(SUM((1 + {_IALS_NE_ALPHA} * c.n) * a.y) AS BIGINT)
+                       AS b_val
+            FROM cnt c JOIN yf a ON c.item_id = a.item_id GROUP BY 1, 2
+        )
+        SELECT u.user_id, u.f, u.g,
+               CAST(g.yy + {_IALS_NE_ALPHA} * u.w AS DOUBLE)
+                   + CASE WHEN u.f = u.g THEN {_IALS_NE_REG} ELSE 0.0 END
+                   AS a_val,
+               b.b_val AS b_val
+        FROM uterm u
+        JOIN g0 g ON u.f = g.f AND u.g = g.g
+        JOIN bvec b ON u.user_id = b.user_id AND u.f = b.f
+        """.replace("{p1}", "1000003").replace("{p2}", "7919"),
+        doc="IALS per-user normal-equation system oracled (Hu/Koren/"
+        "Volinsky 2008 eq. 4): A_u = Y^T Y + alpha*sum n_ui y y^T + "
+        "lambda*I and b_u = sum (1+alpha*n_ui) y over pinned integer-grid "
+        "factors — the exact solve input of the implicit-ALS user step; "
+        "only the k x k solve stays rows-only",
     )
 )
 

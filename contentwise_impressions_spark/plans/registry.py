@@ -65,98 +65,88 @@ def _load_all_modules() -> None:
 #: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
 #: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-14 front (driver verifies in order, budget 50/round) ---
-    # Ledger entering round 14 (from the CORRECTNESS_r* key sets): r13
-    # evidence for 50 queries, r12 for 50, r11 for 50, r10 for 50, r9
-    # for 30, and NINE round-13-late specs with none.  Front order:
-    # (1) the nine zero-evidence round-13-late specs (the pushFilters
-    # DataSource scan, the DDSketch-style logbin quantiles, the SLIM-EN
-    # deterministic stages, TPC-H Q6/Q11/Q12, and the three round-13
-    # quantization codecs), (2) ALL thirty remaining r9-vintage rows
-    # (5 rounds stale), (3) the alphabetically-first eleven r10-vintage
+    # --- round-15 front (driver verifies in order, budget 50/round) ---
+    # Ledger entering round 15 (from the CORRECTNESS_r* key sets): r14
+    # evidence for 50 queries, r13/r12/r11 for 50 each, r10 for 39, and
+    # FOUR round-14-late specs with none.  Front order: (1) the four
+    # zero-evidence round-14-late specs (the IVF-routed SQ8 trio and the
+    # EASE-R Gram stage), (2) ALL thirty-nine remaining r10-vintage rows
+    # (5 rounds stale), (3) the alphabetically-first seven r11-vintage
     # rows, filling the 50 budget.
-    # round-13-late specs with ZERO driver evidence
-    "ratings_source_scan",
-    "logbin_value_quantiles",
-    "slim_en_support",
-    "forecast_revenue_change",
-    "important_part_stock",
-    "late_shipment_priorities",
-    "ann_sq8_topk",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_multiprobe_topk",
-    # r9-vintage evidence (5 rounds stale) -- all remaining thirty
-    "dormant_rich_customers",
-    "ease_r_cg_weights",
-    "ease_r_weights",
-    "exact_dedup_docs",
-    "funk_svd_epoch0_stream",
-    "funk_svd_recommendations",
-    "hll_distinct_sketch",
-    "ials_recommendations",
-    "image_ahash_dedup",
-    "item_cosine_topk",
-    "langid",
-    "large_volume_orders",
-    "local_supplier_volume",
-    "media_embedding_histogram",
-    "mf_serving_topk",
-    "mf_serving_topk_blocked",
-    "model_quality_gates",
-    "nation_weighted_median_price",
-    "order_priority_rollup",
-    "rating_model_quality_gates",
-    "rolling_7d_revenue",
-    "small_quantity_revenue",
-    "stream_dedup_events",
-    "stream_sessionization_counts",
-    "stream_view_click_pairs",
-    "tag_tokens",
-    "token_chi2_topk",
-    "user_state_history",
-    "video_frame_stats",
-    "weighted_sample_topk",
-    # r10-vintage (4 rounds stale) -- alphabetically-first eleven
-    "click_attribution",
-    "click_position_heatmap",
-    "cold_entities",
-    "corpus_cleaning_funnel",
-    "decayed_toppop",
-    "disjunctive_brand_revenue",
-    "doc_bpe_token_stats",
-    "doc_fingerprints",
-    "doc_packing_stats",
-    "doc_repetition_stats",
-    "eval_contamination",
-    # (the remaining thirty-nine r10-vintage rows roll to the r15 front:
-    # event_cube_stats / event_transition_matrix / excess_stock_suppliers /
-    # feature_pruning / global_effects_item_bias / global_effects_user_bias /
-    # hash_split_sizes / hll_register_rollup / hopping_window_counts /
-    # impression_list_invariants / impression_urm / item_pagerank /
-    # item_triangle_stats / itemknn_recommendations /
-    # lone_returner_suppliers / minhash_dedup_clusters /
-    # minhash_lsh_candidates / minhash_signatures / mmr_diversified_topk /
-    # multi_touch_attribution / ngram_jaccard_topn /
-    # order_association_rules / part_adamic_adar / part_bfs_hops /
-    # part_label_propagation / part_name_linkage / part_supplier_counts /
-    # purchase_state_pit_join / simhash_neardup_pairs /
-    # snapshot_diff_parts / stream_enriched_counts /
-    # stream_popularity_store / stream_tumbling_counts /
-    # stream_user_profiles / tuning_end_to_end / user_journey_patterns /
-    # user_retention_cohorts / user_rfm_segments /
-    # view_to_click_conversions — then the r11 block (50 rows) rotates.
-    # Any spec registered during round 14 AFTER this front filled lands
-    # at position 51+ and MUST open the r15 front; record each here as
-    # it registers.  Round-14 late specs so far:
-    # ann_ivf_sq8_topk (IVF-routed SQ8, the FAISS
-    # IndexIVFScalarQuantizer analog — the scale path for the flat
-    # ann_sq8_topk baseline) /
-    # ann_ivf_sq8_residual_topk (by_residual=True variant — grid-rounded
-    # coarse centroids, 8-bit residual codec, full-pipeline SQL replay) /
-    # ann_ivf_sq8_multiprobe_topk (the n_probe=2 recall knob opened for
-    # the SQ8 codec — every routed index in the family now exposes it) /
-    # ease_r_gram (EASE-R Gram stage G = X^T X with diagonal
-    # popularity, oracled exactly like slim_en_support).)
+    # round-14-late specs with ZERO driver evidence
+    "ann_ivf_sq8_topk",
+    "ann_ivf_sq8_residual_topk",
+    "ann_ivf_sq8_multiprobe_topk",
+    "ease_r_gram",
+    # r10-vintage evidence (5 rounds stale) -- all remaining thirty-nine
+    "event_cube_stats",
+    "event_transition_matrix",
+    "excess_stock_suppliers",
+    "feature_pruning",
+    "global_effects_item_bias",
+    "global_effects_user_bias",
+    "hash_split_sizes",
+    "hll_register_rollup",
+    "hopping_window_counts",
+    "impression_list_invariants",
+    "impression_urm",
+    "item_pagerank",
+    "item_triangle_stats",
+    "itemknn_recommendations",
+    "lone_returner_suppliers",
+    "minhash_dedup_clusters",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "mmr_diversified_topk",
+    "multi_touch_attribution",
+    "ngram_jaccard_topn",
+    "order_association_rules",
+    "part_adamic_adar",
+    "part_bfs_hops",
+    "part_label_propagation",
+    "part_name_linkage",
+    "part_supplier_counts",
+    "purchase_state_pit_join",
+    "simhash_neardup_pairs",
+    "snapshot_diff_parts",
+    "stream_enriched_counts",
+    "stream_popularity_store",
+    "stream_tumbling_counts",
+    "stream_user_profiles",
+    "tuning_end_to_end",
+    "user_journey_patterns",
+    "user_retention_cohorts",
+    "user_rfm_segments",
+    "view_to_click_conversions",
+    # r11-vintage (4 rounds stale) -- alphabetically-first seven
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_topk_nprobe2",
+    "ann_retrieval_topk",
+    "audio_decode_stats",
+    "audio_frame_energy",
+    "batch_drift_stats",
+    # (the remaining forty-three r11-vintage rows roll to the r16 front:
+    # bm25_search_topk / bm25_weighted_itemknn / bpe_compression_stats /
+    # bpe_learned_merges / bpr_triplets_inside / centered_similarities /
+    # confidence_matrix / conversion_funnel / corpus_bigrams /
+    # custom_w_recommendations / data_quality_checks /
+    # diversity_similarity / doc_novelty_stats / doc_top_terms /
+    # dsir_importance_weights / duplicated_span_stats /
+    # ease_r_blocked_weights / embedding_neardup_pairs /
+    # nation_trade_volume / p3alpha_topk / pii_scrub_stats /
+    # promo_revenue_share / props_json_stats / remove_top_popular /
+    # rmse_global_effects / rp3beta_topk / simhash_fingerprints /
+    # stratified_sample_sizes / stream_hopping_counts / tfidf_weights /
+    # token_top_docs / toppop_beyond_accuracy / toppop_eval_metrics /
+    # toppop_eval_multi_cutoff / toppop_recommendations /
+    # tumbling_window_counts / tuning_refit_metrics / user_holdout_sizes /
+    # user_sessions / user_survival_curve / weighted_ndcg /
+    # zorder_layout_stats —
+    # then the r12 block (50 rows) rotates.  Any spec registered during
+    # round 15 AFTER this front filled lands at position 51+ and MUST
+    # open the r16 front; record each here as it registers.
+    # Round-15 late specs so far: (none yet)
 ]
 
 

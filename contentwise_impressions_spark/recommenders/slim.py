@@ -44,6 +44,12 @@ except Exception:
 
 from ..functions.blasctl import limit_blas_threads  # noqa: E402
 
+#: EASE_R's default Tikhonov weight (EASE_R_Recommender.py:55 topK=None,
+#: l2_norm default).  Shared with plans/modelops.q_ease_r_gram so the
+#: oracled Gram stage G = XᵀX + λI stays the EXACT input these solvers
+#: consume if the default ever moves.
+EASE_R_L2 = 10.0
+
 
 def _elastic_net_cd(
     x: np.ndarray,
@@ -322,7 +328,7 @@ def slim_elasticnet_distributed(
 
 def ease_r(
     urm: DataFrame,
-    l2: float = 10.0,
+    l2: float = EASE_R_L2,
     top_k: int | None = 10,
     max_driver_items: int = 4096,
 ) -> DataFrame:
@@ -381,7 +387,7 @@ def ease_r(
 
 def ease_r_blocked(
     urm: DataFrame,
-    l2: float = 10.0,
+    l2: float = EASE_R_L2,
     n_blocks: int = 4,
     top_k: int | None = 10,
     block_map: DataFrame | None = None,
@@ -467,7 +473,7 @@ def ease_r_blocked(
 
 def ease_r_cg(
     urm: DataFrame,
-    l2: float = 10.0,
+    l2: float = EASE_R_L2,
     n_iters: int = 200,
     tol: float = 1e-12,
     top_k: int | None = 10,

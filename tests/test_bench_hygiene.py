@@ -135,8 +135,17 @@ def test_lsh_query_cost_flat_after_ann_index_payloads_released(spark):
     warmups["dedupops/lsh"](spark, SF)
     _run(spark, "lsh_recall_stats")  # settle run, mirroring t_iso's warm-up
     t_after = min(_run(spark, "lsh_recall_stats") for _ in range(3))
+    # structural gate above is the real pin; this wall-clock check gets an
+    # absolute floor (sub-second plans are steal/GC-noise-dominated on this
+    # VM) and ONE re-measure before failing — a loaded host inflates a
+    # single triple far more often than a genuine payload re-accumulation,
+    # which would survive the retry (r14 ADVICE).
+    bound = 2.0 * max(t_iso, 0.5)
+    if t_after > bound:
+        _run(spark, "lsh_recall_stats")  # re-settle
+        t_after = min(_run(spark, "lsh_recall_stats") for _ in range(3))
     release_session_payloads(spark)
-    assert t_after <= 2.0 * max(t_iso, 0.1)
+    assert t_after <= bound
 
 
 def test_cheap_query_cost_flat_after_heavy_payload_query(spark):

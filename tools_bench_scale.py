@@ -112,8 +112,6 @@ def _multiprobe_scaled_split(spark, sf_dir: str, n_list: int) -> dict:
     merit).  The sf0.1 columns are the informative recall reading; the
     sf1 columns pin only that routing never SPLITS duplicate points.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
     from contentwise_impressions_spark.operators.ann import (
         cosine_topk_bruteforce,
     )
