@@ -146,7 +146,12 @@ DRIVER_PRIORITY: list[str] = [
     # then the r12 block (50 rows) rotates.  Any spec registered during
     # round 15 AFTER this front filled lands at position 51+ and MUST
     # open the r16 front; record each here as it registers.
-    # Round-15 late specs so far: (none yet)
+    # Round-15 late specs so far:
+    # ials_normal_eq (the deterministic per-user normal-equation stage
+    # of implicit ALS oracled — A_u = YᵀY + α·Σ n_ui·y yᵀ + λI and
+    # b_u = Σ (1+α·n_ui)·y over pinned integer-grid factors; the same
+    # rows-only→oracled conversion as ease_r_gram / slim_en_support,
+    # r14 verdict task 4).
 ]
 
 

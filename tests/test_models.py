@@ -1292,3 +1292,62 @@ def test_multiprobe_recall_monotone(spark):
     r2 = len(got[2] & exact) / len(exact)
     assert r2 >= r1, (r1, r2)
     assert r2 > r1  # on this corpus the second list visibly buys recall
+
+
+def test_ials_normal_eq_matches_dense_numpy(spark, sf_dir):
+    """ials_normal_eq emits exactly the Hu/Koren user-step system: build
+    the SAME pinned factors and confidence dense in numpy and compare
+    A_u / b_u entrywise (the DuckDB twin pins cross-engine replay; this
+    pins the MATH — that the relational program really is
+    YᵀY + α·Σ n·yyᵀ + λI and Σ (1+αn)·y)."""
+    from contentwise_impressions_spark.functions.hashing import P1, P2
+    from contentwise_impressions_spark.plans.modelops import (
+        _IALS_NE_ALPHA,
+        _IALS_NE_RANK,
+        _IALS_NE_REG,
+        q_ials_normal_eq,
+    )
+    from contentwise_impressions_spark.sources.interactions import (
+        INTERACTION_EVENT_TYPES,
+        events_as_interactions,
+    )
+
+    got = {
+        (r["user_id"], r["f"], r["g"]): (r["a_val"], r["b_val"])
+        for r in q_ials_normal_eq(spark, sf_dir).collect()
+    }
+    inter = (
+        events_as_interactions(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type").isin(*INTERACTION_EVENT_TYPES))
+        .groupBy("user_id", "item_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    items = sorted({r["item_id"] for r in inter})
+    r_, alpha, reg = _IALS_NE_RANK, _IALS_NE_ALPHA, _IALS_NE_REG
+    y = np.array(
+        [
+            [(i * P1 + (f + 1) * P2) % 7 - 3 for f in range(r_)]
+            for i in items
+        ],
+        dtype=np.float64,
+    )
+    idx = {i: k for k, i in enumerate(items)}
+    g0 = y.T @ y
+    users: dict[int, list] = {}
+    for row in inter:
+        users.setdefault(row["user_id"], []).append(row)
+    for u, rows in users.items():
+        a_u = g0.copy()
+        b_u = np.zeros(r_)
+        for row in rows:
+            yv = y[idx[row["item_id"]]]
+            a_u += alpha * row["n"] * np.outer(yv, yv)
+            b_u += (1 + alpha * row["n"]) * yv
+        a_u += reg * np.eye(r_)
+        for f in range(r_):
+            for g in range(r_):
+                av, bv = got[(u, f, g)]
+                assert av == pytest.approx(a_u[f, g], abs=1e-9), (u, f, g)
+                assert bv == b_u[f]
+    assert len(got) == len(users) * r_ * r_

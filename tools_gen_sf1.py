@@ -17,8 +17,19 @@ deployments grow on (traffic and users grow ~linearly; catalogs don't):
   spaces — MinHash/LSH bucket counts scale linearly instead of every
   bucket becoming a 10x-duplicate cluster (which would quadratically
   inflate candidate pairs and measure an artifact, not the design).
-- ``embeddings``: 10 copies with shifted ``vec_id`` (vectors verbatim —
-  duplicate points grow every IVF bucket uniformly, the linear shape).
+- ``embeddings``: 10 copies with shifted ``vec_id``; copy 0 verbatim,
+  copies 1-9 carry a deterministic per-(vector, copy, dim) hash jitter of
+  at most ±0.01 in EXACT multiples of the fixed-point grid step 2^-22
+  (operators/ann.py QUANT), so each original vector becomes a cluster of
+  10 NEAR-duplicates instead of verbatim twins.  Verbatim copies made
+  every recall-vs-exact column read 1.0 by dataset shape (identical
+  coordinates can never split across IVF lists — the round-14 verdict's
+  degenerate-recall finding); with jitter, siblings near Voronoi
+  boundaries can route apart and the sf1 recall columns become
+  informative (n_probe=1 vs 2 differentiate).  The jitter is pure SQL
+  over seeded ids (no RNG stream) and the values are written once to
+  parquet, so both engines read identical doubles and the integer-exact
+  quantized twins replay unchanged.
 - ``part`` / ``supplier`` / ``region`` / ``nation``: verbatim (fixed
   dimensions).
 
@@ -102,8 +113,20 @@ def main() -> None:
                         AS BIGINT) AS n_chars
             FROM documents CROSS JOIN range({COPIES}) t(i)
         """,
+        # jitter = ((vec_id*P1 + dim*P2 + copy*9973) mod 83887 - 41943)
+        # grid steps of 2^-22 (= 2.384185791015625e-07, exactly
+        # representable), i.e. |jitter| <= 0.01 — ~10% of a typical entry
         "embeddings": f"""
-            SELECT vec_id + i * {STRIDE} AS vec_id, embedding, label
+            SELECT vec_id + i * {STRIDE} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE list_transform(
+                            embedding,
+                            (x, d) -> x + CAST(
+                                (vec_id * 1000003 + d * 7919 + i * 9973)
+                                    % 83887 - 41943 AS DOUBLE)
+                                * 2.384185791015625e-07)
+                   END AS embedding,
+                   label
             FROM embeddings CROSS JOIN range({COPIES}) t(i)
         """,
     }
