@@ -25,6 +25,15 @@ from . import shared
 from .registry import QuerySpec, register, utc
 
 
+#: IALS normal-equation operating point (all integers so the pipeline is
+#: exact relational algebra end to end): rank, confidence alpha
+#: (IALSRecommender.py:99-123 linear mode over interaction COUNTS — the
+#: canonical Hu/Koren implicit-strength encoding), Tikhonov reg.
+_IALS_NE_RANK = 4
+_IALS_NE_ALPHA = 20
+_IALS_NE_REG = 0.1
+
+
 def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.urm(spark, sf_dir)  # persisted once per session (plans/shared.py)
 
@@ -224,6 +233,85 @@ register(
 )
 
 
+def q_pure_svd_range_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC multiply of PureSVD's randomized power chain
+    oracled (same conversion as ials_normal_eq / ease_r_gram): one
+    alternating step Z = Xᵀ(X·Ω) of the randomized range finder (Halko,
+    Martinsson & Tropp 2011 alg. 4.3 — the step
+    recommenders/factor.pure_svd_item_factors chains n_iter times) over
+    a PINNED integer-grid test matrix Ω on the house multiplicative-hash
+    convention (ω_if = ((item·P1 + (f+1)·P2) mod 7) − 3, the same grid
+    as ials_normal_eq — no RNG stream).  Under the implicit 0/1 URM both
+    matmuls are join+groupBy integer sums, so the whole step replays
+    bit-for-bit in SQL; only the Gaussian draw and the driver-side
+    QR/eigh epilogue stay rows-only.
+
+    Scale shape: identical to the fit's own `_matmul_urm_df` — two
+    equi-joins on the URM's keys with partial aggregation, user-side
+    intermediate never leaves the cluster."""
+    from ..functions.hashing import P1, P2
+
+    r = _IALS_NE_RANK
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    omega = (
+        urm.select("item_id")
+        .distinct()
+        .select(
+            "item_id",
+            F.explode(F.array(*[F.lit(i) for i in range(r)])).alias("f"),
+        )
+        .select(
+            "item_id",
+            F.col("f").cast("int").alias("f"),
+            (
+                (F.col("item_id") * F.lit(P1) + (F.col("f") + 1) * F.lit(P2))
+                % 7
+                - 3
+            ).cast("bigint").alias("w"),
+        )
+    )
+    p = (
+        urm.join(omega, "item_id")
+        .groupBy("user_id", "f")
+        .agg(F.sum("w").cast("bigint").alias("p"))
+    )
+    return (
+        urm.join(p, "user_id")
+        .groupBy("item_id", "f")
+        .agg(F.sum("p").cast("bigint").alias("z"))
+    )
+
+
+register(
+    QuerySpec(
+        "pure_svd_range_finder",
+        q_pure_svd_range_finder,
+        f"""
+        WITH {URM_CTE},
+        omega AS (
+            SELECT item_id, CAST(f.f AS INT) AS f,
+                   CAST((item_id * 1000003 + (f.f + 1) * 7919) % 7 - 3
+                        AS BIGINT) AS w
+            FROM (SELECT DISTINCT item_id FROM urm)
+            CROSS JOIN (SELECT UNNEST(range({_IALS_NE_RANK})) AS f) f
+        ),
+        p AS (
+            SELECT u.user_id, o.f, CAST(SUM(o.w) AS BIGINT) AS p
+            FROM urm u JOIN omega o ON u.item_id = o.item_id
+            GROUP BY 1, 2
+        )
+        SELECT u.item_id, p.f, CAST(SUM(p.p) AS BIGINT) AS z
+        FROM urm u JOIN p ON u.user_id = p.user_id
+        GROUP BY 1, 2
+        """,
+        doc="randomized-SVD range-finder step oracled (Halko et al. 2011 "
+        "alg 4.3): Z = X^T(X*Omega) over a pinned integer-grid Omega — "
+        "the deterministic multiply PureSVD's power chain iterates; only "
+        "the Gaussian draw and the driver QR/eigh epilogue stay rows-only",
+    )
+)
+
+
 def q_slim_elasticnet_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIM-EN per-item ElasticNet, DISTRIBUTED co-occurrence-neighborhood
     fit — no driver URM, no item cap (SLIMElasticNetRecommender.py:41-149;
@@ -412,15 +500,6 @@ register(
         "ease_r_weights consumes",
     )
 )
-
-
-#: IALS normal-equation operating point (all integers so the pipeline is
-#: exact relational algebra end to end): rank, confidence alpha
-#: (IALSRecommender.py:99-123 linear mode over interaction COUNTS — the
-#: canonical Hu/Koren implicit-strength encoding), Tikhonov reg.
-_IALS_NE_RANK = 4
-_IALS_NE_ALPHA = 20
-_IALS_NE_REG = 0.1
 
 
 def q_ials_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,7 +151,11 @@ DRIVER_PRIORITY: list[str] = [
     # of implicit ALS oracled — A_u = YᵀY + α·Σ n_ui·y yᵀ + λI and
     # b_u = Σ (1+α·n_ui)·y over pinned integer-grid factors; the same
     # rows-only→oracled conversion as ease_r_gram / slim_en_support,
-    # r14 verdict task 4).
+    # r14 verdict task 4) /
+    # pure_svd_range_finder (the deterministic multiply of PureSVD's
+    # randomized power chain oracled — Z = Xᵀ(X·Ω) over a pinned
+    # integer-grid Ω, Halko et al. 2011 alg. 4.3; only the Gaussian
+    # draw and the driver QR/eigh epilogue stay rows-only).
 ]
 
 

@@ -1351,3 +1351,43 @@ def test_ials_normal_eq_matches_dense_numpy(spark, sf_dir):
                 assert av == pytest.approx(a_u[f, g], abs=1e-9), (u, f, g)
                 assert bv == b_u[f]
     assert len(got) == len(users) * r_ * r_
+
+
+def test_pure_svd_range_finder_matches_dense_numpy(spark, sf_dir):
+    """pure_svd_range_finder emits exactly Z = Xᵀ(X·Ω) for the pinned
+    grid Ω — dense numpy replica over the same implicit URM."""
+    from contentwise_impressions_spark.functions.hashing import P1, P2
+    from contentwise_impressions_spark.plans.modelops import (
+        _IALS_NE_RANK,
+        q_pure_svd_range_finder,
+    )
+
+    urm_rows = (
+        implicit_urm(load_table(spark, sf_dir, "events"))
+        .select("user_id", "item_id")
+        .collect()
+    )
+    users = sorted({r["user_id"] for r in urm_rows})
+    items = sorted({r["item_id"] for r in urm_rows})
+    u_idx = {u: k for k, u in enumerate(users)}
+    i_idx = {i: k for k, i in enumerate(items)}
+    x = np.zeros((len(users), len(items)))
+    for r in urm_rows:
+        x[u_idx[r["user_id"]], i_idx[r["item_id"]]] = 1.0
+    r_ = _IALS_NE_RANK
+    omega = np.array(
+        [
+            [(i * P1 + (f + 1) * P2) % 7 - 3 for f in range(r_)]
+            for i in items
+        ],
+        dtype=np.float64,
+    )
+    z = x.T @ (x @ omega)
+    got = {
+        (r["item_id"], r["f"]): r["z"]
+        for r in q_pure_svd_range_finder(spark, sf_dir).collect()
+    }
+    assert len(got) == len(items) * r_
+    for i in items:
+        for f in range(r_):
+            assert got[(i, f)] == z[i_idx[i], f], (i, f)
