@@ -690,6 +690,133 @@ register(
 )
 
 
+def q_nmf_mu_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of one Lee–Seung H-update oracled (the
+    third rows-only→oracled conversion of this family, after
+    ials_normal_eq and pure_svd_range_finder): given pinned nonnegative
+    integer-grid factors W (users×k) and H₀ (k×items), the update
+    H₁ = H₀ ⊙ (WᵀA) ⊘ ((WᵀW)·H₀) — NMFRecommender.py:36-73,
+    recommenders/factor.nmf_factors_distributed's per-iteration algebra —
+    factors into exact BIGINT relational sums.  Emitting the numerator
+    and denominator as separate integer columns (h0, num, den) keeps the
+    whole stage bit-exact in any engine; only the elementwise ratio and
+    the iteration chain stay rows-only (the ratio is one IEEE division
+    the consumer applies per entry).
+
+    Under the implicit 0/1 URM: num_if = Σ_{u∈obs(i)} w_uf;
+    (WᵀW)_fg = Σ_u w_uf·w_ug (a k×k broadcast);
+    den_if = Σ_g (WᵀW)_fg · h0_gi.  W uses the house mod-7 hash grid,
+    H₀ a mod-5 grid (decorrelated), both nonnegative as NMF requires.
+
+    Scale shape: num is one join+groupBy on the URM; WᵀW is k² values
+    (broadcast); den is an items×k² map-side expansion + partial agg —
+    exactly the distributed-MU fit's own cost structure."""
+    from ..functions.hashing import P1, P2
+
+    r = _IALS_NE_RANK
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    f_arr = F.array(*[F.lit(i) for i in range(r)])
+    w = (
+        urm.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(f_arr).alias("f"))
+        .select(
+            "user_id",
+            F.col("f").cast("int").alias("f"),
+            (
+                (F.col("user_id") * F.lit(P1) + (F.col("f") + 1) * F.lit(P2))
+                % 7
+            ).cast("bigint").alias("w"),
+        )
+    )
+    h0 = (
+        urm.select("item_id")
+        .distinct()
+        .select("item_id", F.explode(f_arr).alias("g"))
+        .select(
+            "item_id",
+            F.col("g").cast("int").alias("g"),
+            (
+                (F.col("item_id") * F.lit(P1) + (F.col("g") + 1) * F.lit(P2))
+                % 5
+            ).cast("bigint").alias("h0"),
+        )
+    )
+    num = (
+        urm.join(w, "user_id")
+        .groupBy("item_id", "f")
+        .agg(F.sum("w").cast("bigint").alias("num"))
+    )
+    wtw = (
+        w.alias("a")
+        .join(w.alias("b"), "user_id")
+        .groupBy(F.col("a.f").alias("f"), F.col("b.f").alias("g"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("ww"))
+    )
+    den = (
+        h0.join(F.broadcast(wtw), "g")
+        .groupBy("item_id", "f")
+        .agg(F.sum(F.col("ww") * F.col("h0")).cast("bigint").alias("den"))
+    )
+    h0f = h0.select(
+        "item_id", F.col("g").alias("f"), F.col("h0").alias("h0")
+    )
+    return (
+        num.join(den, ["item_id", "f"])
+        .join(h0f, ["item_id", "f"])
+        .select("item_id", "f", "h0", "num", "den")
+    )
+
+
+register(
+    QuerySpec(
+        "nmf_mu_step",
+        q_nmf_mu_step,
+        f"""
+        WITH {URM_CTE},
+        fr AS (SELECT CAST(UNNEST(range({_IALS_NE_RANK})) AS INT) AS f),
+        w AS (
+            SELECT user_id, fr.f,
+                   CAST((user_id * 1000003 + (fr.f + 1) * 7919) % 7
+                        AS BIGINT) AS w
+            FROM (SELECT DISTINCT user_id FROM urm) CROSS JOIN fr
+        ),
+        h0 AS (
+            SELECT item_id, fr.f AS g,
+                   CAST((item_id * 1000003 + (fr.f + 1) * 7919) % 5
+                        AS BIGINT) AS h0
+            FROM (SELECT DISTINCT item_id FROM urm) CROSS JOIN fr
+        ),
+        num AS (
+            SELECT u.item_id, w.f, CAST(SUM(w.w) AS BIGINT) AS num
+            FROM urm u JOIN w ON u.user_id = w.user_id
+            GROUP BY 1, 2
+        ),
+        wtw AS (
+            SELECT a.f AS f, b.f AS g,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS ww
+            FROM w a JOIN w b ON a.user_id = b.user_id
+            GROUP BY 1, 2
+        ),
+        den AS (
+            SELECT h.item_id, t.f, CAST(SUM(t.ww * h.h0) AS BIGINT) AS den
+            FROM h0 h JOIN wtw t ON h.g = t.g
+            GROUP BY 1, 2
+        )
+        SELECT n.item_id, n.f, h.h0, n.num, d.den
+        FROM num n
+        JOIN den d ON n.item_id = d.item_id AND n.f = d.f
+        JOIN h0 h ON n.item_id = h.item_id AND n.f = h.g
+        """,
+        doc="Lee-Seung NMF H-update deterministic stage oracled "
+        "(NMFRecommender.py:36-73): numerator W^T A and denominator "
+        "(W^T W) H0 as exact BIGINT columns over pinned nonnegative "
+        "integer-grid factors — only the elementwise ratio and the "
+        "iteration chain stay rows-only",
+    )
+)
+
+
 def q_bpr_mf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPR-MF top-10 (parallel minibatch SGD + averaging;
     MatrixFactorization_Cython_Epoch.pyx:662-709), served by the bounded

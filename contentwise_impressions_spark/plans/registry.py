@@ -155,7 +155,11 @@ DRIVER_PRIORITY: list[str] = [
     # pure_svd_range_finder (the deterministic multiply of PureSVD's
     # randomized power chain oracled — Z = Xᵀ(X·Ω) over a pinned
     # integer-grid Ω, Halko et al. 2011 alg. 4.3; only the Gaussian
-    # draw and the driver QR/eigh epilogue stay rows-only).
+    # draw and the driver QR/eigh epilogue stay rows-only) /
+    # nmf_mu_step (the deterministic stage of one Lee–Seung H-update —
+    # numerator WᵀA and denominator (WᵀW)H₀ as exact BIGINT columns
+    # over pinned nonnegative integer grids; only the elementwise
+    # ratio and the iteration chain stay rows-only).
 ]
 
 

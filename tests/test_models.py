@@ -1391,3 +1391,48 @@ def test_pure_svd_range_finder_matches_dense_numpy(spark, sf_dir):
     for i in items:
         for f in range(r_):
             assert got[(i, f)] == z[i_idx[i], f], (i, f)
+
+
+def test_nmf_mu_step_matches_dense_numpy(spark, sf_dir):
+    """nmf_mu_step emits exactly the Lee–Seung H-update factors: dense
+    numpy replica num = WᵀA, den = (WᵀW)H₀ over the same pinned grids."""
+    from contentwise_impressions_spark.functions.hashing import P1, P2
+    from contentwise_impressions_spark.plans.modelops import (
+        _IALS_NE_RANK,
+        q_nmf_mu_step,
+    )
+
+    urm_rows = (
+        implicit_urm(load_table(spark, sf_dir, "events"))
+        .select("user_id", "item_id")
+        .collect()
+    )
+    users = sorted({r["user_id"] for r in urm_rows})
+    items = sorted({r["item_id"] for r in urm_rows})
+    u_idx = {u: k for k, u in enumerate(users)}
+    i_idx = {i: k for k, i in enumerate(items)}
+    a = np.zeros((len(users), len(items)))
+    for r in urm_rows:
+        a[u_idx[r["user_id"]], i_idx[r["item_id"]]] = 1.0
+    r_ = _IALS_NE_RANK
+    w = np.array(
+        [[(u * P1 + (f + 1) * P2) % 7 for f in range(r_)] for u in users],
+        dtype=np.float64,
+    )
+    h0 = np.array(
+        [[(i * P1 + (g + 1) * P2) % 5 for g in range(r_)] for i in items],
+        dtype=np.float64,
+    ).T  # (k, n_items)
+    num = w.T @ a
+    den = (w.T @ w) @ h0
+    got = {
+        (r["item_id"], r["f"]): (r["h0"], r["num"], r["den"])
+        for r in q_nmf_mu_step(spark, sf_dir).collect()
+    }
+    assert len(got) == len(items) * r_
+    for i in items:
+        for f in range(r_):
+            hv, nv, dv = got[(i, f)]
+            assert hv == h0[f, i_idx[i]]
+            assert nv == num[f, i_idx[i]]
+            assert dv == den[f, i_idx[i]]
