@@ -166,3 +166,27 @@ def test_cheap_query_cost_flat_after_heavy_payload_query(spark):
     t_after = min(_run(spark, "value_histogram") for _ in range(3))
     # floor the baseline: sub-100ms plans are scheduler-noise-dominated
     assert t_after <= 2.0 * max(t_iso, 0.1)
+
+
+def test_ivfpq_persist_before_fanout_pin(spark):
+    """Regression pin for the r15 scale fix: ivfpq_topk must persist its
+    trained artifacts (codebook, probe table, index payload) so the
+    sizing count and the serving union don't re-execute the Lloyd/encode
+    subtrees per consumer (BENCH_sf1 measured the family 5.2-7.1x warm
+    at 10x data before the pin, 1.07-1.51x after).  And the blocks must
+    stay sweepable: release_session_payloads' JVM block-manager sweep is
+    what keeps the no-unpersist contract leak-free between families."""
+    from contentwise_impressions_spark.operators.pq import ivfpq_topk
+    from contentwise_impressions_spark.sources.tables import load_table
+
+    release_session_payloads(spark, blocking=True)
+    emb = load_table(spark, SF, "embeddings")
+    out = ivfpq_topk(emb, k=3, n_list=8, ivf_iters=2)
+    n_cached = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert n_cached >= 3, (
+        f"expected the codebook/probe-table/index-payload persists, "
+        f"found {n_cached} persistent RDDs"
+    )
+    assert out.count() > 0  # serving reads through the caches
+    release_session_payloads(spark, blocking=True)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
