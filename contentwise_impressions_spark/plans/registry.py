@@ -65,101 +65,91 @@ def _load_all_modules() -> None:
 #: rows (7 rounds stale), (4) the alphabetically-first seventeen r5-vintage
 #: rows, filling the 50 budget.
 DRIVER_PRIORITY: list[str] = [
-    # --- round-15 front (driver verifies in order, budget 50/round) ---
-    # Ledger entering round 15 (from the CORRECTNESS_r* key sets): r14
-    # evidence for 50 queries, r13/r12/r11 for 50 each, r10 for 39, and
-    # FOUR round-14-late specs with none.  Front order: (1) the four
-    # zero-evidence round-14-late specs (the IVF-routed SQ8 trio and the
-    # EASE-R Gram stage), (2) ALL thirty-nine remaining r10-vintage rows
-    # (5 rounds stale), (3) the alphabetically-first seven r11-vintage
-    # rows, filling the 50 budget.
-    # round-14-late specs with ZERO driver evidence
-    "ann_ivf_sq8_topk",
-    "ann_ivf_sq8_residual_topk",
-    "ann_ivf_sq8_multiprobe_topk",
-    "ease_r_gram",
-    # r10-vintage evidence (5 rounds stale) -- all remaining thirty-nine
-    "event_cube_stats",
-    "event_transition_matrix",
-    "excess_stock_suppliers",
-    "feature_pruning",
-    "global_effects_item_bias",
-    "global_effects_user_bias",
-    "hash_split_sizes",
-    "hll_register_rollup",
-    "hopping_window_counts",
-    "impression_list_invariants",
-    "impression_urm",
-    "item_pagerank",
-    "item_triangle_stats",
-    "itemknn_recommendations",
-    "lone_returner_suppliers",
-    "minhash_dedup_clusters",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "mmr_diversified_topk",
-    "multi_touch_attribution",
-    "ngram_jaccard_topn",
-    "order_association_rules",
-    "part_adamic_adar",
-    "part_bfs_hops",
-    "part_label_propagation",
-    "part_name_linkage",
-    "part_supplier_counts",
-    "purchase_state_pit_join",
-    "simhash_neardup_pairs",
-    "snapshot_diff_parts",
-    "stream_enriched_counts",
-    "stream_popularity_store",
-    "stream_tumbling_counts",
-    "stream_user_profiles",
-    "tuning_end_to_end",
-    "user_journey_patterns",
-    "user_retention_cohorts",
-    "user_rfm_segments",
-    "view_to_click_conversions",
-    # r11-vintage (4 rounds stale) -- alphabetically-first seven
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivf_topk_nprobe2",
-    "ann_retrieval_topk",
-    "audio_decode_stats",
-    "audio_frame_energy",
-    "batch_drift_stats",
-    # (the remaining forty-three r11-vintage rows roll to the r16 front:
-    # bm25_search_topk / bm25_weighted_itemknn / bpe_compression_stats /
-    # bpe_learned_merges / bpr_triplets_inside / centered_similarities /
-    # confidence_matrix / conversion_funnel / corpus_bigrams /
-    # custom_w_recommendations / data_quality_checks /
-    # diversity_similarity / doc_novelty_stats / doc_top_terms /
-    # dsir_importance_weights / duplicated_span_stats /
-    # ease_r_blocked_weights / embedding_neardup_pairs /
-    # nation_trade_volume / p3alpha_topk / pii_scrub_stats /
-    # promo_revenue_share / props_json_stats / remove_top_popular /
-    # rmse_global_effects / rp3beta_topk / simhash_fingerprints /
-    # stratified_sample_sizes / stream_hopping_counts / tfidf_weights /
-    # token_top_docs / toppop_beyond_accuracy / toppop_eval_metrics /
-    # toppop_eval_multi_cutoff / toppop_recommendations /
-    # tumbling_window_counts / tuning_refit_metrics / user_holdout_sizes /
-    # user_sessions / user_survival_curve / weighted_ndcg /
-    # zorder_layout_stats —
-    # then the r12 block (50 rows) rotates.  Any spec registered during
-    # round 15 AFTER this front filled lands at position 51+ and MUST
-    # open the r16 front; record each here as it registers.
-    # Round-15 late specs so far:
-    # ials_normal_eq (the deterministic per-user normal-equation stage
-    # of implicit ALS oracled — A_u = YᵀY + α·Σ n_ui·y yᵀ + λI and
-    # b_u = Σ (1+α·n_ui)·y over pinned integer-grid factors; the same
-    # rows-only→oracled conversion as ease_r_gram / slim_en_support,
-    # r14 verdict task 4) /
-    # pure_svd_range_finder (the deterministic multiply of PureSVD's
-    # randomized power chain oracled — Z = Xᵀ(X·Ω) over a pinned
-    # integer-grid Ω, Halko et al. 2011 alg. 4.3; only the Gaussian
-    # draw and the driver QR/eigh epilogue stay rows-only) /
-    # nmf_mu_step (the deterministic stage of one Lee–Seung H-update —
-    # numerator WᵀA and denominator (WᵀW)H₀ as exact BIGINT columns
-    # over pinned nonnegative integer grids; only the elementwise
-    # ratio and the iteration chain stay rows-only).
+    # --- round-16 front (driver verifies in order, budget 50/round) ---
+    # Ledger entering round 16 (from the CORRECTNESS_r* key sets): r15
+    # evidence for 50 queries, r14/r13 for 50 each, r12 for 50, r11 for
+    # 43, and THREE round-15-late specs with none.  Front order: (1) the
+    # three zero-evidence round-15-late specs (the oracled deterministic
+    # model stages ials_normal_eq / pure_svd_range_finder / nmf_mu_step),
+    # (2) ALL forty-three remaining r11-vintage rows (4 rounds stale;
+    # NOTE the r15 ledger comment listed 42 of them -- it missed
+    # blocklist_filter_stats, the artifacts are authoritative), (3) the
+    # alphabetically-first four r12-vintage rows, filling the 50 budget.
+    # round-15-late specs with ZERO driver evidence
+    "ials_normal_eq",
+    "pure_svd_range_finder",
+    "nmf_mu_step",
+    # r11-vintage evidence (4 rounds stale) -- all remaining forty-three
+    "blocklist_filter_stats",
+    "bm25_search_topk",
+    "bm25_weighted_itemknn",
+    "bpe_compression_stats",
+    "bpe_learned_merges",
+    "bpr_triplets_inside",
+    "centered_similarities",
+    "confidence_matrix",
+    "conversion_funnel",
+    "corpus_bigrams",
+    "custom_w_recommendations",
+    "data_quality_checks",
+    "diversity_similarity",
+    "doc_novelty_stats",
+    "doc_top_terms",
+    "dsir_importance_weights",
+    "duplicated_span_stats",
+    "ease_r_blocked_weights",
+    "embedding_neardup_pairs",
+    "nation_trade_volume",
+    "p3alpha_topk",
+    "pii_scrub_stats",
+    "promo_revenue_share",
+    "props_json_stats",
+    "remove_top_popular",
+    "rmse_global_effects",
+    "rp3beta_topk",
+    "simhash_fingerprints",
+    "stratified_sample_sizes",
+    "stream_hopping_counts",
+    "tfidf_weights",
+    "token_top_docs",
+    "toppop_beyond_accuracy",
+    "toppop_eval_metrics",
+    "toppop_eval_multi_cutoff",
+    "toppop_recommendations",
+    "tumbling_window_counts",
+    "tuning_refit_metrics",
+    "user_holdout_sizes",
+    "user_sessions",
+    "user_survival_curve",
+    "weighted_ndcg",
+    "zorder_layout_stats",
+    # r12-vintage (4 rounds stale) -- alphabetically-first four
+    "active_users",
+    "ann_ivf_sampled_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    # (the remaining forty-six r12-vintage rows roll to the r17 front:
+    # ann_pq_codes / bpr_triplets_outside / cfcbf_hybrid_topk /
+    # clickers_never_purchased / cold_start_split_sizes /
+    # corpus_cardinalities / custom_w_serving_topk / embedding_outlier_flags /
+    # event_type_entropy / event_type_herfindahl / events_of_known_customers /
+    # fd_violations / filter_project / hard_negative_pairs /
+    # hourly_event_type_pivot / incremental_dedup_flags / item_pmi_topk /
+    # item_similarity_family / itemcbf_cosine_topk / january_traffic /
+    # jpeg_decode_stats / kcore_filter / lang_temperature_sampling /
+    # lsh_recall_stats / minhash_jaccard_estimates / multimodal_decode_stats /
+    # multires_event_rollup / nation_market_share / passage_chunks /
+    # png_decode_stats / priority_late_orders / quality_classifier_scores /
+    # random_recommendations / semantic_dedup_flags / sketch_summary /
+    # slim_bpr_weights / source_quality_rollup / span_scrubbed_docs /
+    # stream_view_click_outer / tag_tokens_porter / token_budget_mixture /
+    # top_revenue_suppliers / training_shard_manifest / unigram_ppl_buckets /
+    # user_cosine_topk / userknn_recommendations --
+    # then the remaining r12 rows + r13 block rotate.  Any spec
+    # registered during round 16 AFTER this front filled lands at
+    # position 51+ and MUST open the r17 front; record each here as it
+    # registers.
+    # Round-16 late specs so far: (none yet)
 ]
 
 
