@@ -302,17 +302,21 @@ def pq_adc_topk(
 
     spark = embeddings.sparkSession
     if codebooks is None:
-        codebooks = pq_codebooks(embeddings, m, kcent, n_iters, dsub, vec_col)
-    # persist-before-fanout (round-14 sq.py finding, ported r15): the
-    # codebook plan has TWO consumers — this collect and the pq_codes
-    # encode inside the serving job.  Uncached, each re-executes the
-    # whole Lloyd subtree (the dominant training cost at scale).  Same
-    # level as plans/shared.materialized, so re-persisting a
-    # session-cached codebook is a no-op.  Not unpersisted: the returned
-    # plan reads through the cache lazily; bench.py's between-family
-    # release (catalog cache sweep) reclaims the blocks — library
-    # callers doing many invocations in one session should sweep too.
-    codebooks = codebooks.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist-before-fanout (round-14 sq.py finding, ported r15): the
+        # codebook plan has TWO consumers — this collect and the pq_codes
+        # encode inside the serving job.  Uncached, each re-executes the
+        # whole Lloyd subtree (the dominant training cost at scale).  Same
+        # level as plans/shared.materialized.  Not unpersisted: the
+        # returned plan reads through the cache lazily; bench.py's
+        # between-family release (catalog cache sweep) reclaims the
+        # blocks — library callers doing many invocations in one session
+        # should sweep too.  Only artifacts trained HERE are persisted:
+        # a caller-supplied codebook is never mutated as a side effect
+        # (r15 advice) — callers own the caching of what they pass in
+        # (plans/ routes supplied artifacts through shared.materialized).
+        codebooks = pq_codebooks(
+            embeddings, m, kcent, n_iters, dsub, vec_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cb_rows = codebooks.collect()  # tiny by construction: m·kcent·dsub ints
     cb = np.zeros((m, kcent, dsub))
     for r in cb_rows:
@@ -407,17 +411,21 @@ def ivfpq_topk(
 
     spark = embeddings.sparkSession
     if codebooks is None:
-        codebooks = pq_codebooks(embeddings, m, kcent, pq_iters, dsub, vec_col)
-    # persist-before-fanout (round-14 sq.py finding, ported r15 — it was
-    # measured 24.5x->1.6x warm at 10x data there, and BENCH_sf1 read
-    # this family at 5.2-7.1x before the same pin): every expensive
-    # trained artifact below has 2+ consumers, and uncached each consumer
-    # re-executes the whole training subtree.  Persisted at the same
-    # level as plans/shared.materialized (re-persist is a no-op for
-    # session-cached inputs); not unpersisted — the returned plan reads
-    # through the caches lazily, bench.py's between-family release sweeps
-    # the blocks, and library callers should sweep likewise.
-    codebooks = codebooks.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist-before-fanout (round-14 sq.py finding, ported r15 — it
+        # was measured 24.5x->1.6x warm at 10x data there, and BENCH_sf1
+        # read this family at 5.2-7.1x before the same pin): every
+        # expensive trained artifact below has 2+ consumers, and uncached
+        # each consumer re-executes the whole training subtree.
+        # Persisted at the same level as plans/shared.materialized; not
+        # unpersisted — the returned plan reads through the caches
+        # lazily, bench.py's between-family release sweeps the blocks,
+        # and library callers should sweep likewise.  Only artifacts
+        # trained HERE are persisted: caller-supplied frames are never
+        # mutated as a side effect (r15 advice) — callers own the
+        # caching of what they pass in.
+        codebooks = pq_codebooks(
+            embeddings, m, kcent, pq_iters, dsub, vec_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cb_rows = codebooks.collect()
     cb = np.zeros((m, kcent, dsub))
     for r in cb_rows:
@@ -646,28 +654,34 @@ def ivfpq_residual_topk(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # centroids / codebooks / codes are overridable so callers can
     # session-cache the trained artifacts (a deployment trains offline;
-    # same pattern as ivfpq_topk's codebooks/ivf_distances params)
+    # same pattern as ivfpq_topk's codebooks/ivf_distances params).
+    # Supplied artifacts are NOT persisted here — the caller owns their
+    # caching (each has 2+ consumers below, so pass them persisted).
     cent = centroids
     if cent is None or codebooks is None or codes is None:
         e = _sub_frame(embeddings, vec_col, dsub)
         eh = e.join(home, "vec_id")
         if cent is None:
-            cent = residual_centroids(embeddings, home, dsub, vec_col)
-        # cent has 2+ consumers (residual frame broadcast + the centm
-        # collect below); the residual frame itself feeds both the
-        # codebook trainer and the encoder
-        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+            # cent has 2+ consumers (residual frame broadcast + the centm
+            # collect below); the residual frame itself feeds both the
+            # codebook trainer and the encoder.  Persist only what is
+            # trained HERE — a caller-supplied frame is never persisted
+            # as a side effect (r15 advice): callers own the caching of
+            # what they pass in (plans/ routes supplied artifacts through
+            # shared.materialized, already persisted).
+            cent = residual_centroids(
+                embeddings, home, dsub, vec_col
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
             "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
         )
-    else:
-        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
-    cbs = codebooks if codebooks is not None else pq_codebooks(
-        embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
-    )
-    # two consumers: the cb collect below and (when trained here) the
-    # encoder's broadcast join
-    cbs = cbs.persist(StorageLevel.MEMORY_AND_DISK)
+    cbs = codebooks
+    if cbs is None:
+        # two consumers: the cb collect below and the encoder's
+        # broadcast join — persist (trained here; see note above)
+        cbs = pq_codebooks(
+            embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     codes_long = codes if codes is not None else pq_codes(
         embeddings, cbs, m, kcent, pq_iters, dsub, vec_col, frame=res
     )

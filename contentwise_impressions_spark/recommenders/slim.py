@@ -44,10 +44,13 @@ except Exception:
 
 from ..functions.blasctl import limit_blas_threads  # noqa: E402
 
-#: EASE_R's default Tikhonov weight (EASE_R_Recommender.py:55 topK=None,
-#: l2_norm default).  Shared with plans/modelops.q_ease_r_gram so the
-#: oracled Gram stage G = XᵀX + λI stays the EXACT input these solvers
-#: consume if the default ever moves.
+#: This repo's chosen EASE_R Tikhonov operating point.  NOTE it is NOT
+#: the reference default — EASE_R_Recommender.py:40 defaults
+#: l2_norm=1e3; 10.0 is the value every EASE_R path here has always
+#: used (kept for artifact/oracle continuity, and the conditioning at
+#: the harness's small URMs is fine at 10).  Shared with
+#: plans/modelops.q_ease_r_gram so the oracled Gram stage G = XᵀX + λI
+#: stays the EXACT input these solvers consume if this value ever moves.
 EASE_R_L2 = 10.0
 
 

@@ -142,6 +142,12 @@ def test_lsh_query_cost_flat_after_ann_index_payloads_released(spark):
     # which would survive the retry (r14 ADVICE).
     bound = 2.0 * max(t_iso, 0.5)
     if t_after > bound:
+        # keep the first (failed) measurement visible in CI output so a
+        # real regression trend isn't masked by the retry (r15 ADVICE)
+        print(
+            f"lsh wall-clock gate retry: first triple {t_after:.3f}s > "
+            f"bound {bound:.3f}s (t_iso {t_iso:.3f}s) — re-measuring"
+        )
         _run(spark, "lsh_recall_stats")  # re-settle
         t_after = min(_run(spark, "lsh_recall_stats") for _ in range(3))
     release_session_payloads(spark)
