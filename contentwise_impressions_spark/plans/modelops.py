@@ -510,11 +510,15 @@ def q_ials_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         A_u = YᵀY + α·Σ_{i∈obs(u)} n_ui·y_i y_iᵀ + λI
         b_u = Σ_{i∈obs(u)} (1 + α·n_ui)·y_i
 
-    — exactly the per-user solve input of implicit ALS (Hu, Koren &
-    Volinsky 2008 eq. 4 with C_u = I + α·diag(n_u); the repo's fit is
-    MLlib ``ALS(implicitPrefs=True)``, recommenders/factor.ials_factors,
-    whose user step solves this same system), leaving only the k×k solve
-    rows-only.  Y is pinned on the multiplicative-hash grid
+    — the per-user solve input of implicit ALS (Hu, Koren & Volinsky
+    2008 eq. 4 with C_u = I + α·diag(n_u)), leaving only the k×k solve
+    rows-only.  The system SHAPE matches the repo's fit (MLlib
+    ``ALS(implicitPrefs=True)``, recommenders/factor.ials_factors) but
+    the confidence input differs deliberately: ials_factors trains on
+    the binarized implicit URM (n_ui = 1 ⇒ C = 1 + α), while this spec
+    uses the raw interaction COUNT n_ui (C = 1 + α·n_ui) so the
+    emitted BIGINT entries exercise the general Hu-Koren weighting, not
+    just its binary special case.  Y is pinned on the multiplicative-hash grid
     y_if = ((item·P1 + (f+1)·P2) mod 7) − 3 ∈ [−3, 3] — deterministic,
     engine-portable, no RNG stream — and n_ui is the interaction COUNT,
     so every matrix entry is an exact BIGINT sum; the single λ addition
@@ -962,6 +966,150 @@ register(
         doc="portable-hash bucket assignment + per-bucket (user,item) "
         "sample order of the MF-SGD epoch kernel "
         "(MatrixFactorization_Cython_Epoch.pyx:286-390)",
+    )
+)
+
+
+def q_funk_svd_grad_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of the FunkSVD SGD update oracled (the
+    r15-verdict conversion that puts the SGD family's math under the
+    oracle the way nmf_mu_step does for NMF): the per-sample gradient of
+    the reference epoch kernel
+    (MatrixFactorization_Cython_Epoch.pyx:286-347)
+
+        e_ui  = r_ui − Σ_f W_uf·H_if
+        gW_uf = e_ui·H_if − reg·W_uf      (:347 local_gradient_user)
+        gH_if = e_ui·W_uf − reg·H_if      (:346 local_gradient_item)
+
+    evaluated at pinned integer-grid INITIAL factors for every sample
+    independently — epoch-0 before any write-back, so no sequential
+    dependence and every entry is an exact BIGINT sum.  Together with the
+    already-oracled sample stream (funk_svd_epoch0_stream) this certifies
+    everything about an SGD epoch except the order-dependent accumulation
+    itself, which stays rows-only by its stochastic nature.
+
+    Pinning choices (each deliberate, mirroring the sibling specs):
+    r_ui is the interaction COUNT (exact BIGINT; the fit's AVG-rating
+    input is a float — same count-for-exactness move as ials_normal_eq),
+    W on the house mod-7 grid, H on a mod-5 grid (decorrelated, as in
+    nmf_mu_step), reg pinned to the integer 1 standing in for the
+    reference's float user_reg/positive_reg pair.
+
+    Scale shape: two equi-joins on the interaction keys + one (u,i)
+    groupBy for the dot, then a join back on (u,i) — linear in
+    nnz·rank, the epoch kernel's own budget; no driver state."""
+    from ..functions.hashing import P1, P2
+
+    r, reg = _IALS_NE_RANK, 1
+    inter = events_as_interactions(
+        load_table(spark, sf_dir, "events")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    cnt = inter.groupBy("user_id", "item_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    f_arr = F.array(*[F.lit(i) for i in range(r)])
+    wf = (
+        cnt.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(f_arr).alias("f"))
+        .select(
+            "user_id",
+            F.col("f").cast("int").alias("f"),
+            (
+                (F.col("user_id") * F.lit(P1) + (F.col("f") + 1) * F.lit(P2))
+                % 7
+                - 3
+            ).cast("bigint").alias("w"),
+        )
+    )
+    hf = (
+        cnt.select("item_id")
+        .distinct()
+        .select("item_id", F.explode(f_arr).alias("f"))
+        .select(
+            "item_id",
+            F.col("f").cast("int").alias("f"),
+            (
+                (F.col("item_id") * F.lit(P1) + (F.col("f") + 1) * F.lit(P2))
+                % 5
+                - 2
+            ).cast("bigint").alias("h"),
+        )
+    )
+    joint = cnt.join(wf, "user_id").join(hf, ["item_id", "f"])
+    pred = joint.groupBy("user_id", "item_id").agg(
+        F.sum(F.col("w") * F.col("h")).cast("bigint").alias("pred")
+    )
+    return (
+        joint.join(pred, ["user_id", "item_id"])
+        .select(
+            "user_id",
+            "item_id",
+            "f",
+            (F.col("n") - F.col("pred")).cast("bigint").alias("err"),
+            (
+                (F.col("n") - F.col("pred")) * F.col("h")
+                - F.lit(reg) * F.col("w")
+            ).cast("bigint").alias("grad_user"),
+            (
+                (F.col("n") - F.col("pred")) * F.col("w")
+                - F.lit(reg) * F.col("h")
+            ).cast("bigint").alias("grad_item"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "funk_svd_grad_step",
+        q_funk_svd_grad_step,
+        f"""
+        WITH inter AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+                       AS item_id
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        cnt AS (
+            SELECT user_id, item_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM inter GROUP BY 1, 2
+        ),
+        wf AS (
+            SELECT user_id, CAST(f.f AS INT) AS f,
+                   CAST((user_id * 1000003 + (f.f + 1) * 7919) % 7 - 3
+                        AS BIGINT) AS w
+            FROM (SELECT DISTINCT user_id FROM cnt)
+            CROSS JOIN (SELECT UNNEST(range({_IALS_NE_RANK})) AS f) f
+        ),
+        hf AS (
+            SELECT item_id, CAST(f.f AS INT) AS f,
+                   CAST((item_id * 1000003 + (f.f + 1) * 7919) % 5 - 2
+                        AS BIGINT) AS h
+            FROM (SELECT DISTINCT item_id FROM cnt)
+            CROSS JOIN (SELECT UNNEST(range({_IALS_NE_RANK})) AS f) f
+        ),
+        joint AS (
+            SELECT c.user_id, c.item_id, w.f, c.n, w.w, h.h
+            FROM cnt c
+            JOIN wf w ON c.user_id = w.user_id
+            JOIN hf h ON c.item_id = h.item_id AND w.f = h.f
+        ),
+        pred AS (
+            SELECT user_id, item_id, CAST(SUM(w * h) AS BIGINT) AS pred
+            FROM joint GROUP BY 1, 2
+        )
+        SELECT j.user_id, j.item_id, j.f,
+               CAST(j.n - p.pred AS BIGINT) AS err,
+               CAST((j.n - p.pred) * j.h - 1 * j.w AS BIGINT) AS grad_user,
+               CAST((j.n - p.pred) * j.w - 1 * j.h AS BIGINT) AS grad_item
+        FROM joint j
+        JOIN pred p ON j.user_id = p.user_id AND j.item_id = p.item_id
+        """,
+        doc="FunkSVD per-sample SGD gradient at epoch-0 oracled "
+        "(MatrixFactorization_Cython_Epoch.pyx:286-347): e = n - W.H, "
+        "gW = e*H - reg*W, gH = e*W - reg*H over pinned integer-grid "
+        "factors — only the order-dependent accumulation stays rows-only",
     )
 )
 
@@ -2514,6 +2662,99 @@ register(
         doc="global EASE_R via sparse-Gram CG in mapInPandas "
         "(EASE_R_Recommender.py:40-79, iterative scale path)",
         bench=False,
+    )
+)
+
+
+def q_ease_r_cg_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC kernel of the EASE-R conjugate-gradient scale
+    path oracled (the r15-verdict conversion, same move as ials_normal_eq
+    / pure_svd_range_finder / nmf_mu_step): one CG iteration's matvec
+
+        q = (G + λI)·p = Xᵀ(X·p) + λ·p
+
+    over a pinned integer-grid search direction
+    p_i = ((item·P1 + P2) mod 7) − 3 ∈ [−3, 3].  This is exactly the
+    per-iteration product ease_r_cg's kernel computes against the sparse
+    Gram (recommenders/slim.ease_r_cg; reference math
+    EASE_R_Recommender.py:40-79) — only the iteration CHAIN (α/β scalars,
+    direction updates) stays rows-only, the algebra each step runs is
+    certified here.
+
+    The factored form never materializes G: under the binary implicit URM
+    s_u = Σ_{i∈obs(u)} p_i (one join+groupBy on user), then
+    (XᵀXp)_j = Σ_{u∈obs(j)} s_u (one join+groupBy on item) — every entry
+    an exact BIGINT sum, λ = EASE_R_L2 an integer addition.
+
+    Scale shape: TWO linear-in-nnz shuffles per matvec and an O(|items|)
+    result — the reason CG is the 100 TB path while the closed-form
+    inverse (O(n³) driver) and even the materialized Gram
+    (Σ_u deg(u)² pairs) are not."""
+    from ..functions.hashing import P1, P2
+
+    urm = _urm(spark, sf_dir).select("user_id", "item_id")
+    p = (
+        urm.select("item_id")
+        .distinct()
+        .select(
+            "item_id",
+            ((F.col("item_id") * F.lit(P1) + F.lit(P2)) % 7 - 3)
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    s = (
+        urm.join(p, "item_id")
+        .groupBy("user_id")
+        .agg(F.sum("p").cast("bigint").alias("s"))
+    )
+    xtxp = (
+        urm.join(s, "user_id")
+        .groupBy("item_id")
+        .agg(F.sum("s").cast("bigint").alias("xtxp"))
+    )
+    return (
+        xtxp.join(p, "item_id")
+        .select(
+            "item_id",
+            "p",
+            (F.col("xtxp") + F.lit(int(EASE_R_L2)) * F.col("p"))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .orderBy("item_id")
+    )
+
+
+register(
+    QuerySpec(
+        "ease_r_cg_matvec",
+        q_ease_r_cg_matvec,
+        f"""
+        WITH {URM_CTE},
+        p AS (
+            SELECT DISTINCT item_id,
+                   CAST((item_id * 1000003 + 7919) % 7 - 3 AS BIGINT) AS p
+            FROM urm
+        ),
+        s AS (
+            SELECT u.user_id, CAST(SUM(p.p) AS BIGINT) AS s
+            FROM urm u JOIN p USING (item_id) GROUP BY 1
+        ),
+        xtxp AS (
+            SELECT u.item_id, CAST(SUM(s.s) AS BIGINT) AS xtxp
+            FROM urm u JOIN s USING (user_id) GROUP BY 1
+        )
+        SELECT x.item_id, p.p AS p,
+               CAST(x.xtxp + {int(EASE_R_L2)} * p.p AS BIGINT) AS q
+        FROM xtxp x JOIN p USING (item_id)
+        ORDER BY item_id
+        """,
+        doc="EASE-R CG matvec oracled: q = (X^T X + lambda*I) p over a "
+        "pinned integer-grid direction, factored as X^T(Xp) + lambda*p "
+        "(two linear-in-nnz passes, Gram never materialized) — the exact "
+        "per-iteration kernel of ease_r_cg_weights; only the CG scalar "
+        "chain stays rows-only",
     )
 )
 

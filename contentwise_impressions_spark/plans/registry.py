@@ -149,7 +149,18 @@ DRIVER_PRIORITY: list[str] = [
     # registered during round 16 AFTER this front filled lands at
     # position 51+ and MUST open the r17 front; record each here as it
     # registers.
-    # Round-16 late specs so far: (none yet)
+    # Round-16 late specs so far:
+    # ease_r_cg_matvec (the EASE-R conjugate-gradient iteration's
+    # matvec oracled — q = (XᵀX + λI)p factored as Xᵀ(Xp) + λp over a
+    # pinned integer-grid direction, two linear-in-nnz passes, Gram
+    # never materialized; only the CG scalar chain stays rows-only —
+    # r15 verdict task 4) /
+    # funk_svd_grad_step (the per-sample FunkSVD SGD gradient at pinned
+    # epoch-0 integer-grid factors oracled — e = n − W·H,
+    # gW = e·H − reg·W, gH = e·W − reg·H, the exact local_gradient_*
+    # lines of MatrixFactorization_Cython_Epoch.pyx:286-347; only the
+    # order-dependent accumulation stays rows-only — r15 verdict
+    # task 5).
 ]
 
 

@@ -1436,3 +1436,82 @@ def test_nmf_mu_step_matches_dense_numpy(spark, sf_dir):
             assert hv == h0[f, i_idx[i]]
             assert nv == num[f, i_idx[i]]
             assert dv == den[f, i_idx[i]]
+
+
+def test_ease_r_cg_matvec_matches_dense_numpy(spark, sf_dir):
+    """ease_r_cg_matvec emits exactly q = (XᵀX + λI)p for the pinned
+    direction p: dense numpy replica over the same implicit URM (the
+    DuckDB twin pins cross-engine replay; this pins the MATH — that the
+    factored two-pass program really is the Gram matvec the CG kernel
+    runs per iteration)."""
+    from contentwise_impressions_spark.functions.hashing import P1, P2
+    from contentwise_impressions_spark.plans.modelops import (
+        q_ease_r_cg_matvec,
+    )
+    from contentwise_impressions_spark.recommenders.slim import EASE_R_L2
+
+    urm_rows = (
+        implicit_urm(load_table(spark, sf_dir, "events"))
+        .select("user_id", "item_id")
+        .collect()
+    )
+    users = sorted({r["user_id"] for r in urm_rows})
+    items = sorted({r["item_id"] for r in urm_rows})
+    u_idx = {u: k for k, u in enumerate(users)}
+    i_idx = {i: k for k, i in enumerate(items)}
+    x = np.zeros((len(users), len(items)))
+    for r in urm_rows:
+        x[u_idx[r["user_id"]], i_idx[r["item_id"]]] = 1.0
+    p = np.array([(i * P1 + P2) % 7 - 3 for i in items], dtype=np.float64)
+    q = x.T @ (x @ p) + EASE_R_L2 * p
+    got = {
+        r["item_id"]: (r["p"], r["q"])
+        for r in q_ease_r_cg_matvec(spark, sf_dir).collect()
+    }
+    assert len(got) == len(items)
+    for i in items:
+        pv, qv = got[i]
+        assert pv == p[i_idx[i]]
+        assert qv == q[i_idx[i]], i
+
+
+def test_funk_svd_grad_step_matches_dense_numpy(spark, sf_dir):
+    """funk_svd_grad_step emits exactly the reference per-sample SGD
+    gradients at the pinned epoch-0 factors
+    (MatrixFactorization_Cython_Epoch.pyx:286-347): dense numpy replica
+    e = n − W·H, gW = e·H − reg·W, gH = e·W − reg·H."""
+    from contentwise_impressions_spark.functions.hashing import P1, P2
+    from contentwise_impressions_spark.plans.modelops import (
+        _IALS_NE_RANK,
+        q_funk_svd_grad_step,
+    )
+    from contentwise_impressions_spark.sources.interactions import (
+        INTERACTION_EVENT_TYPES,
+        events_as_interactions,
+    )
+
+    cnt = (
+        events_as_interactions(load_table(spark, sf_dir, "events"))
+        .filter(F.col("event_type").isin(*INTERACTION_EVENT_TYPES))
+        .groupBy("user_id", "item_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    r_, reg = _IALS_NE_RANK, 1
+    got = {
+        (r["user_id"], r["item_id"], r["f"]): (
+            r["err"], r["grad_user"], r["grad_item"],
+        )
+        for r in q_funk_svd_grad_step(spark, sf_dir).collect()
+    }
+    assert len(got) == len(cnt) * r_
+    for row in cnt:
+        u, i, n = row["user_id"], row["item_id"], row["n"]
+        w = np.array([(u * P1 + (f + 1) * P2) % 7 - 3 for f in range(r_)])
+        h = np.array([(i * P1 + (f + 1) * P2) % 5 - 2 for f in range(r_)])
+        e = n - int(w @ h)
+        for f in range(r_):
+            ev, gw, gh = got[(u, i, f)]
+            assert ev == e
+            assert gw == e * h[f] - reg * w[f]
+            assert gh == e * w[f] - reg * h[f]
