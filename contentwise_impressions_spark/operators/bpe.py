@@ -22,10 +22,14 @@ corpus.  Per merge round:
 At 100 TB the vocab table is still millions of rows — every step above
 stays distributed; k rounds = k bounded jobs over the cached vocab.
 
-No SQL oracle: the iterative re-segmentation is not SQL-expressible
-(each round rewrites sequences under the previous round's argmax), so
-the registered queries are rows-only; tests/test_bpe.py pins the learned
-merges against an independent pure-python reference implementation.
+No SQL oracle for the LOOP: the iterative re-segmentation is not
+SQL-expressible (each round rewrites sequences under the previous
+round's argmax), so the training queries are rows-only;
+tests/test_bpe.py pins the learned merges against an independent
+pure-python reference implementation.  Round 0's pair statistics and
+argmax order ARE oracled (plans/textops.q_bpe_round0_pairs, r16): with
+no merges applied the segmentation is chars+EOW, pure relational
+algebra, so the driver hash-checks the stage every round consumes.
 """
 
 from __future__ import annotations

@@ -160,7 +160,12 @@ DRIVER_PRIORITY: list[str] = [
     # gW = e·H − reg·W, gH = e·W − reg·H, the exact local_gradient_*
     # lines of MatrixFactorization_Cython_Epoch.pyx:286-347; only the
     # order-dependent accumulation stays rows-only — r15 verdict
-    # task 5).
+    # task 5) /
+    # bpe_round0_pairs (BPE training's round-0 pair statistics oracled —
+    # count-weighted adjacent-symbol counts over the word-frequency
+    # table with the trainer's exact argmax order; rnk 1 IS
+    # bpe_learned_merges' first merge, only the iterative
+    # re-segmentation of rounds 1+ stays rows-only).
 ]
 
 

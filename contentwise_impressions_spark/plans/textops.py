@@ -1107,10 +1107,12 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's segmentation + pair count is distributed, and only the
     argmax pair (one row) leaves the cluster per round.
 
-    No SQL oracle (iterative re-segmentation under the previous argmax
-    is not SQL-expressible): rows-only for the driver; the learned
-    merges are pinned against an independent pure-python reference in
-    tests/test_bpe.py."""
+    No SQL oracle for the loop (iterative re-segmentation under the
+    previous argmax is not SQL-expressible): rows-only for the driver;
+    the learned merges are pinned against an independent pure-python
+    reference in tests/test_bpe.py, and round 0's pair statistics +
+    argmax order are oracled separately as bpe_round0_pairs (rnk 1
+    there IS this query's first merge)."""
     merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
@@ -1153,6 +1155,100 @@ register(
         doc="trained-tokenizer compression: per-doc symbol counts before/"
         "after the learned BPE merges (rows-only; invariants in "
         "tests/test_bpe.py)",
+    )
+)
+
+
+def q_bpe_round0_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC stage of BPE training oracled (the same
+    rows-only→oracled conversion move as ials_normal_eq /
+    funk_svd_grad_step, applied to the tokenizer family): round 0's
+    count-weighted pair statistics and argmax ordering, BEFORE any merge
+    rewrites sequences.  With no merges applied, a word's symbols are
+    exactly its characters + the end-of-word marker
+    (operators/bpe.apply_merges on the empty rule list), so the pair
+    table is pure relational algebra: explode each vocab word's
+    character positions, pair each symbol with its successor (EOW at the
+    boundary), sum word counts.  rnk 1 IS the first learned merge of
+    bpe_learned_merges — certifying the trainer's argmax tiebreak
+    (count desc, then lexicographic) under the oracle; only the
+    iterative re-segmentation of rounds 1+ stays rows-only.
+
+    Top-50 by the trainer's own (pair_count desc, lhs, rhs) order keeps
+    the output bounded.  The unpartitioned rank window is bounded BY
+    CONSTRUCTION: after the groupBy the table has at most
+    |alphabet|·(|alphabet|+1) rows (single characters × characters+EOW
+    — ~9k for printable ASCII), whatever the corpus size; the corpus-
+    sized work (the position explode + pair sum) is fully distributed
+    with map-side combine."""
+    from ..operators.bpe import EOW
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    pairs = (
+        vocab.select(
+            "w",
+            "count",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(
+            F.expr("substring(w, i, 1)").alias("lhs"),
+            F.when(F.col("i") == F.length("w"), F.lit(EOW))
+            .otherwise(F.expr("substring(w, i + 1, 1)"))
+            .alias("rhs"),
+            "count",
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("count").cast("bigint").alias("pair_count"))
+    )
+    win = Window.orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+    return (
+        pairs.select(
+            F.row_number().over(win).cast("int").alias("rnk"),
+            "lhs",
+            "rhs",
+            "pair_count",
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+register(
+    QuerySpec(
+        "bpe_round0_pairs",
+        q_bpe_round0_pairs,
+        """
+        WITH vocab AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS count
+            FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+            )
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        pos AS (
+            SELECT w, count, UNNEST(range(1, length(w) + 1)) AS i
+            FROM vocab
+        ),
+        pairs AS (
+            SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+                   CASE WHEN i = length(w) THEN '</w>'
+                        ELSE substr(w, CAST(i + 1 AS INT), 1) END AS rhs,
+                   CAST(SUM(count) AS BIGINT) AS pair_count
+            FROM pos GROUP BY 1, 2
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY pair_count DESC, lhs, rhs
+               ) AS INT) AS rnk,
+               lhs, rhs, pair_count
+        FROM pairs
+        QUALIFY rnk <= 50
+        """,
+        doc="BPE round-0 pair statistics oracled (arXiv:1508.07909): "
+        "count-weighted adjacent-symbol counts over the word-frequency "
+        "table with the trainer's exact argmax order (count desc, "
+        "lexicographic) — rnk 1 is bpe_learned_merges' first merge; "
+        "only the iterative re-segmentation stays rows-only",
+        bench=False,  # sub-stage of the bpe training family
     )
 )
 

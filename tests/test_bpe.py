@@ -93,3 +93,39 @@ def test_encoded_lengths_invariants(docs):
     assert rows[2]["n_symbols_char"] == 0
     # with >0 merges on this corpus, doc 0 must actually compress
     assert rows[0]["n_symbols_bpe"] < rows[0]["n_symbols_char"]
+
+
+def test_round0_pairs_rank1_is_first_learned_merge(spark, sf_dir):
+    """bpe_round0_pairs' rnk-1 row must equal the trainer's first merge
+    (same corpus, same argmax tiebreak) — the oracled deterministic
+    stage really is round 0 of bpe_learned_merges.  And the whole table
+    must match the reference pair counter at the initial (no-merge)
+    segmentation."""
+    from collections import Counter as C
+
+    from contentwise_impressions_spark.plans.textops import (
+        _bpe_vocab,
+        q_bpe_round0_pairs,
+    )
+
+    got = {
+        (r["lhs"], r["rhs"]): (r["rnk"], r["pair_count"])
+        for r in q_bpe_round0_pairs(spark, sf_dir).collect()
+    }
+    vocab = {
+        r["w"]: r["count"] for r in _bpe_vocab(spark, sf_dir).collect()
+    }
+    pairs: C = C()
+    for w, c in vocab.items():
+        syms = list(w) + [EOW]
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += c
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expect = {
+        pair: (i + 1, cnt) for i, (pair, cnt) in enumerate(ranked)
+    }
+    assert got == expect
+    first = bpe_train_merges(_bpe_vocab(spark, sf_dir), n_merges=1)[0]
+    rank1 = next(k for k, (rnk, _) in got.items() if rnk == 1)
+    assert rank1 == (first[0], first[1])
+    assert got[rank1][1] == first[2]

@@ -543,6 +543,51 @@ def main() -> None:
                     )
                     break
             ent[f"{sf_label}_gemm_probe"] = _gemm_probe()
+        # recall columns for the fixed-shape EXACTNESS ANCHORS (r15
+        # verdict task 8): the flat n²-by-design rows exist to anchor
+        # correctness, and these columns document what recall the
+        # production shapes trade away relative to them.  sf0.1 only —
+        # at sf1 the anchors' own n² runs already dominate the harness
+        # and the recall story is the production rows' job (the
+        # *_nlist_scaled rows + multiprobe split below carry it at both
+        # scales).  SQ8 keeps 8-bit per-dim codes (ADC ranking ≈ exact on
+        # this corpus); PQ compresses 8x harder, and the column makes
+        # that recall price visible next to the wall-clocks.
+        if sf_label == "sf0.1":
+            from contentwise_impressions_spark.operators.ann import (
+                cosine_topk_bruteforce,
+            )
+
+            emb01 = load_table(spark, sf_dir, "embeddings")
+            exact01 = (
+                cosine_topk_bruteforce(emb01, k=3)
+                .select("vec_id", "neighbor_id")
+                .persist()
+            )
+            n_exact01 = exact01.count()
+            for label, fn in (
+                ("ann_sq8_topk", qs["ann_sq8_topk"]),
+                ("ann_pq_adc_full_train", _pq_adc(None)),
+                ("ann_pq_adc_sampled_frac", _pq_adc(200)),
+                ("ann_pq_adc_sampled_const", _pq_adc(200)),
+            ):
+                ent = rows.setdefault(label, {"family": "ann"})
+                try:
+                    approx = fn(spark, sf_dir).select(
+                        "vec_id", "neighbor_id"
+                    )
+                    ent[f"{sf_label}_recall_at3"] = round(
+                        approx.join(
+                            exact01, ["vec_id", "neighbor_id"]
+                        ).count()
+                        / n_exact01,
+                        4,
+                    )
+                except Exception as exc:
+                    ent[f"{sf_label}_recall_at3"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+            exact01.unpersist()
         # multiprobe at the scaled operating point + recall columns
         # (r13 verdict task 5)
         ent = rows.setdefault(
