@@ -74,6 +74,217 @@ def _sub_frame(embeddings: DataFrame, vec_col: str, dsub: int) -> DataFrame:
     )
 
 
+def _codebook_matrix(
+    codebooks: DataFrame, m: int, kcent: int, dsub: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a (sub, c, pos, y) codebook into a dense (m, kcent, dsub)
+    float64 matrix of exact integers plus an (m, kcent) presence mask.
+
+    Lloyd can empty a cell (no vectors assigned), in which case the
+    relational trainer emits no rows for it and the relational argmin
+    never considers it — the mask reproduces that exactly on the Arrow
+    path.  Bounded by construction: m·kcent·dsub integers."""
+    cb = np.zeros((m, kcent, dsub))
+    mask = np.zeros((m, kcent), dtype=bool)
+    for r in codebooks.collect():
+        s, c = int(r["sub"]), int(r["c"])
+        cb[s, c, int(r["pos"]) - s * dsub] = float(r["y"])
+        mask[s, c] = True
+    return cb, mask
+
+
+def _assign_codes(
+    xq: np.ndarray, cbv: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """(n, m) int codes: per-subspace argmin of the EXACT integer d2 with
+    the (d2 asc, c asc) tiebreak — ``argmin`` returns the first minimum
+    and c is enumerated ascending, so ties resolve to the lowest c,
+    identical to the relational ``ROW_NUMBER() OVER (ORDER BY d2, c)``.
+
+    Exactness: entries are fixed-point integers on the 2²² grid, so
+    ‖x‖², ‖y‖² and x·y are exact integer sums < 2^53 in float64 and
+    d2 = ‖x‖² + ‖y‖² − 2·x·y is exact regardless of accumulation order —
+    bit-identical to the SQL twin's SUM((xq − y)²)."""
+    n = xq.shape[0]
+    m, kc, dsub = cbv.shape
+    sub = np.ascontiguousarray(xq.reshape(n, m, dsub))
+    xs = (sub * sub).sum(axis=2)  # (n, m)
+    cs = (cbv * cbv).sum(axis=2)  # (m, kc)
+    d2 = xs[:, :, None] + cs[None, :, :]
+    d2 -= 2.0 * np.einsum("nmd,mkd->nmk", sub, cbv)
+    if not mask.all():
+        d2[:, ~mask] = np.inf
+    return d2.argmin(axis=2)
+
+
+def _quant_rows(pdf: pd.DataFrame, col: str = "_emb") -> np.ndarray:
+    """_emb array column → fixed-point integer-valued float64 matrix."""
+    return np.floor(np.array(list(pdf[col]), dtype=np.float64) * QUANT + 0.5)
+
+
+def _encode_wide(
+    payload: DataFrame, bc, m: int, dsub: int
+) -> DataFrame:
+    """(vec_id, _codes array<int>): map-only Arrow PQ encoder.
+
+    ``payload``: (vec_id, _emb[, list_id]); ``bc`` broadcasts
+    (cbv, mask, centm) where centm is None for raw-vector PQ or the
+    (n_list, d) integer residual-anchor matrix (x − q_coarse(x) encoding,
+    Jégou et al. 2011 §III).  Replaces the former relational encode
+    (O(N·K) join → groupBy → window argmin: two shuffles of N·K rows)
+    with one shuffle-free pass — the guide-§4.2 shape: Spark distributes,
+    numpy does the batch math, and every d2 is the same exact integer the
+    SQL twin computes (see :func:`_assign_codes`)."""
+    has_list = "list_id" in payload.columns
+
+    def enc(batches):
+        limit_blas_threads()  # Spark tasks are the parallel unit
+        cbv, mask, centm = bc.value
+        for pdf in batches:
+            pdf = pdf[[e is not None and len(e) > 0 for e in pdf["_emb"]]]
+            if len(pdf) == 0:
+                continue
+            xq = _quant_rows(pdf)
+            if centm is not None:
+                xq = xq - centm[pdf["list_id"].to_numpy(dtype=np.int64)]
+            codes = _assign_codes(xq, cbv, mask)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "_codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return payload.mapInPandas(enc, "vec_id bigint, _codes array<int>")
+
+
+def _emb_payload(
+    embeddings: DataFrame, vec_col: str, home: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, _emb[, list_id]) — the Arrow kernels' input frame."""
+    p = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_emb"),
+    )
+    if home is not None:
+        p = p.join(home, "vec_id")
+    return p
+
+
+def _anchor_matrix(anchors: DataFrame, n_list: int, d: int) -> np.ndarray:
+    """(list_id, sub, pos, cq) residual anchors → dense (n_list, d) ints."""
+    cm = np.zeros((n_list, d))
+    for r in anchors.collect():  # n_list × d rows — tiny by construction
+        cm[int(r["list_id"]), int(r["pos"])] = float(r["cq"])
+    return cm
+
+
+def _train_codebooks_arrow(
+    payload: DataFrame,
+    seeds: DataFrame,
+    m: int,
+    kcent: int,
+    dsub: int,
+    n_iters: int,
+    centm: np.ndarray | None = None,
+):
+    """Per-subspace Lloyd k-means over fixed-point integers, one Arrow
+    map + one tiny aggregation per iteration — the (sub, c, pos, y) rows
+    after ``n_iters − 1`` updates, exactly the relational trainer's
+    output (integer sums are order-independent, and the mean re-round
+    floor(Σxq/n + 0.5) is the identical single double division).
+
+    ``payload`` is the TRAINING frame (already sample-filtered when the
+    caller trains on a hash-sample); per iteration each task emits its
+    partial (sub, c, pos, Σxq, n) — m·kcent·dsub rows per task — and a
+    grouped SUM reduces them, so shuffle volume is O(tasks · m·kcent·d),
+    independent of corpus size (vs the former join+window chain that
+    shuffled N·K rows twice per iteration)."""
+    spark = payload.sparkSession
+    mm, kc, ds = int(m), int(kcent), int(dsub)
+    seed_rows = payload.join(seeds, "vec_id").select("_emb", "c", *(
+        ["list_id"] if "list_id" in payload.columns else []
+    )).collect()
+    cbv = np.zeros((mm, kc, ds))
+    mask = np.zeros((mm, kc), dtype=bool)
+    for r in seed_rows:
+        x = np.floor(np.asarray(r["_emb"], dtype=np.float64) * QUANT + 0.5)
+        if centm is not None:
+            x = x - centm[int(r["list_id"])]
+        cbv[:, int(r["c"]), :] = x.reshape(mm, ds)
+        mask[:, int(r["c"])] = True
+
+    for _ in range(n_iters - 1):
+        bc = spark.sparkContext.broadcast((cbv, mask, centm))
+
+        def step(batches):
+            limit_blas_threads()
+            cbv_b, mask_b, cm = bc.value
+            sums = np.zeros((mm, kc, ds))
+            cnts = np.zeros((mm, kc), dtype=np.int64)
+            for pdf in batches:
+                pdf = pdf[[e is not None and len(e) > 0 for e in pdf["_emb"]]]
+                if len(pdf) == 0:
+                    continue
+                xq = _quant_rows(pdf)
+                if cm is not None:
+                    xq = xq - cm[pdf["list_id"].to_numpy(dtype=np.int64)]
+                codes = _assign_codes(xq, cbv_b, mask_b)
+                for s in range(mm):
+                    seg = xq[:, s * ds:(s + 1) * ds]
+                    idx = codes[:, s]
+                    cnts[s] += np.bincount(idx, minlength=kc)
+                    for dd in range(ds):
+                        sums[s, :, dd] += np.bincount(
+                            idx, weights=seg[:, dd], minlength=kc
+                        )
+            ss, cc = np.nonzero(cnts)
+            if len(ss) == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "sub": np.repeat(ss, ds).astype(np.int32),
+                    "c": np.repeat(cc, ds).astype(np.int32),
+                    "pos": (
+                        np.repeat(ss, ds) * ds
+                        + np.tile(np.arange(ds), len(ss))
+                    ).astype(np.int32),
+                    "s": sums[ss, cc].reshape(-1).astype(np.int64),
+                    "n": np.repeat(cnts[ss, cc], ds).astype(np.int64),
+                }
+            )
+
+        agg = (
+            payload.mapInPandas(
+                step, "sub int, c int, pos int, s bigint, n bigint"
+            )
+            .groupBy("sub", "c", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        cbv = np.zeros((mm, kc, ds))
+        mask = np.zeros((mm, kc), dtype=bool)
+        for r in agg:
+            s, c = int(r["sub"]), int(r["c"])
+            # identical IEEE path to the relational
+            # FLOOR(SUM(xq)/COUNT(*) + 0.5): exact bigint sum and count,
+            # one double division, one floor
+            cbv[s, c, int(r["pos"]) - s * ds] = math.floor(
+                r["s"] / r["n"] + 0.5
+            )
+            mask[s, c] = True
+    rows = [
+        (int(s), int(c), int(s * ds + dd), int(cbv[s, c, dd]))
+        for s in range(mm)
+        for c in range(kc)
+        if mask[s, c]
+        for dd in range(ds)
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, c int, pos int, y bigint"
+    )
+
+
 def _pq_seeds(embeddings: DataFrame, k: int) -> DataFrame:
     """(vec_id, c): the k seed vectors, hash-ranked — same convention as
     ivf_assignments (TakeOrderedAndProject, not a corpus-wide window);
@@ -103,6 +314,8 @@ def pq_codebooks(
     sample_keep: int | None = None,
     sample_mod: int = 997,
     frame: DataFrame | None = None,
+    home: DataFrame | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """(sub, c, pos, y): per-subspace integer-grid centroids after
     ``n_iters - 1`` Lloyd updates (the codebook the final assignment runs
@@ -129,10 +342,18 @@ def pq_codebooks(
     full-corpus trainer bit-for-bit (pinned in tests/test_models.py).
     Fails fast when the sample holds fewer than k vectors (seeds would
     silently drop at the cent-seed join — same guard as the IVF
-    trainer)."""
-    # `frame` overrides the (vec_id, sub, pos, xq) training frame — the
-    # residual IVF-PQ trainer passes coarse-centroid residuals here
-    e = frame if frame is not None else _sub_frame(embeddings, vec_col, dsub)
+    trainer).
+
+    Physical path (r16 optimization): the Lloyd loop runs as one Arrow
+    map + one O(m·k·d)-row aggregation per iteration
+    (:func:`_train_codebooks_arrow`) instead of the former relational
+    join → window-argmin → join chain (two N·K-row shuffles per
+    iteration).  Emitted centroids are bit-identical: every d2 is an
+    exact integer in both formulations and the mean re-round is the same
+    single double division.  ``frame`` (a generic (vec_id, sub, pos, xq)
+    override) keeps the relational loop; ``home``+``anchors`` express
+    the residual-PQ case on the Arrow path (xq − anchors[list_id])."""
+    spark = embeddings.sparkSession
     seeds = _pq_seeds(embeddings, k)
     if sample_keep is not None and sample_keep < sample_mod:
         from ..functions.hashing import P1
@@ -145,6 +366,30 @@ def pq_codebooks(
                 f"(sample_keep={sample_keep}/{sample_mod}); raise "
                 "sample_keep or lower k"
             )
+    if frame is None:
+        centm = None
+        if anchors is not None:
+            d_full = int(m) * int(dsub)
+            n_list_row = home.agg(F.max("list_id").alias("m")).collect()
+            centm = _anchor_matrix(
+                anchors, int(n_list_row[0]["m"] or 0) + 1, d_full
+            )
+        payload = _emb_payload(embeddings, vec_col, home)
+        if sample_keep is not None and sample_keep < sample_mod:
+            from ..functions.hashing import P1
+
+            payload = payload.filter(
+                (F.col("vec_id").cast("bigint") * P1) % sample_mod
+                < sample_keep
+            )
+        return _train_codebooks_arrow(
+            payload, seeds, m, k, dsub, n_iters, centm
+        )
+    # relational fallback for caller-supplied training frames
+    e = frame
+    if sample_keep is not None and sample_keep < sample_mod:
+        from ..functions.hashing import P1
+
         e = e.filter(
             (F.col("vec_id").cast("bigint") * P1) % sample_mod < sample_keep
         )
@@ -176,6 +421,40 @@ def pq_codebooks(
     return cent.select("sub", "c", "pos", "y")
 
 
+def pq_codes_wide(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+    home: DataFrame | None = None,
+    anchors: DataFrame | None = None,
+    cb_mat: tuple[np.ndarray, np.ndarray] | None = None,
+    centm: np.ndarray | None = None,
+) -> DataFrame:
+    """(vec_id, _codes array<int>): the PQ encoding in index-payload
+    form — codes packed per vector, sub-ordered — via the map-only Arrow
+    encoder (no shuffle at all; the former relational encode +
+    collect_list repack cost two shuffles of N·K and N·m rows).
+
+    ``home``/``anchors`` (or a pre-collected ``centm``) switch on
+    residual encoding; ``cb_mat`` lets callers that already collected
+    the codebook skip the second collect."""
+    spark = embeddings.sparkSession
+    cbv, mask = cb_mat if cb_mat is not None else _codebook_matrix(
+        codebooks, m, k, dsub
+    )
+    if centm is None and anchors is not None:
+        n_list_row = home.agg(F.max("list_id").alias("m")).collect()
+        centm = _anchor_matrix(
+            anchors, int(n_list_row[0]["m"] or 0) + 1, int(m) * int(dsub)
+        )
+    bc = spark.sparkContext.broadcast((cbv, mask, centm))
+    payload = _emb_payload(embeddings, vec_col, home)
+    return _encode_wide(payload, bc, m, dsub)
+
+
 def pq_codes(
     embeddings: DataFrame,
     codebooks: DataFrame | None = None,
@@ -185,12 +464,29 @@ def pq_codes(
     dsub: int = 8,
     vec_col: str = "embedding",
     frame: DataFrame | None = None,
+    home: DataFrame | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, sub, code): the PQ encoding — per-subspace argmin against
-    the codebook with the exact (d2 asc, c asc) integer order."""
+    the codebook with the exact (d2 asc, c asc) integer order.
+
+    Physical path (r16 optimization): one map-only Arrow pass +
+    posexplode (:func:`pq_codes_wide`) instead of the former
+    join → groupBy → window argmin (two shuffles of N·K rows); codes are
+    bit-identical because every d2 is the same exact integer
+    (:func:`_assign_codes`).  A caller-supplied ``frame`` keeps the
+    relational formulation; ``home``+``anchors`` express residual
+    encoding on the Arrow path."""
     if codebooks is None:
         codebooks = pq_codebooks(embeddings, m, k, n_iters, dsub, vec_col)
-    e = frame if frame is not None else _sub_frame(embeddings, vec_col, dsub)
+    if frame is None:
+        wide = pq_codes_wide(
+            embeddings, codebooks, m, k, dsub, vec_col, home, anchors
+        )
+        return wide.select(
+            "vec_id", F.posexplode("_codes").alias("sub", "code")
+        )
+    e = frame
     d = (
         e.join(F.broadcast(codebooks.drop("sub")), "pos")
         .groupBy("vec_id", "sub", "c")
@@ -317,22 +613,20 @@ def pq_adc_topk(
         codebooks = pq_codebooks(
             embeddings, m, kcent, n_iters, dsub, vec_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    cb_rows = codebooks.collect()  # tiny by construction: m·kcent·dsub ints
-    cb = np.zeros((m, kcent, dsub))
-    for r in cb_rows:
-        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
-    bc = spark.sparkContext.broadcast(cb)
+    # tiny by construction: m·kcent·dsub ints (one collect serves the ADC
+    # LUT broadcast AND the Arrow encoder below)
+    cbv, cb_mask = _codebook_matrix(codebooks, m, kcent, dsub)
+    bc = spark.sparkContext.broadcast(cbv)
 
-    codes_long = pq_codes(embeddings, codebooks, m, kcent, n_iters, dsub, vec_col)
-    idx_payload = (
-        codes_long.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
-            ).alias("_codes")
-        )
-        .select("vec_id", "_codes", F.lit(None).cast("array<double>").alias("_emb"))
+    # index side: map-only Arrow encode straight into payload form (r16
+    # optimization — the former relational encode + collect_list repack
+    # cost two shuffles of N·K and N·m rows; codes are bit-identical,
+    # see _assign_codes)
+    idx_payload = pq_codes_wide(
+        embeddings, codebooks, m, kcent, dsub, vec_col,
+        cb_mat=(cbv, cb_mask),
+    ).select(
+        "vec_id", "_codes", F.lit(None).cast("array<double>").alias("_emb")
     )
     prb_payload = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -426,11 +720,9 @@ def ivfpq_topk(
         codebooks = pq_codebooks(
             embeddings, m, kcent, pq_iters, dsub, vec_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    cb_rows = codebooks.collect()
-    cb = np.zeros((m, kcent, dsub))
-    for r in cb_rows:
-        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
-    bc = spark.sparkContext.broadcast(cb)
+    # one collect serves the ADC LUT broadcast and the Arrow encoder
+    cbv, cb_mask = _codebook_matrix(codebooks, m, kcent, dsub)
+    bc = spark.sparkContext.broadcast(cbv)
 
     # ONE coarse-quantizer plan serves both the home assignment and the
     # probe routing: probe_rank 1 IS ivf_assignments (same window, same
@@ -443,14 +735,12 @@ def ivfpq_topk(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     home = pl.filter(F.col("probe_rank") == 1).select("vec_id", "list_id")
     probe_lists = pl.select("vec_id", "list_id")
-    codes_long = pq_codes(embeddings, codebooks, m, kcent, pq_iters, dsub, vec_col)
     idx_payload = (
-        codes_long.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code"))),
-                lambda s: s["code"],
-            ).alias("_codes")
+        # map-only Arrow encode in payload form (r16 optimization; codes
+        # bit-identical to the relational argmin — see _assign_codes)
+        pq_codes_wide(
+            embeddings, codebooks, m, kcent, dsub, vec_col,
+            cb_mat=(cbv, cb_mask),
         )
         .join(home, "vec_id")
         .select(
@@ -458,8 +748,7 @@ def ivfpq_topk(
             F.lit(None).cast("array<double>").alias("_emb"),
         )
         # two consumers: the sizing count below and the serving union —
-        # uncached, the PQ encode (the O(N·K·d) argmin join) would run
-        # twice
+        # uncached, the PQ encode would run twice
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prb_payload = embeddings.select(
@@ -589,12 +878,57 @@ def residual_centroids(
 ) -> DataFrame:
     """(list_id, sub, pos, cq): the coarse centroid re-rounded to the
     fixed-point grid from EXACT integer sums — the residual-PQ anchor
-    (a float IVF centroid's last ulp would not replay cross-engine)."""
-    e = _sub_frame(embeddings, vec_col, dsub)
-    return e.join(home, "vec_id").groupBy("list_id", "sub", "pos").agg(
-        F.floor(F.sum("xq") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("bigint")
-        .alias("cq")
+    (a float IVF centroid's last ulp would not replay cross-engine).
+
+    Physical path (r16 optimization): per-task partial integer sums in
+    one Arrow map + one O(n_list·d)-row aggregation, replacing the
+    posexplode → join → groupBy over N·d rows.  Exact: integer sums are
+    order-independent and the final FLOOR(Σxq/n + 0.5) is the identical
+    expression over identical bigints."""
+    payload = _emb_payload(embeddings, vec_col, home)
+
+    def step(batches):
+        limit_blas_threads()
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for pdf in batches:
+            pdf = pdf[[e is not None and len(e) > 0 for e in pdf["_emb"]]]
+            if len(pdf) == 0:
+                continue
+            xq = _quant_rows(pdf)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            for lst in np.unique(lists):
+                seg = xq[lists == lst]
+                sums[int(lst)] = sums.get(
+                    int(lst), np.zeros(xq.shape[1])
+                ) + seg.sum(axis=0)
+                cnts[int(lst)] = cnts.get(int(lst), 0) + len(seg)
+        for lst, s in sums.items():
+            yield pd.DataFrame(
+                {
+                    "list_id": np.full(len(s), lst, dtype=np.int32),
+                    "pos": np.arange(len(s), dtype=np.int32),
+                    "s": s.astype(np.int64),
+                    "n": np.full(len(s), cnts[lst], dtype=np.int64),
+                }
+            )
+
+    part = payload.mapInPandas(
+        step, "list_id int, pos int, s bigint, n bigint"
+    )
+    return (
+        part.groupBy("list_id", "pos")
+        .agg(
+            F.floor(F.sum("s") / F.sum("n") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cq")
+        )
+        .select(
+            "list_id",
+            F.floor(F.col("pos") / dsub).cast("int").alias("sub"),
+            "pos",
+            "cq",
+        )
     )
 
 
@@ -658,50 +992,49 @@ def ivfpq_residual_topk(
     # Supplied artifacts are NOT persisted here — the caller owns their
     # caching (each has 2+ consumers below, so pass them persisted).
     cent = centroids
-    if cent is None or codebooks is None or codes is None:
-        e = _sub_frame(embeddings, vec_col, dsub)
-        eh = e.join(home, "vec_id")
-        if cent is None:
-            # cent has 2+ consumers (residual frame broadcast + the centm
-            # collect below); the residual frame itself feeds both the
-            # codebook trainer and the encoder.  Persist only what is
-            # trained HERE — a caller-supplied frame is never persisted
-            # as a side effect (r15 advice): callers own the caching of
-            # what they pass in (plans/ routes supplied artifacts through
-            # shared.materialized, already persisted).
-            cent = residual_centroids(
-                embeddings, home, dsub, vec_col
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        res = eh.join(F.broadcast(cent), ["list_id", "sub", "pos"]).select(
-            "vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq")
-        )
-    cbs = codebooks
-    if cbs is None:
-        # two consumers: the cb collect below and the encoder's
-        # broadcast join — persist (trained here; see note above)
-        cbs = pq_codebooks(
-            embeddings, m, kcent, pq_iters, dsub, vec_col, frame=res
+    if cent is None:
+        # cent has 2+ consumers (codebook anchor + the centm collect
+        # below).  Persist only what is trained HERE — a caller-supplied
+        # frame is never persisted as a side effect (r15 advice): callers
+        # own the caching of what they pass in (plans/ routes supplied
+        # artifacts through shared.materialized, already persisted).
+        cent = residual_centroids(
+            embeddings, home, dsub, vec_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    codes_long = codes if codes is not None else pq_codes(
-        embeddings, cbs, m, kcent, pq_iters, dsub, vec_col, frame=res
-    )
-    cb = np.zeros((m, kcent, dsub))
-    for r in cbs.collect():
-        cb[r["sub"], r["c"], r["pos"] - r["sub"] * dsub] = float(r["y"])
     centm = np.zeros((n_list, m * dsub))
     for r in cent.collect():  # n_list × d rows — tiny by construction
         centm[r["list_id"], r["pos"]] = float(r["cq"])
+    cbs = codebooks
+    if cbs is None:
+        # residual Lloyd on the Arrow path (r16 optimization): payload =
+        # embeddings ⋈ home, residual xq − centm[list] formed task-side —
+        # centroids bit-identical to the former relational frame loop
+        # (exact integer sums; see _train_codebooks_arrow).  Two
+        # consumers (cb collect + encoder) — persist (trained here).
+        cbs = pq_codebooks(
+            embeddings, m, kcent, pq_iters, dsub, vec_col,
+            home=home, anchors=cent,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    cb, cb_mask = _codebook_matrix(cbs, m, kcent, dsub)
     bc = spark.sparkContext.broadcast((cb, centm))
 
-    idx_payload = (
-        codes_long.groupBy("vec_id")
-        .agg(
+    if codes is not None:
+        # caller-supplied long-form codes: repack into payload form
+        idx_wide = codes.groupBy("vec_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", "code"))),
                 lambda s: s["code"],
             ).alias("_codes")
         )
-        .join(home, "vec_id")
+    else:
+        # map-only Arrow residual encode (r16 optimization; codes
+        # bit-identical — see _assign_codes)
+        idx_wide = pq_codes_wide(
+            embeddings, cbs, m, kcent, dsub, vec_col,
+            home=home, cb_mat=(cb, cb_mask), centm=centm,
+        )
+    idx_payload = (
+        idx_wide.join(home, "vec_id")
         .select(
             "vec_id",
             "list_id",

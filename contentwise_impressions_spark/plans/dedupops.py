@@ -1860,21 +1860,6 @@ def _res_cent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _res_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual (vec_id, sub, pos, xq) frame — rebuilt from the cached
-    centroids (cheap map-side join; deliberately NOT materialized, it is
-    corpus-sized)."""
-    from ..operators.pq import _sub_frame
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    eh = _sub_frame(emb, "embedding", _PQ_DSUB).join(
-        _res_home(spark, sf_dir), "vec_id"
-    )
-    return eh.join(
-        F.broadcast(_res_cent(spark, sf_dir)), ["list_id", "sub", "pos"]
-    ).select("vec_id", "sub", "pos", (F.col("xq") - F.col("cq")).alias("xq"))
-
-
 def _res_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-materialized residual PQ codebook (m·kcent·dsub rows —
     the offline-trained artifact of a deployment)."""
@@ -1890,7 +1875,11 @@ def _res_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_PQ_K,
             n_iters=_PQ_ITERS,
             dsub=_PQ_DSUB,
-            frame=_res_frame(spark, sf_dir),
+            # r16: residual training on the Arrow path (home + anchors
+            # instead of the materialized long frame) — bit-identical
+            # centroids, no N·K-row shuffles (operators/pq.pq_codebooks)
+            home=_res_home(spark, sf_dir),
+            anchors=_res_cent(spark, sf_dir),
         ),
     )
 
@@ -1910,7 +1899,9 @@ def _res_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_PQ_K,
             n_iters=_PQ_ITERS,
             dsub=_PQ_DSUB,
-            frame=_res_frame(spark, sf_dir),
+            # r16: residual encode on the Arrow path (see _res_codebooks)
+            home=_res_home(spark, sf_dir),
+            anchors=_res_cent(spark, sf_dir),
         ),
     )
 
