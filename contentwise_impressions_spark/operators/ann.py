@@ -434,26 +434,19 @@ def ivf_assignments(
     )
 
 
-def _ivf_final_distances(
-    embeddings: DataFrame,
-    n_list: int = 8,
-    n_iters: int = 2,
-    vec_col: str = "embedding",
+def _ivf_seeds(
+    embeddings: DataFrame, n_list: int, mod: int = 997
 ) -> DataFrame:
-    """(vec_id, c, d2) against the final Lloyd-iteration centroids — the
-    shared sub-plan behind assignments (argmin) and probe lists (top
-    n_probe)."""
+    """(vec_id, c): the n_list seed vectors, hash-ranked.
+
+    Seed pick = distributed top-n_list (TakeOrderedAndProject), NOT a
+    global window — ranking the whole corpus through one window
+    partition is a scale wall; the rank window ranks only the n_list
+    surviving rows."""
     from ..functions.hashing import P1
 
-    e = embeddings.select(
-        "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
-    )
-    # seed pick = distributed top-n_list (TakeOrderedAndProject), NOT a
-    # global window — ranking the whole corpus through one window
-    # partition is a scale wall; the residual window below ranks only the
-    # n_list surviving rows
-    seed_hash = ((F.col("vec_id").cast("bigint") * P1) % 997).alias("_h")
-    seeds = (
+    seed_hash = ((F.col("vec_id").cast("bigint") * P1) % mod).alias("_h")
+    return (
         embeddings.select("vec_id", seed_hash)
         .orderBy("_h", "vec_id")
         .limit(n_list)
@@ -463,28 +456,157 @@ def _ivf_final_distances(
         )
         .drop("_h")
     )
-    cent = e.join(seeds, "vec_id").select("c", "pos", F.col("x").alias("y"))
-    d = None
-    for it in range(n_iters):
-        d = (
-            e.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "c")
-            .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+
+
+def _lloyd_assign(x: np.ndarray, cent: np.ndarray, mask: np.ndarray):
+    """(rounded d2 matrix, argmin codes) for one batch against the
+    centroid matrix.  Ranking replicates the relational convention
+    exactly: ties are taken on round(d2, 9) (the house float-portability
+    convention — accumulation-order ulps sit orders of magnitude below
+    the 5e-10 boundary) and broken by the lowest c (argmin first-min)."""
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        + (cent * cent).sum(axis=1)[None, :]
+        - 2.0 * (x @ cent.T)
+    )
+    np.maximum(d2, 0.0, out=d2)  # guard the −0.0/ulp underflow of a²+b²−2ab
+    rounded = np.floor(d2 * 1e9 + 0.5) / 1e9
+    if not mask.all():
+        rounded[:, ~mask] = np.inf
+    return d2, rounded.argmin(axis=1)
+
+
+def _train_ivf_centroids(
+    payload: DataFrame,
+    seeds: DataFrame,
+    n_list: int,
+    n_iters: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroid matrix (n_list, d), presence mask) after ``n_iters − 1``
+    Lloyd updates — one Arrow map + one O(n_list·d)-row aggregation per
+    iteration (r16 optimization; the former relational loop shuffled
+    N·n_list join rows twice per iteration).
+
+    Float semantics: centroid means and d2 are float sums whose
+    accumulation order differs from the former join+agg chain by
+    last-ulp amounts; every consumer ranks on round(d2, 9) — the same
+    portability convention that already absorbs the Spark↔DuckDB
+    accumulation difference — so assignments and rankings are unchanged
+    (verified by full row-set equality against the previous
+    implementation at three scale factors)."""
+    spark = payload.sparkSession
+    seed_rows = payload.join(seeds, "vec_id").select("_emb", "c").collect()
+    d = len(seed_rows[0]["_emb"]) if seed_rows else 0
+    cent = np.zeros((n_list, d))
+    mask = np.zeros(n_list, dtype=bool)
+    for r in seed_rows:
+        cent[int(r["c"])] = np.asarray(r["_emb"], dtype=np.float64)
+        mask[int(r["c"])] = True
+
+    for _ in range(n_iters - 1):
+        bc = spark.sparkContext.broadcast((cent, mask))
+
+        def step(batches):
+            limit_blas_threads()
+            cent_b, mask_b = bc.value
+            sums = np.zeros_like(cent_b)
+            cnts = np.zeros(len(cent_b), dtype=np.int64)
+            for pdf in batches:
+                pdf = pdf[[e is not None and len(e) > 0 for e in pdf["_emb"]]]
+                if len(pdf) == 0:
+                    continue
+                x = np.array(list(pdf["_emb"]), dtype=np.float64)
+                _, codes = _lloyd_assign(x, cent_b, mask_b)
+                cnts += np.bincount(codes, minlength=len(cent_b))
+                for dd in range(x.shape[1]):
+                    sums[:, dd] += np.bincount(
+                        codes, weights=x[:, dd], minlength=len(cent_b)
+                    )
+            (cs,) = np.nonzero(cnts)
+            if len(cs) == 0:
+                return
+            dd = sums.shape[1]
+            yield pd.DataFrame(
+                {
+                    "c": np.repeat(cs, dd).astype(np.int32),
+                    "pos": np.tile(np.arange(dd), len(cs)).astype(np.int32),
+                    "s": sums[cs].reshape(-1),
+                    "n": np.repeat(cnts[cs], dd).astype(np.int64),
+                }
+            )
+
+        agg = (
+            payload.mapInPandas(step, "c int, pos int, s double, n bigint")
+            .groupBy("c", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        if it == n_iters - 1:
-            break
-        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
-        assign = (
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", F.col("c").alias("list_id"))
-        )
-        cent = (
-            assign.join(e, "vec_id")
-            .groupBy(F.col("list_id").alias("c"), "pos")
-            .agg(F.avg("x").alias("y"))
-        )
-    return d
+        cent = np.zeros((n_list, d))
+        mask = np.zeros(n_list, dtype=bool)
+        for r in agg:
+            cent[int(r["c"]), int(r["pos"])] = r["s"] / r["n"]
+            mask[int(r["c"])] = True
+    return cent, mask
+
+
+def _emit_distances(
+    payload: DataFrame, cent: np.ndarray, mask: np.ndarray
+) -> DataFrame:
+    """(vec_id, c, d2) for every payload vector against every present
+    centroid — map-only (the former formulation shuffled N·n_list join
+    rows through a groupBy)."""
+    spark = payload.sparkSession
+    bc = spark.sparkContext.broadcast((cent, mask))
+
+    def emit(batches):
+        limit_blas_threads()
+        cent_b, mask_b = bc.value
+        (cs,) = np.nonzero(mask_b)
+        sub = cent_b[cs]
+        for pdf in batches:
+            pdf = pdf[[e is not None and len(e) > 0 for e in pdf["_emb"]]]
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["_emb"]), dtype=np.float64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                + (sub * sub).sum(axis=1)[None, :]
+                - 2.0 * (x @ sub.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, len(cs)),
+                    "c": np.tile(cs, len(ids)).astype(np.int32),
+                    "d2": d2.reshape(-1),
+                }
+            )
+
+    return payload.mapInPandas(emit, "vec_id bigint, c int, d2 double")
+
+
+def _ivf_final_distances(
+    embeddings: DataFrame,
+    n_list: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, c, d2) against the final Lloyd-iteration centroids — the
+    shared sub-plan behind assignments (argmin) and probe lists (top
+    n_probe).
+
+    Physical path (r16 optimization): Arrow Lloyd training + map-only
+    distance emission (see :func:`_train_ivf_centroids`); the broadcast
+    centroid matrix replaces the broadcast-join, so the corpus is never
+    shuffled at all.  d2 differs from the former join+agg chain only in
+    accumulation-order ulps, which the round(d2, 9) ranking convention
+    absorbs (same mechanism that already absorbs Spark↔DuckDB
+    differences)."""
+    payload = _norm_payload(embeddings, vec_col)
+    seeds = _ivf_seeds(embeddings, n_list)
+    cent, mask = _train_ivf_centroids(payload, seeds, n_list, n_iters)
+    return _emit_distances(payload, cent, mask)
 
 
 def ivf_sampled_distances(
@@ -523,9 +645,6 @@ def ivf_sampled_distances(
     """
     from ..functions.hashing import P1
 
-    e = embeddings.select(
-        "vec_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
-    )
     h = (F.col("vec_id").cast("bigint") * P1) % sample_mod
     n_sample = embeddings.filter(h < sample_keep).count()
     if n_sample < n_list:
@@ -534,42 +653,16 @@ def ivf_sampled_distances(
             f"(sample_keep={sample_keep}/{sample_mod}); raise sample_keep "
             "or lower n_list"
         )
-    e_train = e.filter(h < sample_keep)
-    seeds = (
-        embeddings.select("vec_id", h.alias("_h"))
-        .orderBy("_h", "vec_id")
-        .limit(n_list)
-        .withColumn(
-            "c",
-            F.row_number().over(Window.orderBy("_h", F.col("vec_id"))) - 1,
-        )
-        .drop("_h")
+    # Arrow path (r16 optimization — see _ivf_final_distances): the Lloyd
+    # loop maps only the hash-sample, the final distance emission covers
+    # every vector; seed convention unchanged
+    payload = _norm_payload(embeddings, vec_col)
+    train = payload.filter(
+        (F.col("vec_id").cast("bigint") * P1) % sample_mod < sample_keep
     )
-    cent = e_train.join(seeds, "vec_id").select(
-        "c", "pos", F.col("x").alias("y")
-    )
-    for _ in range(n_iters - 1):
-        d_train = (
-            e_train.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "c")
-            .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("c"))
-        assign = (
-            d_train.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", F.col("c").alias("list_id"))
-        )
-        cent = (
-            assign.join(e_train, "vec_id")
-            .groupBy(F.col("list_id").alias("c"), "pos")
-            .agg(F.avg("x").alias("y"))
-        )
-    return (
-        e.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "c")
-        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
-    )
+    seeds = _ivf_seeds(embeddings, n_list, sample_mod)
+    cent, mask = _train_ivf_centroids(train, seeds, n_list, n_iters)
+    return _emit_distances(payload, cent, mask)
 
 
 def ivf_probe_lists(

@@ -55,11 +55,15 @@ def test_similarity_partial_aggregation(spark, sf_dir):
 
 
 def test_ivf_centroid_join_is_broadcast(spark, sf_dir):
-    # the centroid side is n_list × d rows — it must broadcast to the
-    # corpus scan, never shuffle the corpus for a sort-merge join
+    # the centroid side is n_list × d rows — it must ship to the corpus
+    # as a broadcast, never shuffle the corpus for a sort-merge join.
+    # r16: the distance pass is a map-only Arrow kernel over the scan
+    # (centroid matrix a broadcast variable), so the corpus crosses no
+    # Exchange at all before the per-vector argmin window.
     plan = _formatted_plan(QUERIES["ann_ivf_assignments"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
