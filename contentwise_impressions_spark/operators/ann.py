@@ -225,7 +225,16 @@ def _hash_blocks(
     prb = payload.withColumn("_side", F.lit(1)).withColumn(
         "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
     ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
-    return idx.unionByName(prb.select(idx.columns))
+    # explicit task-count repartition on the group keys (r16): the block
+    # tasks are compute-heavy but shuffle-small, and size-based AQE
+    # coalescing (session parallelismFirst=false) would fold them onto a
+    # few cores; a user-specified hash repartition is exempt and already
+    # satisfies the downstream applyInPandas' ClusteredDistribution
+    # (same rule as blocked_topk / the ADC grids)
+    n_tasks = min(n_blk * n_blk, max(256, 8 * par))
+    return idx.unionByName(prb.select(idx.columns)).repartition(
+        n_tasks, "pblk", "iblk"
+    )
 
 
 def cosine_topk_bruteforce(
@@ -344,7 +353,11 @@ def _cross_blocks(
     prb = qp.withColumn("_side", F.lit(1)).withColumn(
         "pblk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blk)).cast("int")
     ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
-    return idx.unionByName(prb.select(idx.columns))
+    # explicit task-count repartition — see _hash_blocks
+    n_tasks = min(n_blk * n_blk, max(256, 8 * par))
+    return idx.unionByName(prb.select(idx.columns)).repartition(
+        n_tasks, "pblk", "iblk"
+    )
 
 
 def lsh_bucket_signatures(
@@ -761,7 +774,11 @@ def ivf_topk(
     def split_task(pdf: pd.DataFrame) -> pd.DataFrame:
         return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
 
-    partials = both.groupby("list_id", "sub").applyInPandas(
+    # explicit task-count repartition — see _hash_blocks (AQE-exempt,
+    # keeps the GEMM tasks spread under size-based coalescing)
+    partials = both.repartition(
+        max(n_list * n_sub, 32), "list_id", "sub"
+    ).groupby("list_id", "sub").applyInPandas(
         split_task, _TOPK_PARTIAL
     )
     return _merge_topk(partials, k)
@@ -973,7 +990,12 @@ def semantic_dedup(
             }
         )
 
-    partials = both.groupby("list_id", "psub", "isub").applyInPandas(
+    # explicit task-count repartition — see _hash_blocks (AQE-exempt,
+    # keeps the GEMM tasks spread under size-based coalescing)
+    par = spark.sparkContext.defaultParallelism
+    partials = both.repartition(
+        max(n_list * n_sub * n_sub, 2 * par), "list_id", "psub", "isub"
+    ).groupby("list_id", "psub", "isub").applyInPandas(
         task, _SEMDEDUP_OUT
     )
     # OR-merge the per-(probe, index-slab) partial flags — exact: pair

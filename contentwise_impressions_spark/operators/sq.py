@@ -349,7 +349,13 @@ def sq8_ivf_residual_topk(
         "sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1)))
     )
     both = idx.unionByName(prb.select(idx.columns))
-    partials = both.groupby("list_id", "sub").applyInPandas(
+    # explicit task-count repartition (r16): AQE-exempt, keeps the GEMM
+    # tasks spread under the session's size-based coalescing — see
+    # ann._hash_blocks
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    partials = both.repartition(
+        max(32, 2 * par), "list_id", "sub"
+    ).groupby("list_id", "sub").applyInPandas(
         _sq8_task_fn(kk), _TOPK_PARTIAL
     )
     return _merge_topk(partials, k)
@@ -441,7 +447,13 @@ def sq8_ivf_topk(
         .withColumn("sub", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
     )
     both = idx.unionByName(prb.select(idx.columns))
-    partials = both.groupby("list_id", "sub").applyInPandas(
+    # explicit task-count repartition (r16): AQE-exempt, keeps the GEMM
+    # tasks spread under the session's size-based coalescing — see
+    # ann._hash_blocks
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    partials = both.repartition(
+        max(32, 2 * par), "list_id", "sub"
+    ).groupby("list_id", "sub").applyInPandas(
         _sq8_task_fn(kk), _TOPK_PARTIAL
     )
     return _merge_topk(partials, k)

@@ -313,7 +313,7 @@ def bpr_mf_fit(
             F.lit(None).cast("array<double>").alias("feats"),
         )
         unioned = t_side.unionByName(u_side).unionByName(i_side)
-        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, out_schema)
+        deltas = unioned.repartition(B, "_b").groupBy("_b").applyInPandas(epoch_task, out_schema)
         avg = (
             deltas.select(
                 "kind", "fid", F.posexplode("delta").alias("pos", "d")
@@ -606,7 +606,7 @@ def slim_bpr_fit_distributed(
             null_val.alias("val"),
         )
         unioned = t_side.unionByName(p_side).unionByName(w_side)
-        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, out_schema)
+        deltas = unioned.repartition(B, "_b").groupBy("_b").applyInPandas(epoch_task, out_schema)
         avg = deltas.groupBy("item_l", "item_c").agg(F.avg("d").alias("d"))
         w_df = (
             w_df.join(avg, ["item_l", "item_c"], "full_outer")

@@ -354,7 +354,7 @@ def funk_svd_fit(
             "_b", *_tagged_row("t", "user_id", b2="item_id", r="rating")
         )
         unioned = t_side.unionByName(u_side).unionByName(i_side)
-        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, _DELTA)
+        deltas = unioned.repartition(B, "_b").groupBy("_b").applyInPandas(epoch_task, _DELTA)
         avg = _avg_deltas(deltas).persist()
         if use_bias:
             gd = _collect_g_delta(avg)
@@ -630,7 +630,7 @@ def asy_svd_fit(
         unioned = (
             t_side.unionByName(x_side).unionByName(y_side).unionByName(b_side)
         )
-        deltas = unioned.groupBy("_b").applyInPandas(epoch_task, _DELTA)
+        deltas = unioned.repartition(B, "_b").groupBy("_b").applyInPandas(epoch_task, _DELTA)
         avg = _avg_deltas(deltas).persist()
         if use_bias:
             gd = _collect_g_delta(avg)

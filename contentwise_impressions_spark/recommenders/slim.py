@@ -159,7 +159,12 @@ def slim_elasticnet(
         return pd.DataFrame(recs, columns=["item_i", "item_j", "weight"])
 
     items = urm.select("item_id").distinct()
-    return items.groupBy("item_id").applyInPandas(fit_columns, out_schema)
+    # explicit task-count repartition (r16): per-item fits are compute-
+    # heavy but byte-tiny; AQE size-based coalescing would serialize them
+    par = urm.sparkSession.sparkContext.defaultParallelism
+    return items.repartition(8 * par, "item_id").groupBy(
+        "item_id"
+    ).applyInPandas(fit_columns, out_schema)
 
 
 def _elastic_net_cd_gram(
@@ -326,7 +331,12 @@ def slim_elasticnet_distributed(
             }
         )
 
-    return ship.groupBy("item_j").applyInPandas(fit_group, out_schema)
+    # explicit task-count repartition (r16) — same rationale as
+    # slim_elastic_net's per-item grid above
+    par = ship.sparkSession.sparkContext.defaultParallelism
+    return ship.repartition(8 * par, "item_j").groupBy(
+        "item_j"
+    ).applyInPandas(fit_group, out_schema)
 
 
 def ease_r(
@@ -464,6 +474,9 @@ def ease_r_blocked(
     w = (
         urm.join(block_map, "item_id")
         .select("block", "user_id", "item_id", "value")
+        # explicit task-count repartition (r16): per-block inverses are
+        # compute-heavy; AQE size-based coalescing would co-schedule them
+        .repartition(int(n_blocks), "block")
         .groupBy("block")
         .applyInPandas(fit_block, out_schema)
     )

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16 note: size-based coalescing (parallelismFirst=false +
+        # advisory 4m) was A/B-measured against this default on 13
+        # representative queries, interleaved in one session: a wash
+        # (best-sum 20.3 s vs 21.1 s) — the suite's small shuffles are
+        # already coalesced near the 1 MB minPartitionSize floor, so the
+        # flip only traded parallelism for nothing.  Kept at the Spark
+        # default; compute-dense Python kernels pin explicit task-count
+        # repartitions (AQE-exempt) regardless, so either setting is safe
+        # at scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Without this, a persisted relation (plans/shared.py) pins its
         # compile-time output partitioning and every stage above the cache
