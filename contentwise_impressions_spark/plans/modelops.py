@@ -2331,15 +2331,20 @@ def q_stream_popularity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="cwi_pop_store_")
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
-    halves = batch.withColumn(
+    # ONE pass over the event log writes both delivery halves
+    # (dynamic partition write on the hash bit) — the former per-half
+    # filter+coalesce(1) loop scanned the log twice and serialized the
+    # two writes (r16, guide §2.4: don't re-scan what one pass can split)
+    halves_dir = os.path.join(work, "halves")
+    batch.withColumn(
         "_h", F.pmod(F.xxhash64(F.col("event_id")), F.lit(2))
+    ).repartition("_h").write.mode("overwrite").partitionBy("_h").parquet(
+        halves_dir
     )
     for part in (0, 1):
-        part_dir = os.path.join(work, f"half{part}")
-        halves.filter(F.col("_h") == part).drop("_h").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        (pf,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        (pf,) = glob.glob(
+            os.path.join(halves_dir, f"_h={part}", "part-*.parquet")
+        )
         os.link(pf, os.path.join(src_dir, f"{part}.parquet"))
     store = os.path.join(work, "store")
     ckpt = os.path.join(work, "ckpt")
