@@ -173,28 +173,56 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _warmup_lsh(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the text-dedup shared payloads (3-gram shingles,
     portable shingle ids, MinHash signatures, banded candidate pairs,
-    8-gram shingles)."""
+    8-gram shingles).
+
+    r16: the builds after the shared ``shingles3`` root form THREE
+    independent chains (sids→sigs→cands, the df-capped Jaccard pairs,
+    and the 8-gram shingles, which need only the doc table) — submitted
+    as concurrent jobs so the family line pays max(chain), not
+    sum(chain) (guide §2.6; these are few-task stages that leave most
+    cores idle serially).  The root is materialized first so exactly one
+    thread builds each ``materialized`` key; payload contents are
+    unchanged."""
     from ..operators.neardup import shingles
 
     _shingles3(spark, sf_dir).count()
-    _sids(spark, sf_dir).count()
-    _sigs(spark, sf_dir).count()
-    _cands(spark, sf_dir).count()
-    _jacc_pairs100(spark, sf_dir).count()
-    shared.materialized(
-        spark, sf_dir, "shingles8", lambda: shingles(_docs(spark, sf_dir), n=8)
-    ).count()
+
+    def chain_minhash() -> None:
+        _sids(spark, sf_dir).count()
+        _sigs(spark, sf_dir).count()
+        _cands(spark, sf_dir).count()
+
+    shared.overlap_jobs(
+        chain_minhash,
+        lambda: _jacc_pairs100(spark, sf_dir).count(),
+        lambda: shared.materialized(
+            spark, sf_dir, "shingles8",
+            lambda: shingles(_docs(spark, sf_dir), n=8),
+        ).count(),
+    )
 
 
 def _warmup_ann_index(spark: SparkSession, sf_dir: str) -> None:
     """Offline index builds the ANN serving queries share (a deployment
     trains these once): IVF quantizer distances, PQ codebooks, and the
     residual-PQ artifacts (coarse-centroid grid, residual codebook and
-    codes)."""
-    _ivf_distances(spark, sf_dir).count()
-    _pq_codebooks_df(spark, sf_dir).count()
-    _res_cent(spark, sf_dir).count()
-    _res_codes(spark, sf_dir).count()
+    codes).
+
+    r16: two independent training chains — (IVF quantizer → residual-PQ
+    artifacts, which assign against it) and (the plain PQ codebook) —
+    run as concurrent jobs (guide §2.6).  Artifact contents are
+    unchanged; each ``materialized`` key is built by exactly one
+    thread."""
+
+    def chain_ivf_residual() -> None:
+        _ivf_distances(spark, sf_dir).count()
+        _res_cent(spark, sf_dir).count()
+        _res_codes(spark, sf_dir).count()
+
+    shared.overlap_jobs(
+        chain_ivf_residual,
+        lambda: _pq_codebooks_df(spark, sf_dir).count(),
+    )
 
 
 #: two separately-timed family build lines (round-9 verdict: the merged

@@ -3618,9 +3618,17 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     counts) shared by the graph-shaped queries (BFS hops, Adamic-Adar,
     label propagation, association rules) — bench family build line, so
     per-query numbers reflect traversal cost rather than whichever query
-    touches the payload first."""
-    _co_order_edges(spark, sf_dir).count()
-    _co_order_pair_counts(spark, sf_dir).count()
+    touches the payload first.
+
+    r16: the two payloads are independent builds over lineitem —
+    submitted as concurrent jobs (guide §2.6) so the family line pays
+    max of the two builds, not their sum.  Payload contents unchanged."""
+    from .shared import overlap_jobs
+
+    overlap_jobs(
+        lambda: _co_order_edges(spark, sf_dir).count(),
+        lambda: _co_order_pair_counts(spark, sf_dir).count(),
+    )
 
 
 # ---------------------------------------------------------------------------

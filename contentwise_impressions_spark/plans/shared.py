@@ -74,6 +74,30 @@ def rated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized(spark, sf_dir, "rated", build)
 
 
+def overlap_jobs(*thunks: Callable[[], object]) -> None:
+    """Run independent warmup build chains as CONCURRENT Spark jobs
+    (optimization guide §2.6 — overlap independent jobs): the default
+    FIFO scheduler back-fills the straggling tail of one chain's stages
+    with the next chain's tasks, so the family build line pays
+    max(chain) instead of sum(chain).  The warmup builds here are
+    small-stage jobs (few tasks each at bench scale) that leave most
+    cores idle when run serially.
+
+    Threads only SUBMIT jobs; results are unaffected (each
+    ``materialized`` key is built by exactly one thread — callers
+    materialize shared roots synchronously before forking, so no two
+    thunks race one cache key).  The first failure propagates after all
+    thunks settle (same error surface as the serial form)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+
+
 def release_session_payloads(
     spark: SparkSession | None = None, blocking: bool = False
 ) -> int:

@@ -397,10 +397,22 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     word vocabulary, and the BPE TRAINING itself — a training budget,
     not a query, like the model fits) — bench family build line, so
     `bpe_compression_stats` times the tokenizer APPLY rather than
-    absorbing the k training rounds on first touch."""
-    q_doc_repetition_stats(spark, sf_dir).count()
-    _bpe_vocab(spark, sf_dir).count()
-    _bpe_merges(spark, sf_dir)
+    absorbing the k training rounds on first touch.
+
+    r16: the repetition-stats build and the BPE chain (vocab → k
+    training rounds) are independent — run as concurrent jobs (guide
+    §2.6).  Payload contents unchanged; the BPE driver-side cache is
+    touched by exactly one thread."""
+    from .shared import overlap_jobs
+
+    def chain_bpe() -> None:
+        _bpe_vocab(spark, sf_dir).count()
+        _bpe_merges(spark, sf_dir)
+
+    overlap_jobs(
+        lambda: q_doc_repetition_stats(spark, sf_dir).count(),
+        chain_bpe,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,29 @@ def test_ivfpq_persist_before_fanout_pin(spark):
     assert out.count() > 0  # serving reads through the caches
     release_session_payloads(spark, blocking=True)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_overlap_jobs_runs_all_and_propagates_failure(spark):
+    """The r16 warmup-overlap helper must (a) run every thunk to
+    completion — a dropped build would leave a family payload cold and
+    silently shift its cost onto the first timed query — and (b) surface
+    a thunk's exception like the serial form did, AFTER all thunks
+    settle (so one failed chain can't strand another mid-build)."""
+    import pytest
+
+    done: list[str] = []
+    shared.overlap_jobs(
+        lambda: done.append("a"),
+        lambda: done.append("b"),
+        lambda: done.append("c"),
+    )
+    assert sorted(done) == ["a", "b", "c"]
+
+    seen: list[str] = []
+
+    def boom() -> None:
+        raise RuntimeError("chain failed")
+
+    with pytest.raises(RuntimeError, match="chain failed"):
+        shared.overlap_jobs(lambda: seen.append("x"), boom)
+    assert seen == ["x"]  # the healthy chain still completed
