@@ -85,6 +85,12 @@ def stream_events(
     return reader.load(source_dir)
 
 
+#: tmpfs checkpoint dirs created by run_stream_once in this process —
+#: re-swept on each call and at exit (see the maintenance-thread note)
+_CKPT_DIRS: set[str] = set()
+_CKPT_ATEXIT = False
+
+
 def run_stream_once(
     stream_df: DataFrame,
     name_prefix: str = "stream_once",
@@ -111,7 +117,24 @@ def run_stream_once(
     micro-batch, and stateful workloads disable AQE).  A long-lived
     production stream should instead size it to its cluster and keep it
     for the checkpoint's lifetime; pass None to inherit the session
-    setting."""
+    setting.
+
+    Checkpoint placement (r16): every micro-batch fsyncs the offset WAL,
+    the commit log, and one state-store delta per partition into the
+    checkpoint directory.  For this run the checkpoint is scratch by
+    construction (fresh uuid-named query, never resumed, deleted on
+    completion), so it goes on tmpfs when available — interleaved A/B at
+    sf0.1 measured the stateful queries 28-32% faster warm
+    (stream_synthetic_counts 5.6→3.8 s, stream_popularity_store
+    5.9→4.0, stream_join_hourly_conversions 4.5→3.2) with emissions
+    byte-identical (checkpoint location does not participate in
+    results).  A PRODUCTION stream's checkpoint is its recovery
+    contract and belongs on durable shared storage — override with
+    ``$SPARK_GRAFT_STREAM_CKPT`` (any path, e.g. an HDFS/S3 URI in a
+    real deployment; unset → tmpfs → engine temp-dir fallback)."""
+    import os
+    import shutil
+    import tempfile
     import uuid
 
     spark = stream_df.sparkSession
@@ -119,18 +142,48 @@ def run_stream_once(
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if base is None and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_", dir=base) if base else None
+    # the state-store maintenance thread can re-write snapshot files into
+    # a checkpoint AFTER the query terminates and the in-run rmtree below
+    # has run — so every created dir is also re-swept on the next call
+    # and at interpreter exit (post SparkSession, nothing recreates it);
+    # tmpfs outlives the process, a silent leak would accumulate
+    if ckpt is not None:
+        for old in list(_CKPT_DIRS):
+            if old != ckpt:
+                shutil.rmtree(old, ignore_errors=True)
+                if not os.path.exists(old):
+                    _CKPT_DIRS.discard(old)
+        _CKPT_DIRS.add(ckpt)
+        global _CKPT_ATEXIT
+        if not _CKPT_ATEXIT:
+            import atexit
+
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(d, ignore_errors=True) for d in _CKPT_DIRS
+                ]
+            )
+            _CKPT_ATEXIT = True
     try:
-        q = (
+        writer = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         if shuffle_partitions is not None and prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
