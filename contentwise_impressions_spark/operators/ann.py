@@ -174,10 +174,34 @@ def _topk_task(probes: pd.DataFrame, index: pd.DataFrame, k: int) -> pd.DataFram
     )
 
 
-def _merge_topk(partials: DataFrame, k: int) -> DataFrame:
+#: target partial rows per merge reducer — quiet-host A/B at sf0.1 put the
+#: optimum near 25-30k rows/task (100k-row merge: 1.15 s at the 64-part
+#: session default, 0.29 s at 4 parts; 60k rows: 2.16 s -> 0.87 s at 2)
+_MERGE_ROWS_PER_PART = 1 << 15
+
+
+def _merge_topk(
+    partials: DataFrame, k: int, est_rows: int | None = None
+) -> DataFrame:
     """Exact global merge of per-block partial top-k rows (the quantized
     cosine is deterministic, so plain desc order is a total order with the
-    id tiebreak)."""
+    id tiebreak).
+
+    ``est_rows``: expected partial-row count (probes x replication x k),
+    known from grid geometry at every call site.  The merge input is tiny
+    next to the session's shuffle width, so the window's exchange
+    otherwise fans out into dozens of near-empty sort tasks whose
+    scheduling dominates the merge.  A user repartition on the window key
+    is AQE-exempt and already satisfies the window's required
+    distribution — exactly one Exchange either way, only its width
+    changes, and the window result does not depend on physical
+    partitioning, so emitted rows are identical.  Scale-adaptive: the
+    width grows linearly with the estimate, never from a host constant;
+    ``None`` keeps the session default (callers with no cheap estimate).
+    """
+    if est_rows is not None and est_rows > 0:
+        n_parts = max(2, -(-int(est_rows) // _MERGE_ROWS_PER_PART))
+        partials = partials.repartition(n_parts, "vec_id")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -192,12 +216,16 @@ def _hash_blocks(
     block_rows: int,
     min_blocks: int | None,
     key: str | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int, int]:
     """All-pairs block decomposition: each side hashed into n_blk blocks on
     its own key and replicated across the other dimension, so task
     (pblk, iblk) holds exactly one probe slab (_side=1) and one index slab
     (_side=0).  Tagged union + one groupBy, NOT a self-cogroup (which trips
     Spark's ambiguous-self-join detection on shared lineage).
+
+    Returns ``(both, n, n_blk)`` — the sizing facts ride along so callers
+    can right-size their merge exchange (see _merge_topk) without a
+    second count.
 
     `key`: optional session-cache key — callers over the same embeddings
     table share ONE persisted payload + sizing count (vs re-persisting and
@@ -232,9 +260,10 @@ def _hash_blocks(
     # satisfies the downstream applyInPandas' ClusteredDistribution
     # (same rule as blocked_topk / the ADC grids)
     n_tasks = min(n_blk * n_blk, max(256, 8 * par))
-    return idx.unionByName(prb.select(idx.columns)).repartition(
+    both = idx.unionByName(prb.select(idx.columns)).repartition(
         n_tasks, "pblk", "iblk"
     )
+    return both, n, n_blk
 
 
 def cosine_topk_bruteforce(
@@ -259,7 +288,7 @@ def cosine_topk_bruteforce(
     integer arithmetic and the cosine is bit-identical across engines —
     a total order with no rounding step needed.
     """
-    both = _hash_blocks(
+    both, n, n_blk = _hash_blocks(
         _norm_payload(embeddings, vec_col), block_rows, min_blocks, key=cache_key
     )
     kk = int(k)
@@ -268,7 +297,8 @@ def cosine_topk_bruteforce(
         return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
 
     partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _TOPK_PARTIAL)
-    return _merge_topk(partials, k)
+    # every probe contributes <= k rows from each of its n_blk index blocks
+    return _merge_topk(partials, k, est_rows=n * n_blk * kk)
 
 
 def cosine_topk_cross(
@@ -295,7 +325,7 @@ def cosine_topk_cross(
     IVF-assign both sides with the same centroids and run this kernel per
     inverted list.
     """
-    both = _cross_blocks(
+    both, n_c, n_blk = _cross_blocks(
         _norm_payload(queries, vec_col),
         lambda: _norm_payload(corpus, vec_col),
         corpus_key and ("embc", corpus_key),
@@ -308,7 +338,9 @@ def cosine_topk_cross(
         return _topk_task(pdf[pdf["_side"] == 1], pdf[pdf["_side"] == 0], kk)
 
     partials = both.groupby("pblk", "iblk").applyInPandas(split_task, _TOPK_PARTIAL)
-    return _merge_topk(partials, k)
+    # partial rows = |Q| x n_blk x k; the corpus count stands in for the
+    # uncounted query side (an order-of-magnitude sizing, not a contract)
+    return _merge_topk(partials, k, est_rows=n_c * n_blk * kk)
 
 
 def _cross_blocks(
@@ -326,7 +358,8 @@ def _cross_blocks(
     ones get MEMORY_ONLY (nothing ever releases them, so they must be
     self-evicting with no disk blocks).  Block count sized by the big
     (corpus) side; query rows replicate across index blocks and vice
-    versa, tagged union → one groupBy (see _hash_blocks)."""
+    versa, tagged union → one groupBy (see _hash_blocks).  Returns
+    ``(both, n_corpus, n_blk)`` — sizing facts for the merge exchange."""
     from pyspark import StorageLevel
 
     from .blocked_topk import _cached
@@ -355,9 +388,10 @@ def _cross_blocks(
     ).withColumn("iblk", F.explode(F.sequence(F.lit(0), F.lit(n_blk - 1))))
     # explicit task-count repartition — see _hash_blocks
     n_tasks = min(n_blk * n_blk, max(256, 8 * par))
-    return idx.unionByName(prb.select(idx.columns)).repartition(
+    both = idx.unionByName(prb.select(idx.columns)).repartition(
         n_tasks, "pblk", "iblk"
     )
+    return both, n, n_blk
 
 
 def lsh_bucket_signatures(
@@ -755,9 +789,13 @@ def ivf_topk(
     # sub-block the largest list so a hot cluster cannot make one task
     # unbounded; probes replicate across a list's sub-blocks
     mx_row = (
-        home.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()
+        home.groupBy("list_id")
+        .count()
+        .agg(F.max("count").alias("m"), F.sum("count").alias("n"))
+        .collect()
     )
     mx = int(mx_row[0]["m"] or 1)
+    n_vec = int(mx_row[0]["n"] or 0)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
     idx = (
         payload.join(home, "vec_id")
@@ -781,7 +819,8 @@ def ivf_topk(
     ).groupby("list_id", "sub").applyInPandas(
         split_task, _TOPK_PARTIAL
     )
-    return _merge_topk(partials, k)
+    # each probe scores in n_probe lists x n_sub sub-blocks, <= k rows each
+    return _merge_topk(partials, k, est_rows=n_vec * n_probe * n_sub * kk)
 
 
 def cosine_pairs_above(
@@ -806,7 +845,7 @@ def cosine_pairs_above(
     run this same kernel per bucket — the thresholding algebra is
     unchanged.
     """
-    both = _hash_blocks(
+    both, _, _ = _hash_blocks(
         _norm_payload(embeddings, vec_col), block_rows, min_blocks, key=cache_key
     )
     thr = float(threshold)
@@ -1045,7 +1084,7 @@ def hard_pairs_cross(
             _as_double(F.col(vec_col)).alias("_emb"),
         )
 
-    both = _cross_blocks(
+    both, _, _ = _cross_blocks(
         labeled(queries),
         lambda: labeled(corpus),
         corpus_key and ("embh", corpus_key),

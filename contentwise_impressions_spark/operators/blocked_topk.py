@@ -644,13 +644,25 @@ def blocked_cosine_topk(
         .groupby("pblk", "iblk")
         .applyInPandas(split_task, _PARTIAL)
     )
+    # right-size the merge exchange from the grid geometry (see
+    # ann._merge_topk): every item is ranked in n_blk tasks (probe
+    # orientation in (h, 0..h), mirror orientation in (h+1.., h)), <= k
+    # rows each — at the session's shuffle width the window ran as dozens
+    # of near-empty sort tasks whose scheduling dominated the merge.
+    # User repartition on the window key: AQE-exempt, satisfies the
+    # window's distribution (one Exchange either way), result rows
+    # independent of physical partitioning.
+    from .ann import _MERGE_ROWS_PER_PART
+
+    merge_parts = max(2, -(-(n * n_blk * int(k)) // _MERGE_ROWS_PER_PART))
     # rank on the task-emitted rounded value — identical doubles to the
     # task-side ranking, so no cross-stage rounding-convention divergence
     w = Window.partitionBy("item_j").orderBy(
         F.col("rsim").desc(), F.col("item_i").asc()
     )
     out = (
-        partials.withColumn("rank", F.row_number().over(w).cast("int"))
+        partials.repartition(merge_parts, "item_j")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .drop("rsim")
     )

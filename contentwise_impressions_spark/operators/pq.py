@@ -663,7 +663,10 @@ def pq_adc_topk(
     partials = both.repartition(n_blk * n_blk, "pblk", "iblk").groupby(
         "pblk", "iblk"
     ).applyInPandas(lambda _k, pdf: task(pdf), _TOPK_PARTIAL)
-    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")
+    # every probe contributes <= k rows from each of its n_blk index blocks
+    return _merge_topk(
+        partials, k, est_rows=n * n_blk * kk
+    ).withColumnRenamed("cosine", "adc_cosine")
 
 
 def ivfpq_topk(
@@ -760,9 +763,13 @@ def ivfpq_topk(
     # sub-block the largest list so a hot cluster cannot make one task
     # unbounded (same discipline as ivf_topk)
     mx_row = (
-        idx_payload.groupBy("list_id").count().agg(F.max("count").alias("m")).collect()
+        idx_payload.groupBy("list_id")
+        .count()
+        .agg(F.max("count").alias("m"), F.sum("count").alias("n"))
+        .collect()
     )
     mx = int(mx_row[0]["m"] or 1)
+    n_vec = int(mx_row[0]["n"] or 0)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
     idx = idx_payload.withColumn("_side", F.lit(0)).withColumn(
         "sub_b", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
@@ -792,7 +799,10 @@ def ivfpq_topk(
     ).groupby("list_id", "sub_b").applyInPandas(
         lambda _k, pdf: task(pdf), _TOPK_PARTIAL
     )
-    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")
+    # each probe scores in n_probe lists x n_sub sub-blocks, <= k rows each
+    return _merge_topk(
+        partials, k, est_rows=n_vec * max(1, n_probe) * n_sub * kk
+    ).withColumnRenamed("cosine", "adc_cosine")
 
 
 def refine_exact_topk(
@@ -1056,10 +1066,11 @@ def ivfpq_residual_topk(
     mx_row = (
         idx_payload.groupBy("list_id")
         .count()
-        .agg(F.max("count").alias("m"))
+        .agg(F.max("count").alias("m"), F.sum("count").alias("n"))
         .collect()
     )
     mx = int(mx_row[0]["m"] or 1)
+    n_vec = int(mx_row[0]["n"] or 0)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
     idx = idx_payload.withColumn("_side", F.lit(0)).withColumn(
         "sub_b", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
@@ -1107,4 +1118,8 @@ def ivfpq_residual_topk(
         .groupby("list_id", "sub_b")
         .applyInPandas(task, _TOPK_PARTIAL)
     )
-    return _merge_topk(partials, k).withColumnRenamed("cosine", "adc_cosine")
+    # home-list routing: each probe scores in its home list's n_sub
+    # sub-blocks, <= k rows each
+    return _merge_topk(
+        partials, k, est_rows=n_vec * n_sub * kk
+    ).withColumnRenamed("cosine", "adc_cosine")

@@ -213,13 +213,14 @@ def sq8_topk(
     emitted cosine is exact integer arithmetic end to end, so the DuckDB
     twin reproduces it bit-for-bit."""
     payload = _sq8_payload(embeddings, vec_col)
-    both = _hash_blocks(payload, block_rows, min_blocks, key=cache_key)
+    both, n, n_blk = _hash_blocks(payload, block_rows, min_blocks, key=cache_key)
     kk = int(k)
 
     partials = both.groupby("pblk", "iblk").applyInPandas(
         _sq8_task_fn(kk), _TOPK_PARTIAL
     )
-    return _merge_topk(partials, k)
+    # every probe contributes <= k rows from each of its n_blk index blocks
+    return _merge_topk(partials, k, est_rows=n * n_blk * kk)
 
 
 def sq8_residual_payload(
@@ -337,10 +338,11 @@ def sq8_ivf_residual_topk(
     mx_row = (
         payload.groupBy("list_id")
         .count()
-        .agg(F.max("count").alias("m"))
+        .agg(F.max("count").alias("m"), F.sum("count").alias("n"))
         .collect()
     )
     mx = int(mx_row[0]["m"] or 1)
+    n_vec = int(mx_row[0]["n"] or 0)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
     idx = payload.withColumn("_side", F.lit(0)).withColumn(
         "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).cast("int")
@@ -358,7 +360,9 @@ def sq8_ivf_residual_topk(
     ).groupby("list_id", "sub").applyInPandas(
         _sq8_task_fn(kk), _TOPK_PARTIAL
     )
-    return _merge_topk(partials, k)
+    # home-list routing: each probe scores in its home list's n_sub
+    # sub-blocks, <= k rows each
+    return _merge_topk(partials, k, est_rows=n_vec * n_sub * kk)
 
 
 def sq8_ivf_topk(
@@ -429,10 +433,11 @@ def sq8_ivf_topk(
     mx_row = (
         home.groupBy("list_id")
         .count()
-        .agg(F.max("count").alias("m"))
+        .agg(F.max("count").alias("m"), F.sum("count").alias("n"))
         .collect()
     )
     mx = int(mx_row[0]["m"] or 1)
+    n_vec = int(mx_row[0]["n"] or 0)
     n_sub = max(1, int(math.ceil(mx / float(block_rows))))
     idx = (
         payload.join(home, "vec_id")
@@ -456,4 +461,7 @@ def sq8_ivf_topk(
     ).groupby("list_id", "sub").applyInPandas(
         _sq8_task_fn(kk), _TOPK_PARTIAL
     )
-    return _merge_topk(partials, k)
+    # probes route to n_sub sub-blocks per probed list, <= k rows each
+    # (n_vec counts home rows; the multiprobe factor is a small constant,
+    # an order-of-magnitude sizing, not a contract)
+    return _merge_topk(partials, k, est_rows=n_vec * n_sub * kk)

@@ -134,3 +134,45 @@ def test_broadcast_path_matches_fallback(tiny):
         )
     )
     assert bc == fb == _naive_hybrid(feat_rows, adj_rows, 0.5, 3)
+
+
+def test_merge_exchange_width_is_data_derived(tiny, spark):
+    # r16 #12: the top-k merge window repartitions on its key with a width
+    # derived from the partial-row estimate (AQE-exempt REPARTITION_BY_NUM),
+    # instead of inheriting the session shuffle default — and the rows are
+    # identical under any width (the window result is partitioning-free).
+    from contentwise_impressions_spark.operators.ann import (
+        _MERGE_ROWS_PER_PART,
+        _merge_topk,
+    )
+
+    partials = spark.createDataFrame(
+        [(i % 7, 100 + i, float(i % 13)) for i in range(200)],
+        "vec_id long, neighbor_id long, cosine double",
+    )
+    base = _merge_topk(partials, 3)
+    hinted = _merge_topk(partials, 3, est_rows=5 * _MERGE_ROWS_PER_PART)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+    plan = hinted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "hashpartitioning(vec_id" in plan
+    # exactly one exchange on the window key: the explicit repartition
+    # satisfies the window's required distribution
+    assert plan.count("hashpartitioning(vec_id") <= 2  # spec + its Arguments line
+
+    # the blocked kernel's item_j merge carries the same pin
+    _, _, feat, adj = tiny
+    out = blocked_cosine_topk(feat=feat, adj=adj, k=3)
+    bplan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning(item_j" in bplan
+    assert "REPARTITION_BY_NUM" in bplan
