@@ -113,6 +113,13 @@ _PARTIAL = StructType(
 #: One persisted copy per payload CONFIG per session (vs per invocation).
 _CACHE: dict[tuple, object] = {}
 
+#: top-K emission strategy: "fast" = composite int-key selection (the
+#: default); "lexsort" = the boundary/candidate/lexsort reference path the
+#: fast path is tested against (also the automatic fallback when |sim| is
+#: large enough to overflow the composite key).  Module-level so tests and
+#: in-session A/B measurement can force the reference path.
+_EMIT_MODE = "fast"
+
 
 def _cached(spark, key: tuple | None, build: Callable):
     if key is None:
@@ -447,6 +454,7 @@ def blocked_cosine_topk(
 
     kk, nf, e = int(k), int(n_feats), float(eps)
     wgt, scale = float(icm_weight), 10.0 ** int(round_digits)
+    emit_mode = _EMIT_MODE  # bound at plan-build time (driver side)
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -497,10 +505,14 @@ def blocked_cosine_topk(
             wgt * wgt * i_sq + index["deg"].to_numpy(dtype=np.float64)
         )
         n_p, n_i = len(p_ids), len(i_ids)
-        dots = np.zeros((n_p, n_i))
         if p_dense is not None and p_dense.shape[1]:
-            # dense GEMM on raw values; w² factored out of the bilinear form
-            dots += (wgt * wgt) * (p_dense @ i_dense.T)
+            # dense GEMM on raw values; w² factored out of the bilinear
+            # form.  GEMM output IS the dots buffer (0 + x == x exactly,
+            # so skipping the former zeros-fill + add is bit-identical)
+            dots = p_dense @ i_dense.T
+            dots *= wgt * wgt
+        else:
+            dots = np.zeros((n_p, n_i))
         p_lens, p_flat = _lens_flat(probes["nbrs"].to_numpy())
         i_lens, i_flat = (
             (p_lens, p_flat) if same else _lens_flat(index["nbrs"].to_numpy())
@@ -538,39 +550,83 @@ def blocked_cosine_topk(
         # faults at ~50× its re-touch cost (guest-memory provisioning —
         # the r13 root cause of the first-task-per-worker tax: 3.5 s vs
         # 0.2 s on identical data).  Two buffers (the outer-product and
-        # the abs copy) replace the expression form's seven temporaries;
-        # the arithmetic is the identical IEEE op sequence per element,
-        # so emitted values are bit-unchanged.
+        # the rounding scratch) replace the expression form's seven
+        # temporaries; the arithmetic is the identical IEEE op sequence
+        # per element, so emitted values are bit-unchanged.
         sims = np.outer(p_norm, i_norm)
         sims += e
         np.divide(dots, sims, out=sims)
         # half-up (away from zero), matching F.round / DuckDB round — and
         # the merge window ranks on THIS emitted value, so partial top-K
-        # is a superset of the global contribution by construction
-        rounded = np.abs(sims)
-        rounded *= scale
-        rounded += 0.5
-        np.floor(rounded, out=rounded)
-        rounded /= scale
-        np.copysign(rounded, sims, out=rounded)
+        # is a superset of the global contribution by construction.
+        # The INTEGER form sign·floor(|s|·scale + 0.5) is kept (int64):
+        # the per-row (rounded desc, id asc) selection then folds into
+        # ONE composite integer key, so top-K needs no tie expansion and
+        # no global lexsort (the former emit's cost was dominated by
+        # boundary-tie candidate growth — a 37-feature binary cosine
+        # ties massively).  rsim = ikey/scale reproduces the former
+        # floor(...)/scale value exactly (negation and division commute
+        # in IEEE; the integer magnitudes are < 2^53).
+        rounding = np.abs(sims)
+        rounding *= scale
+        rounding += 0.5
+        np.floor(rounding, out=rounding)
+        np.copysign(rounding, sims, out=rounding)
+        ikey = rounding.astype(np.int64)
 
-        def emit(rnd, sms, row_ids, col_ids):
-            # fully vectorized top-K emission (no per-row Python loop,
-            # which was quadratic-ish under large rounded-value tie
-            # groups — the feature-only cosine has many):
-            #   1. per-row boundary = m-th largest rounded value
-            #      (argpartition); +1 allows dropping a self-pair;
-            #   2. candidates = everything >= boundary (covers all
-            #      boundary ties exactly), self-pairs masked out;
-            #   3. ONE global lexsort on (row, -rounded, id) + cumcount-
-            #      within-row keeps the first k per row in total order.
+        def emit(ik, sms, row_ids, col_ids, diag):
+            # exact vectorized top-K: composite key = ikey·K − col_rank
+            # (K = next pow2 > n_c ≥ col_rank) strictly orders every cell
+            # by (rounded sim desc, col id asc) — ties are impossible, so
+            # ONE int64 argpartition + a k-wide sort per row replaces the
+            # former boundary/candidate/lexsort pipeline.  |ikey| ≤
+            # scale·(|sim|+1) and the caller guards |ikey|·K < 2^62.
+            n_r, n_c = ik.shape
+            ocol = np.argsort(
+                np.argsort(col_ids, kind="stable"), kind="stable"
+            ).astype(np.int64)
+            K = np.int64(1) << int(n_c).bit_length()
+            key = ik * K
+            key -= ocol[None, :]
+            mask_val = np.iinfo(np.int64).min + 1  # negation-safe sentinel
+            if diag:
+                # diagonal task: row r IS column r (one block, both
+                # roles) — mask the self-pair before selection.  Off-
+                # diagonal blocks are disjoint by the home hash, so no
+                # self-pairs exist there.
+                d = np.arange(n_r)
+                key[d, d] = mask_val
+            m = min(n_c, kk + 1) if diag else min(n_c, kk)
+            if n_c > m:
+                sel = np.argpartition(key, n_c - m, axis=1)[:, n_c - m:]
+                skey = np.take_along_axis(key, sel, axis=1)
+            else:
+                sel = np.broadcast_to(np.arange(n_c), (n_r, n_c)).copy()
+                skey = key
+            o = np.argsort(-skey, axis=1)[:, :kk]
+            sel = np.take_along_axis(sel, o, axis=1)
+            skey = np.take_along_axis(skey, o, axis=1)
+            valid = (skey != mask_val).ravel()
+            r_k = np.repeat(np.arange(n_r), sel.shape[1])[valid]
+            c_k = sel.ravel()[valid]
+            # recover the integer rounded value: key + col_rank = ikey·K
+            ikq = (skey.ravel()[valid] + ocol[c_k]) // K
+            return pd.DataFrame(
+                {
+                    "item_i": col_ids[c_k].astype(np.int64),
+                    "item_j": row_ids[r_k].astype(np.int64),
+                    "sim": sms[r_k, c_k].astype(np.float64),
+                    "rsim": ikq.astype(np.float64) / scale,
+                }
+            )
+
+        def emit_lexsort(rnd, sms, row_ids, col_ids):
+            # fallback (and the reference implementation the fast path is
+            # tested against): boundary argpartition + candidate mask +
+            # one global lexsort on (row, -rounded, id) — any |sim|.
             n_r, n_c = rnd.shape
             m = min(n_c, kk + 1)
             if n_c > m:
-                # ascending argpartition at kth = n_c-m: columns [n_c-m:]
-                # hold the m largest (unordered) — same boundary value as
-                # the former argpartition(-rnd, m-1)[:, :m] without
-                # materializing the negated copy of the full matrix
                 pvals = np.take_along_axis(
                     rnd,
                     np.argpartition(rnd, n_c - m, axis=1)[:, n_c - m:],
@@ -597,7 +653,26 @@ def blocked_cosine_topk(
                 }
             )
 
-        parts = [emit(rounded, sims, p_ids, i_ids)]
+        n_cols = max(len(p_ids), len(i_ids))
+        K_max = np.int64(1) << int(n_cols).bit_length()
+        if emit_mode == "lexsort" or np.abs(rounding).max(initial=0.0) > float(
+            (np.int64(2) ** 62) // K_max
+        ):
+            # composite key would overflow int64 (|sim| ≳ 1e6·(2048/K)):
+            # not reachable for cosines, but the kernel is generic —
+            # take the any-magnitude lexsort path
+            rounded = rounding
+            rounded /= scale
+            parts = [emit_lexsort(rounded, sims, p_ids, i_ids)]
+            if mirror:
+                parts.append(
+                    emit_lexsort(
+                        np.ascontiguousarray(rounded.T), sims.T, i_ids, p_ids
+                    )
+                )
+            return pd.concat(parts, ignore_index=True)
+
+        parts = [emit(ikey, sims, p_ids, i_ids, same)]
         if mirror:
             # off-diagonal task: the transposed orientation (top-K per
             # index column over the probe candidates) comes from the SAME
@@ -605,10 +680,11 @@ def blocked_cosine_topk(
             # every unordered block pair exactly once
             parts.append(
                 emit(
-                    np.ascontiguousarray(rounded.T),
+                    np.ascontiguousarray(ikey.T),
                     sims.T,
                     i_ids,
                     p_ids,
+                    False,
                 )
             )
         return pd.concat(parts, ignore_index=True)

@@ -2366,7 +2366,16 @@ def q_stream_popularity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     utc(spark)
     batch = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="cwi_pop_store_")
+    # run scaffolding (delivery halves, checkpoint, snapshot versions) on
+    # the same ephemeral scratch base as run_stream_once: the checkpoint
+    # fsyncs per micro-batch, so tmpfs placement is the r16 #9 win this
+    # self-managed run previously missed.  The published snapshot
+    # (|items| rows) stays for the returned plan to read, same as the
+    # former /tmp placement; a production store belongs on durable
+    # storage ($SPARK_GRAFT_STREAM_CKPT overrides).
+    from ..streaming.ingest import scratch_base
+
+    work = tempfile.mkdtemp(prefix="cwi_pop_store_", dir=scratch_base())
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
     # ONE pass over the event log writes both delivery halves

@@ -91,6 +91,23 @@ _CKPT_DIRS: set[str] = set()
 _CKPT_ATEXIT = False
 
 
+def scratch_base() -> str | None:
+    """Base directory for EPHEMERAL streaming scratch (checkpoints, run
+    scaffolding): ``$SPARK_GRAFT_STREAM_CKPT`` override → tmpfs
+    (/dev/shm) → None (caller falls back to the engine temp dir).
+
+    Every micro-batch fsyncs the offset WAL, commit log, and per-
+    partition state deltas into the checkpoint, so tmpfs placement is
+    the r16 #9 win; a PRODUCTION stream's checkpoint is its recovery
+    contract and belongs on durable shared storage (set the env var)."""
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if base is None and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return base
+
+
 def run_stream_once(
     stream_df: DataFrame,
     name_prefix: str = "stream_once",
@@ -142,9 +159,7 @@ def run_stream_once(
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
-    if base is None and os.access("/dev/shm", os.W_OK):
-        base = "/dev/shm"
+    base = scratch_base()
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name_prefix}_", dir=base) if base else None
     # the state-store maintenance thread can re-write snapshot files into
     # a checkpoint AFTER the query terminates and the in-run rmtree below

@@ -120,6 +120,42 @@ def test_requires_some_input():
         blocked_cosine_topk()
 
 
+def test_tie_heavy_topk_matches_naive(spark):
+    # r16 emit rewrite (composite int-key selection): the risk case is a
+    # rounded-value tie group that STRADDLES the k boundary — the winners
+    # inside the group must be the smallest item ids, across every task
+    # shape (diagonal, off-diagonal probe orientation, mirror
+    # orientation).  Many items sharing identical binary feature vectors
+    # produce exactly such tie groups; small blocks force all three
+    # shapes; k=4 cuts inside the tie groups.
+    feat_rows = []
+    for it in range(1, 61):
+        # 12 distinct vectors over 4 features → ~5-way duplicate vectors
+        bits = [(it * 7 + 3) % 12 >> b & 1 for b in range(4)]
+        if not any(bits):
+            bits[it % 4] = 1
+        for f, b in enumerate(bits):
+            if b:
+                feat_rows.append((it, f"f{f}", 1.0))
+    feat = spark.createDataFrame(
+        feat_rows, "item_id long, feature string, value double"
+    )
+    got = _collected(blocked_cosine_topk(feat=feat, k=4, block_rows=16))
+    assert got == _naive_hybrid(feat_rows, [], 1.0, 4)
+
+    # the lexsort reference path (also the |sim|-overflow fallback) must
+    # emit the identical rows
+    import contentwise_impressions_spark.operators.blocked_topk as bt
+
+    assert bt._EMIT_MODE == "fast"
+    try:
+        bt._EMIT_MODE = "lexsort"
+        ref = _collected(blocked_cosine_topk(feat=feat, k=4, block_rows=16))
+    finally:
+        bt._EMIT_MODE = "fast"
+    assert ref == got
+
+
 def test_broadcast_path_matches_fallback(tiny):
     # asymmetric replication: features via executor broadcast (default)
     # must be bit-identical to features carried inside the blocked payload
