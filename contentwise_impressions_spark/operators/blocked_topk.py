@@ -572,31 +572,29 @@ def blocked_cosine_topk(
         rounding += 0.5
         np.floor(rounding, out=rounding)
         np.copysign(rounding, sims, out=rounding)
-        ikey = rounding.astype(np.int64)
+        # composite-key domain: all arithmetic below stays on EXACT
+        # integers in float64 (|rint|·K + rank < 2^53, guarded), so no
+        # int64 copy is materialized — on this host freshly-mapped pages
+        # fault at ~50× re-touch cost, and the emit rewrite must not add
+        # full-matrix buffers the lexsort path didn't have
+        K = float(
+            np.int64(1) << int(max(len(p_ids), len(i_ids))).bit_length()
+        )
 
-        def emit(ik, sms, row_ids, col_ids, diag):
-            # exact vectorized top-K: composite key = ikey·K − col_rank
-            # (K = next pow2 > n_c ≥ col_rank) strictly orders every cell
-            # by (rounded sim desc, col id asc) — ties are impossible, so
-            # ONE int64 argpartition + a k-wide sort per row replaces the
-            # former boundary/candidate/lexsort pipeline.  |ikey| ≤
-            # scale·(|sim|+1) and the caller guards |ikey|·K < 2^62.
-            n_r, n_c = ik.shape
-            ocol = np.argsort(
-                np.argsort(col_ids, kind="stable"), kind="stable"
-            ).astype(np.int64)
-            K = np.int64(1) << int(n_c).bit_length()
-            key = ik * K
-            key -= ocol[None, :]
-            mask_val = np.iinfo(np.int64).min + 1  # negation-safe sentinel
-            if diag:
-                # diagonal task: row r IS column r (one block, both
-                # roles) — mask the self-pair before selection.  Off-
-                # diagonal blocks are disjoint by the home hash, so no
-                # self-pairs exist there.
-                d = np.arange(n_r)
-                key[d, d] = mask_val
-            m = min(n_c, kk + 1) if diag else min(n_c, kk)
+        def rank_of(ids_arr):
+            return np.argsort(
+                np.argsort(ids_arr, kind="stable"), kind="stable"
+            ).astype(np.float64)
+
+        def emit(key, sms, row_ids, col_ids, ocol):
+            # exact vectorized top-K: key = rint·K − col_rank (K = pow2 >
+            # n_cols ≥ rank) strictly orders every cell by (rounded sim
+            # desc, col id asc) — ties are impossible, so ONE argpartition
+            # + a k-wide sort per row replaces the former boundary/
+            # candidate/lexsort pipeline.  Self-pairs (diagonal tasks
+            # only) are pre-masked to −inf by the caller.
+            n_r, n_c = key.shape
+            m = min(n_c, kk + 1)
             if n_c > m:
                 sel = np.argpartition(key, n_c - m, axis=1)[:, n_c - m:]
                 skey = np.take_along_axis(key, sel, axis=1)
@@ -606,17 +604,18 @@ def blocked_cosine_topk(
             o = np.argsort(-skey, axis=1)[:, :kk]
             sel = np.take_along_axis(sel, o, axis=1)
             skey = np.take_along_axis(skey, o, axis=1)
-            valid = (skey != mask_val).ravel()
+            valid = np.isfinite(skey).ravel()
             r_k = np.repeat(np.arange(n_r), sel.shape[1])[valid]
             c_k = sel.ravel()[valid]
-            # recover the integer rounded value: key + col_rank = ikey·K
-            ikq = (skey.ravel()[valid] + ocol[c_k]) // K
+            # recover the integer rounded value: key + col_rank = rint·K
+            # (exact: integers < 2^53, K a power of two)
+            ikq = (skey.ravel()[valid] + ocol[c_k]) / K
             return pd.DataFrame(
                 {
                     "item_i": col_ids[c_k].astype(np.int64),
                     "item_j": row_ids[r_k].astype(np.int64),
                     "sim": sms[r_k, c_k].astype(np.float64),
-                    "rsim": ikq.astype(np.float64) / scale,
+                    "rsim": ikq / scale,
                 }
             )
 
@@ -653,14 +652,12 @@ def blocked_cosine_topk(
                 }
             )
 
-        n_cols = max(len(p_ids), len(i_ids))
-        K_max = np.int64(1) << int(n_cols).bit_length()
-        if emit_mode == "lexsort" or np.abs(rounding).max(initial=0.0) > float(
-            (np.int64(2) ** 62) // K_max
-        ):
-            # composite key would overflow int64 (|sim| ≳ 1e6·(2048/K)):
-            # not reachable for cosines, but the kernel is generic —
-            # take the any-magnitude lexsort path
+        if emit_mode == "lexsort" or np.abs(rounding).max(initial=0.0) > (
+            2.0 ** 53
+        ) / K - K:
+            # composite key would leave float64's exact-integer range
+            # (|sim| ≳ 1e6·(2048/K)): not reachable for cosines, but the
+            # kernel is generic — take the any-magnitude lexsort path
             rounded = rounding
             rounded /= scale
             parts = [emit_lexsort(rounded, sims, p_ids, i_ids)]
@@ -672,21 +669,37 @@ def blocked_cosine_topk(
                 )
             return pd.concat(parts, ignore_index=True)
 
-        parts = [emit(ikey, sims, p_ids, i_ids, same)]
+        # probe-orientation key built IN PLACE in the rounding buffer
+        # (rint·K − index-col rank); the mirror key is recovered from its
+        # transpose with two in-place integer fix-ups — zero extra
+        # full-matrix buffers beyond the lexsort path's own transpose copy
+        p_rank, i_rank = rank_of(p_ids), (
+            None if same else rank_of(i_ids)
+        )
+        key = rounding
+        key *= K
+        key -= (p_rank if same else i_rank)[None, :]
+        if same:
+            # diagonal task: row r IS column r (one block, both roles) —
+            # mask the self-pair before selection.  Off-diagonal blocks
+            # are disjoint by the home hash, so no self-pairs exist there
+            # (and diagonal tasks never mirror).
+            d = np.arange(len(p_ids))
+            key[d, d] = -np.inf
+        parts = [
+            emit(key, sims, p_ids, i_ids, p_rank if same else i_rank)
+        ]
         if mirror:
             # off-diagonal task: the transposed orientation (top-K per
             # index column over the probe candidates) comes from the SAME
             # dots matrix — this is what lets the triangular grid cover
-            # every unordered block pair exactly once
-            parts.append(
-                emit(
-                    np.ascontiguousarray(ikey.T),
-                    sims.T,
-                    i_ids,
-                    p_ids,
-                    False,
-                )
-            )
+            # every unordered block pair exactly once.  key2[j,i] =
+            # rint[i,j]·K − p_rank[i] = key[i,j] + i_rank[j] − p_rank[i]:
+            # exact integer adds on the transpose copy.
+            kt = np.ascontiguousarray(key.T)
+            kt += i_rank[:, None]
+            kt -= p_rank[None, :]
+            parts.append(emit(kt, sims.T, i_ids, p_ids, p_rank))
         return pd.concat(parts, ignore_index=True)
 
     def split_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
