@@ -637,6 +637,13 @@ def blocked_cosine_topk(
             cand &= col_ids[None, :] != row_ids[:, None]
             r_idx, c_idx = np.nonzero(cand)
             rvals = rnd[r_idx, c_idx]
+            # normalize signed zero: a negative sim that rounds to zero is
+            # -0.0 here but +0.0 through the fast path's key round-trip
+            # (-rank + rank), and Spark's window sort (Double.compare)
+            # ranks -0.0 below +0.0 — keep the two emit modes' tie order
+            # identical near zero (ADVICE r16; in-place on the gathered
+            # candidate rows, no full-matrix buffer)
+            rvals += 0.0
             order = np.lexsort((col_ids[c_idx], -rvals, r_idx))
             r_s, c_s = r_idx[order], c_idx[order]
             starts = np.searchsorted(r_s, np.arange(n_r))
@@ -652,9 +659,13 @@ def blocked_cosine_topk(
                 }
             )
 
-        if emit_mode == "lexsort" or np.abs(rounding).max(initial=0.0) > (
-            2.0 ** 53
-        ) / K - K:
+        # abs-max WITHOUT materializing an |rounding| copy (the guard ran
+        # np.abs() over the full n_p x n_i matrix every task — a fresh
+        # ~16 MB temporary per task, against this kernel's own
+        # zero-extra-full-matrix-buffer discipline; ADVICE r16)
+        if emit_mode == "lexsort" or max(
+            rounding.max(initial=0.0), -rounding.min(initial=0.0)
+        ) > (2.0 ** 53) / K - K:
             # composite key would leave float64's exact-integer range
             # (|sim| ≳ 1e6·(2048/K)): not reachable for cosines, but the
             # kernel is generic — take the any-magnitude lexsort path

@@ -629,10 +629,14 @@ def ease_r_cg(
                 }
             )
 
+    # task count from the DATA (n items / CG column-chunk width), not from
+    # the session's core count — the r16 rule every other kernel site
+    # follows (guide §2.2); n is already known driver-side from the
+    # broadcast Gram build above
     probes = (
         urm.select("item_id")
         .distinct()
-        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .repartition(max(2, -(-n // cols_per_chunk)))
     )
     w = probes.mapInPandas(kernel, out_schema)
     if top_k is not None:

@@ -103,6 +103,12 @@ def scratch_base() -> str | None:
     import os
 
     base = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    # empty/whitespace values behave like unset: run_stream_once's
+    # `if base` treated "" as disabled while modelops' mkdtemp(dir="")
+    # silently landed in the CWD — normalize so every caller agrees
+    # (ADVICE r16)
+    if base is not None and not base.strip():
+        base = None
     if base is None and os.access("/dev/shm", os.W_OK):
         base = "/dev/shm"
     return base
