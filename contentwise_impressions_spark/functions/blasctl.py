@@ -83,3 +83,48 @@ def limit_blas_threads(n: int = 1) -> None:
                     return
     except Exception:  # pragma: no cover — missing/odd BLAS is non-fatal
         pass
+
+
+_ALLOC_APPLIED: tuple[int, int] | None = None
+
+
+def retain_task_buffers(trim_mb: int = 256, mmap_mb: int = 128) -> None:
+    """Keep the large per-task numpy buffers' pages resident across tasks
+    in a REUSED Python worker (glibc ``mallopt``).
+
+    The Arrow block kernels allocate and free ~50-100 MB of full-matrix
+    buffers per task.  glibc's dynamic thresholds move those buffers into
+    the main arena after a couple of mmap/munmap cycles, but the arena's
+    trim threshold (dynamically 2x the mmap threshold, ~33 MB) is SMALLER
+    than one task's freed working set — so at every task boundary the
+    arena top is shrunk back to the OS and the next task re-faults every
+    page.  On this host a freshly-mapped page faults at ~50x its re-touch
+    cost (the r13 first-task tax), which made the fault tax a PER-TASK
+    cost, not a per-worker one.  Raising the trim threshold above the
+    task working set keeps the pages resident, so each worker faults its
+    buffers once.  (The r16 #10 experiment pinned only
+    MALLOC_MMAP_THRESHOLD_, which leaves the 128 KB DEFAULT trim
+    threshold in place — arena frees were trimmed immediately and every
+    calloc had to re-fault AND memset, which is why that arm measured
+    slower.  mallopt sets both, after the allocator already exists.)
+
+    Memory bound: one task working set (~trim_mb) stays resident per
+    worker process — bounded by executor cores x trim_mb, the same order
+    as the task buffers themselves at peak concurrency.
+
+    Idempotent per value; re-applies when called with different values
+    (mallopt overwrites).  Failures are swallowed (an untuned allocator
+    is slow, not wrong).
+    """
+    global _ALLOC_APPLIED
+    want = (int(trim_mb), int(mmap_mb))
+    if _ALLOC_APPLIED == want:
+        return
+    _ALLOC_APPLIED = want
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        m_trim_threshold, m_mmap_threshold = -1, -3
+        libc.mallopt(m_trim_threshold, want[0] << 20)
+        libc.mallopt(m_mmap_threshold, want[1] << 20)
+    except Exception:  # pragma: no cover — non-glibc platform
+        pass

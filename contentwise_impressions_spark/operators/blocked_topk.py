@@ -90,6 +90,7 @@ except Exception:  # pragma: no cover
     pass
 
 from ..functions.blasctl import limit_blas_threads  # noqa: E402
+from ..functions.blasctl import retain_task_buffers  # noqa: E402
 
 _OUT = StructType(
     [
@@ -119,6 +120,52 @@ _CACHE: dict[tuple, object] = {}
 #: large enough to overflow the composite key).  Module-level so tests and
 #: in-session A/B measurement can force the reference path.
 _EMIT_MODE = "fast"
+
+#: worker allocator tuning (functions/blasctl.retain_task_buffers):
+#: "auto" derives a (trim_mb, mmap_mb) pair from the block geometry so
+#: the kernel's full-matrix buffers stay page-resident across tasks in a
+#: reused worker; an explicit pair overrides; None = untouched glibc
+#: defaults.  Module-level so in-session A/B measurement can flip it.
+#:
+#: Why (r17, measured): the per-task phase log showed the FIRST run of a
+#: kernel query paying 231 s of in-task numpy time vs 31 s warm at sf0.1
+#: — almost entirely fresh-page faults on the ~80 MB/task buffer set
+#: (the `sims` phase, pure full-matrix writes, inflated 13x), re-paid on
+#: the next query over the same workers (44.5 s task-time) because
+#: glibc's adapted trim threshold (~2x mmap, ~33 MB) is smaller than one
+#: task's freed working set, so the arena is shrunk at task boundaries.
+#: With retention the pages fault ONCE per worker (cfcbf first-run
+#: task-time 44.5 -> 14-18 s in the fresh-session A/B) and the cbfops
+#: family warmup pre-faults them on the build line.  Memory bound:
+#: ~one task working set retained per worker == the peak concurrent
+#: footprint the host must provision anyway.
+_ALLOC_MODE: tuple[int, int] | str | None = "auto"
+
+#: measurement-only: path of a per-task phase-timing log (None = off)
+_PHASE_LOG: str | None = None
+
+
+def _grid_blocks(
+    n: int, par: int, block_rows: int = 4096, min_blocks: int | None = None
+) -> int:
+    """Block count of the triangular grid for n rows (the same formula
+    ``blocked_cosine_topk`` uses — exported so the family warmup can
+    pre-fault buffers of the exact per-task shape)."""
+    if min_blocks is None:
+        min_blocks = max(
+            2, int(math.ceil((math.sqrt(1.0 + 24.0 * par) - 1.0) / 2.0))
+        )
+    return max(min_blocks, int(math.ceil(n / float(block_rows))))
+
+
+def _alloc_mode_for(block_size: int) -> tuple[int, int]:
+    """(trim_mb, mmap_mb) sized from the per-task buffer: mmap threshold
+    above one full-matrix buffer (so it is arena-backed), trim threshold
+    above the task's freed working set (so the arena is not returned to
+    the OS between tasks).  Scale-adaptive: grows with block_size², which
+    block_rows caps at 4096 (≤134 MB/buffer)."""
+    buf_mb = max(1, (block_size * block_size * 8) >> 20)
+    return (max(256, 8 * buf_mb), max(64, 2 * buf_mb))
 
 
 def _cached(spark, key: tuple | None, build: Callable):
@@ -414,16 +461,12 @@ def blocked_cosine_topk(
     )
     spark = payload.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if min_blocks is None:
-        # triangular grid: n_blk·(n_blk+1)/2 tasks ≈ 3× the core count —
-        # over-decomposition keeps every core busy through the last wave
-        # (measured 2.5× faster than an exact-fit grid, whose final
-        # partial wave straggles); block_rows stays the per-task MEMORY
-        # cap and binds only at larger n
-        min_blocks = max(
-            2, int(math.ceil((math.sqrt(1.0 + 24.0 * par) - 1.0) / 2.0))
-        )
-    n_blk = max(min_blocks, int(math.ceil(n / float(block_rows))))
+    # triangular grid: n_blk·(n_blk+1)/2 tasks ≈ 3× the core count —
+    # over-decomposition keeps every core busy through the last wave
+    # (measured 2.5× faster than an exact-fit grid, whose final
+    # partial wave straggles); block_rows stays the per-task MEMORY
+    # cap and binds only at larger n
+    n_blk = _grid_blocks(n, par, block_rows, min_blocks)
 
     # symmetric kernel → lower-triangular block grid only: a row with home
     # block h is the PROBE side of tasks (h, 0..h) and the INDEX side of
@@ -455,6 +498,10 @@ def blocked_cosine_topk(
     kk, nf, e = int(k), int(n_feats), float(eps)
     wgt, scale = float(icm_weight), 10.0 ** int(round_digits)
     emit_mode = _EMIT_MODE  # bound at plan-build time (driver side)
+    alloc_mode = _ALLOC_MODE
+    if alloc_mode == "auto":
+        alloc_mode = _alloc_mode_for(-(-n // n_blk))
+    phase_log = _PHASE_LOG
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -493,6 +540,9 @@ def blocked_cosine_topk(
     def task(probes: pd.DataFrame, index: pd.DataFrame, mirror: bool):
         if len(probes) == 0 or len(index) == 0:
             return _empty()
+        import time as _t
+
+        _ts = [_t.perf_counter()]
         same = index is probes  # diagonal task: one block, both roles
         p_ids = probes["item_id"].to_numpy()
         i_ids = p_ids if same else index["item_id"].to_numpy()
@@ -513,6 +563,7 @@ def blocked_cosine_topk(
             dots *= wgt * wgt
         else:
             dots = np.zeros((n_p, n_i))
+        _ts.append(_t.perf_counter())  # 1: gemm
         p_lens, p_flat = _lens_flat(probes["nbrs"].to_numpy())
         i_lens, i_flat = (
             (p_lens, p_flat) if same else _lens_flat(index["nbrs"].to_numpy())
@@ -545,6 +596,7 @@ def blocked_cosine_topk(
                     dots += np.bincount(
                         flat_ij, minlength=n_p * n_i
                     ).reshape(n_p, n_i)
+        _ts.append(_t.perf_counter())  # 2: csr
         # in-place from here: every n_p×n_i float temporary is ~100 MB
         # at default blocking, and on this host a freshly-mapped page
         # faults at ~50× its re-touch cost (guest-memory provisioning —
@@ -577,6 +629,7 @@ def blocked_cosine_topk(
         # int64 copy is materialized — on this host freshly-mapped pages
         # fault at ~50× re-touch cost, and the emit rewrite must not add
         # full-matrix buffers the lexsort path didn't have
+        _ts.append(_t.perf_counter())  # 3: sims+rounding
         K = float(
             np.int64(1) << int(max(len(p_ids), len(i_ids))).bit_length()
         )
@@ -711,7 +764,19 @@ def blocked_cosine_topk(
             kt += i_rank[:, None]
             kt -= p_rank[None, :]
             parts.append(emit(kt, sims.T, i_ids, p_ids, p_rank))
-        return pd.concat(parts, ignore_index=True)
+        out = pd.concat(parts, ignore_index=True)
+        _ts.append(_t.perf_counter())  # 4: emit+concat
+        if phase_log is not None:
+            import os as _os
+
+            d = [round(b - a, 4) for a, b in zip(_ts, _ts[1:])]
+            with open(phase_log, "a") as fh:
+                fh.write(
+                    f"{_os.getpid()} {n_p} {n_i} "
+                    + " ".join(map(str, d))
+                    + f" {_ts[-1]}\n"
+                )
+        return out
 
     def split_task(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # cap BLAS here too: the broadcast-features fast path never
@@ -720,6 +785,8 @@ def blocked_cosine_topk(
         # as task() tottime 148 s vs 20.5 s on the identical second run
         # (the r12 in-suite-vs-best-of-3 divergence, root-caused r13)
         limit_blas_threads()
+        if alloc_mode is not None:
+            retain_task_buffers(*alloc_mode)
         pblk, iblk = int(key[0]), int(key[1])
         probes = pdf[pdf["_side"] == 1]
         if pblk == iblk:

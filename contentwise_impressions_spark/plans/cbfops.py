@@ -134,7 +134,9 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
         lambda: _adj_payload(adj, adj_key).count(),
     )
     bc1 = box["bc1"]  # itemcbf
-    bc2, *_ = prepare_kernel_payloads(icm, adj, feat_key, adj_key)  # cfcbf
+    bc2, _, n_items, _ = prepare_kernel_payloads(
+        icm, adj, feat_key, adj_key
+    )  # cfcbf
     # ...and run one trivial ARROW task per worker slot that touches the
     # feature broadcast: the r12 in-suite-vs-best-of-3 gap on this family
     # (itemcbf 9.7 s vs 4.5; 14.4 vs 3.9 measured in isolation) is
@@ -144,14 +146,43 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     # timed kernel ran first.  A 2×cores mapInPandas probe fills every
     # task slot concurrently, so the per-worker tax lands here, on the
     # family build line where first-touch cost belongs.
+    #
+    # r17: the probe ALSO pre-faults each worker's kernel buffer working
+    # set inside the retained allocator arena
+    # (operators/blocked_topk._ALLOC_MODE / blasctl.retain_task_buffers):
+    # the r17 phase log showed the first timed kernel run paying 231 s of
+    # in-task numpy time vs 31 s warm at sf0.1 — fresh-page faults on the
+    # ~80 MB/task full-matrix buffers, concurrent across 32 workers and
+    # host-throttled (~50x re-touch cost).  Retention makes the fault a
+    # once-per-worker cost; this probe makes it land HERE, on the family
+    # build line, instead of on whichever timed kernel query runs first.
+    from ..operators import blocked_topk as _bt
+    from ..functions.blasctl import retain_task_buffers as _retain
+
     bcs = [b for b in {id(bc1): bc1, id(bc2): bc2}.values() if b is not None]
     sc = spark.sparkContext
     n_slots = max(sc.defaultParallelism, 1)
+    blk = -(-int(n_items) // _bt._grid_blocks(int(n_items), n_slots))
+    alloc = _bt._ALLOC_MODE
+    if alloc == "auto":
+        alloc = _bt._alloc_mode_for(blk)
 
     def _touch(batches):
+        import numpy as np
         import pandas as pd
 
         s = sum(int(b.value[0][0]) for b in bcs)
+        if alloc is not None:
+            _retain(*alloc)
+            # fault the per-task full-matrix working set once (kernel
+            # tasks hold ~5 blk×blk float64 buffers at peak); the pages
+            # stay arena-resident for every later kernel task on this
+            # worker
+            ws = [np.empty((blk, blk)) for _ in range(5)]
+            for a in ws:
+                a.fill(0.0)
+            s += int(ws[0][0, 0])
+            del ws
         for _ in batches:
             yield pd.DataFrame({"v": [s]})
 

@@ -2366,55 +2366,65 @@ def q_stream_popularity_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     utc(spark)
     batch = load_table(spark, sf_dir, "events")
-    # run scaffolding (delivery halves, checkpoint, snapshot versions) on
-    # the same ephemeral scratch base as run_stream_once: the checkpoint
-    # fsyncs per micro-batch, so tmpfs placement is the r16 #9 win this
-    # self-managed run previously missed.  The published snapshot
-    # (|items| rows) stays for the returned plan to read, same as the
-    # former /tmp placement; a production store belongs on durable
-    # storage ($SPARK_GRAFT_STREAM_CKPT overrides).
+    # scratch split (r16 ADVICE): ONLY the fsync-heavy checkpoint rides
+    # the ephemeral scratch base (tmpfs by default — every micro-batch
+    # fsyncs the offset WAL + state deltas there; the r16 #9 win); the
+    # delivery halves (a full parquet copy of the event log) and the
+    # snapshot versions stay on the default temp dir so a larger SF or a
+    # memory-constrained host can't exhaust tmpfs on bulk data.  A
+    # production store belongs on durable storage ($SPARK_GRAFT_STREAM_CKPT
+    # overrides the scratch base).
     from ..streaming.ingest import scratch_base
 
-    work = tempfile.mkdtemp(prefix="cwi_pop_store_", dir=scratch_base())
-    src_dir = os.path.join(work, "src")
-    os.makedirs(src_dir)
-    # ONE pass over the event log writes both delivery halves
-    # (dynamic partition write on the hash bit) — the former per-half
-    # filter+coalesce(1) loop scanned the log twice and serialized the
-    # two writes (r16, guide §2.4: don't re-scan what one pass can split)
-    halves_dir = os.path.join(work, "halves")
-    batch.withColumn(
-        "_h", F.pmod(F.xxhash64(F.col("event_id")), F.lit(2))
-    ).repartition("_h").write.mode("overwrite").partitionBy("_h").parquet(
-        halves_dir
-    )
-    for part in (0, 1):
-        (pf,) = glob.glob(
-            os.path.join(halves_dir, f"_h={part}", "part-*.parquet")
-        )
-        os.link(pf, os.path.join(src_dir, f"{part}.parquet"))
-    store = os.path.join(work, "store")
-    ckpt = os.path.join(work, "ckpt")
-    src = stream_events(spark, src_dir, schema=batch.schema)
-    # right-size the ephemeral run's state-store partition count (same
-    # rationale as ingest.run_stream_once)
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    work = tempfile.mkdtemp(prefix="cwi_pop_store_")
+    ckpt_work = tempfile.mkdtemp(prefix="cwi_pop_ckpt_", dir=scratch_base())
     try:
-        q = maintain_popularity_store(
-            events_as_interactions(src).select("item_id", "ts"),
-            store,
-            ckpt,
-            watermark="2 hours",
-            available_now=True,
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        # ONE pass over the event log writes both delivery halves
+        # (dynamic partition write on the hash bit) — the former per-half
+        # filter+coalesce(1) loop scanned the log twice and serialized the
+        # two writes (r16, guide §2.4: don't re-scan what one pass can split)
+        halves_dir = os.path.join(work, "halves")
+        batch.withColumn(
+            "_h", F.pmod(F.xxhash64(F.col("event_id")), F.lit(2))
+        ).repartition("_h").write.mode("overwrite").partitionBy("_h").parquet(
+            halves_dir
         )
-        q.awaitTermination()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for part in (0, 1):
+            (pf,) = glob.glob(
+                os.path.join(halves_dir, f"_h={part}", "part-*.parquet")
+            )
+            os.link(pf, os.path.join(src_dir, f"{part}.parquet"))
+        store = os.path.join(work, "store")
+        ckpt = os.path.join(ckpt_work, "ckpt")
+        src = stream_events(spark, src_dir, schema=batch.schema)
+        # right-size the ephemeral run's state-store partition count (same
+        # rationale as ingest.run_stream_once)
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = maintain_popularity_store(
+                events_as_interactions(src).select("item_id", "ts"),
+                store,
+                ckpt,
+                watermark="2 hours",
+                available_now=True,
+            )
+            q.awaitTermination()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    except BaseException:
+        # a mid-run failure must not leak the scaffolding (the checkpoint
+        # sits in RAM-backed tmpfs until reboot otherwise)
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt_work, ignore_errors=True)
+        raise
     # keep ONLY the published snapshot (|items| rows) the returned plan
     # reads from; the source halves / checkpoint / superseded versions
     # are run scaffolding
+    shutil.rmtree(ckpt_work, ignore_errors=True)
     cur = _store_dir(store)
     for entry in os.listdir(work):
         p = os.path.join(work, entry)

@@ -212,3 +212,58 @@ def test_merge_exchange_width_is_data_derived(tiny, spark):
     )
     assert "hashpartitioning(item_j" in bplan
     assert "REPARTITION_BY_NUM" in bplan
+
+
+def test_alloc_retention_off_matches_on(tiny):
+    # r17: worker allocator retention (mallopt trim/mmap thresholds) is a
+    # memory-placement knob only — results are identical with it disabled
+    from contentwise_impressions_spark.operators import blocked_topk as bt
+
+    feat_rows, adj_rows, feat, adj = tiny
+    prev = bt._ALLOC_MODE
+    try:
+        bt._ALLOC_MODE = None
+        off = _collected(
+            blocked_cosine_topk(feat=feat, adj=adj, k=3, icm_weight=0.5)
+        )
+        bt._ALLOC_MODE = "auto"
+        on = _collected(
+            blocked_cosine_topk(feat=feat, adj=adj, k=3, icm_weight=0.5)
+        )
+    finally:
+        bt._ALLOC_MODE = prev
+    assert off == on == _naive_hybrid(feat_rows, adj_rows, 0.5, 3)
+
+
+def test_alloc_mode_geometry():
+    # thresholds derive from the block geometry: mmap above one full-matrix
+    # buffer (arena-backed), trim above the task working set — and floor at
+    # (256, 64) MB for small blocks
+    from contentwise_impressions_spark.operators.blocked_topk import (
+        _alloc_mode_for,
+        _grid_blocks,
+    )
+
+    assert _alloc_mode_for(1430) == (256, 64)  # 16 MB buffer -> floors
+    trim, mmap = _alloc_mode_for(4096)  # 134 MB buffer (block_rows cap)
+    assert trim == 8 * 128 and mmap == 2 * 128
+    # _grid_blocks is the same formula blocked_cosine_topk inlined before
+    # r17 (exported so the family warmup pre-faults the exact task shape)
+    for n, par in [(6, 4), (20_000, 32), (1_000_000, 32), (200, 8)]:
+        min_blocks = max(
+            2, int(math.ceil((math.sqrt(1.0 + 24.0 * par) - 1.0) / 2.0))
+        )
+        assert _grid_blocks(n, par) == max(
+            min_blocks, int(math.ceil(n / 4096.0))
+        )
+
+
+def test_retain_task_buffers_idempotent():
+    from contentwise_impressions_spark.functions import blasctl
+
+    blasctl.retain_task_buffers(256, 128)
+    applied = blasctl._ALLOC_APPLIED
+    blasctl.retain_task_buffers(256, 128)  # second call is a no-op
+    assert blasctl._ALLOC_APPLIED == applied == (256, 128)
+    blasctl.retain_task_buffers(512, 128)  # new values re-apply
+    assert blasctl._ALLOC_APPLIED == (512, 128)
