@@ -2220,6 +2220,15 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id"
         ),
     )
+    # r17 (§2.2): both windows share one cluster_id exchange — pin its
+    # width from the corpus size (parquet footer, ~32k rows/task) rather
+    # than the session shuffle default; this row scaled at 0.59 (8 cores
+    # beating 32) in the r16 driver block — scheduling overhead, not work
+    from ..sources.tables import table_rows, width_for_rows
+
+    width = width_for_rows(table_rows(sf_dir, "documents"))
+    if width is not None:
+        lab = lab.repartition(width, "cluster_id")
     w = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), "doc_id"

@@ -1600,6 +1600,19 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     utc(spark)
     o = load_table(spark, sf_dir, "orders")
+    # r17 (§2.2): pin the window's one exchange to a DATA-derived width
+    # (~32k rows/task from the parquet footer, no extra job) instead of
+    # the session shuffle default — this row ran FASTER on 8 cores than
+    # 32 in the r16 driver scaling block (0.54 ratio): at test scale the
+    # default's 32+ post-AQE tasks are pure scheduling overhead for a
+    # 150k-row frame, while at 100 TB the same rule yields thousands of
+    # partitions.  The explicit repartition satisfies the window's
+    # required distribution, so the exchange COUNT is unchanged.
+    from ..sources.tables import table_rows, width_for_rows
+
+    width = width_for_rows(table_rows(sf_dir, "orders"))
+    if width is not None:
+        o = o.repartition(width, "o_custkey")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(epoch_seconds("o_orderdate"))

@@ -60,3 +60,31 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a base table from its parquet FOOTER — a pure
+    metadata read (no Spark job), for data-derived width rules (guide
+    §2.2: exchange/window widths sized by the data, not by the session's
+    core count).  None when the footer isn't readable (caller falls back
+    to the planner's default width)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
+def width_for_rows(rows: int | None, rows_per_task: int = 1 << 15) -> int | None:
+    """Partition count for an explicit repartition over ~``rows`` rows:
+    ceil(rows / rows_per_task), floor 2 — the same ~32k-rows-per-task
+    rule the top-k merge uses (operators/ann._MERGE_ROWS_PER_PART).
+    Scale-adaptive: grows linearly with data, independent of the local
+    core count."""
+    if rows is None:
+        return None
+    return max(2, -(-int(rows) // rows_per_task))

@@ -682,3 +682,18 @@ def test_q12_single_orderkey_shuffle_no_nested_loop(spark, sf_dir):
         ln for ln in plan.splitlines() if "PushedFilters" in ln
     )
     assert "l_shipdate" in pushed, plan
+
+
+def test_window_widths_are_data_derived(spark, sf_dir):
+    # r17 (§2.2): the two window rows that scaled <0.8 in the r16 driver
+    # block pin their one window exchange to a footer-derived width
+    # (REPARTITION_BY_NUM) instead of the session shuffle default; the
+    # explicit repartition satisfies the window's required distribution,
+    # so no exchange is added.
+    for name, key in (
+        ("rolling_7d_revenue", "o_custkey"),
+        ("dedup_survivors", "cluster_id"),
+    ):
+        plan = _formatted_plan(QUERIES[name](spark, sf_dir))
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert f"hashpartitioning({key}" in plan, name
